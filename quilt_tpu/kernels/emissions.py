@@ -1,0 +1,155 @@
+"""Device emission kernels.
+
+- emat_read_from_bits: P(read | hap) over a panel subset, batched over chains.
+  Functional equivalent of rcpp_make_eMatRead_t (reference:
+  QUILT/src/copied-from-stitch.cpp:115-233) and the compressed-object variant
+  (QUILT/src/gibbs-small.cpp:116-274), recast as a dense masked
+  gather-and-reduce in log space so it vectorizes over {chain, hap, read}.
+- emat_dh_from_gl: per-grid emission of each distinct haplotype vs haploid
+  GLs (reference: Rcpp_build_eMatDH, QUILT/src/reference-single.cpp:272-329),
+  computed for a batch of GL vectors at once.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.reads import SampleReads, bq_to_probs
+
+
+@dataclass
+class PaddedReads:
+    """Dense padded read tensors for the device kernels.
+
+    u_pad[r, j] is the SNP index of base j of read r (0 for pads);
+    lr/la are log-emission factors for hap-allele 0 / 1:
+      lr = log(pR*(1-ref_error) + pA*ref_error)
+      la = log(pA*(1-ref_error) + pR*ref_error)
+    so log P(base | allele a) = lr + a*(la-lr). Pads have lr = la = 0.
+    """
+
+    u_pad: np.ndarray       # int32 [R, J]
+    lr: np.ndarray          # float32 [R, J]
+    la: np.ndarray          # float32 [R, J]
+    mask: np.ndarray        # bool [R, J]
+    wif0: np.ndarray        # int32 [R]
+    nReads: int
+    J: int
+
+    @classmethod
+    def build(
+        cls, reads: SampleReads, ref_error: float = 0.001, Jmax: int = 10000
+    ) -> "PaddedReads":
+        nReads = reads.nReads
+        lens = np.minimum(np.diff(reads.offsets), Jmax + 1).astype(np.int64)
+        J = max(int(lens.max()) if nReads else 1, 1)
+        u_pad = np.zeros((nReads, J), dtype=np.int32)
+        lr = np.zeros((nReads, J), dtype=np.float32)
+        la = np.zeros((nReads, J), dtype=np.float32)
+        mask = np.zeros((nReads, J), dtype=bool)
+        probs = bq_to_probs(reads.bq)
+        t_ref = probs[:, 0] * (1 - ref_error) + probs[:, 1] * ref_error
+        t_alt = probs[:, 1] * (1 - ref_error) + probs[:, 0] * ref_error
+        log_tr = np.log(t_ref)
+        log_ta = np.log(t_alt)
+        for r in range(nReads):
+            s = reads.offsets[r]
+            n = lens[r]
+            u_pad[r, :n] = reads.u[s:s + n]
+            lr[r, :n] = log_tr[s:s + n]
+            la[r, :n] = log_ta[s:s + n]
+            mask[r, :n] = True
+        return cls(
+            u_pad=u_pad, lr=lr, la=la, mask=mask,
+            wif0=reads.wif0.astype(np.int32), nReads=nReads, J=J,
+        )
+
+
+def emat_read_from_bits(
+    bits: jnp.ndarray,          # [B, K, S] uint8 subset panel alleles
+    u_pad: jnp.ndarray,         # [R, J] int32
+    lr: jnp.ndarray,            # [R, J] f32
+    la: jnp.ndarray,            # [R, J] f32
+    max_diff: float,
+    read_chunk: int = 512,
+) -> jnp.ndarray:
+    """eMatRead [B, K, R] float32.
+
+    log e[b,k,r] = sum_j lr[r,j] + bits[b,k,u[r,j]]*(la-lr)[r,j]; per read the
+    column is rescaled to max 1 and floored at 1/max_diff (the reference's
+    rescale_eMatRead_t + maxDifferenceBetweenReads clamp,
+    copied-from-stitch.cpp:190-226).
+    """
+    B, K, S = bits.shape
+    R, J = u_pad.shape
+    base = lr.sum(axis=1)                      # [R]
+    diff = (la - lr)                           # [R, J], 0 at pads
+
+    def chunk_fn(carry, idx):
+        u_c = jax.lax.dynamic_slice(u_pad, (idx, 0), (read_chunk, J))
+        d_c = jax.lax.dynamic_slice(diff, (idx, 0), (read_chunk, J))
+        b_c = jax.lax.dynamic_slice(base, (idx,), (read_chunk,))
+        # gather alleles at read bases: [B, K, Rc, J]
+        a = bits[:, :, u_c]                    # advanced indexing gather
+        logs = b_c[None, None, :] + jnp.einsum(
+            "bkrj,rj->bkr", a.astype(jnp.float32), d_c.astype(jnp.float32)
+        )
+        return carry, logs
+
+    n_chunks = (R + read_chunk - 1) // read_chunk
+    Rpad = n_chunks * read_chunk
+    if Rpad != R:
+        u_pad = jnp.pad(u_pad, ((0, Rpad - R), (0, 0)))
+        diff = jnp.pad(diff, ((0, Rpad - R), (0, 0)))
+        base = jnp.pad(base, (0, Rpad - R))
+    _, logs = jax.lax.scan(
+        chunk_fn, None, jnp.arange(n_chunks) * read_chunk
+    )
+    logs = jnp.moveaxis(logs, 0, 2).reshape(B, K, Rpad)[:, :, :R]
+    logs = logs - logs.max(axis=1, keepdims=True)
+    em = jnp.exp(logs)
+    return jnp.maximum(em, 1.0 / max_diff).astype(jnp.float32)
+
+
+def emat_dh_from_gl(
+    gl: jnp.ndarray,            # [B, 2, S] haploid GLs, S = nGrids*32
+    dh_bits: jnp.ndarray,       # [D, S] uint8 distinct-hap alleles
+    ref_error: float,
+) -> jnp.ndarray:
+    """eMatDH [B, nGrids, D+1] with slot 0 = 0 (escape placeholder).
+
+    Emission per grid = prod over its 32 SNPs of dR*(1-e) + dA*e with
+    e in {ref_error, 1-ref_error}. Computed in log space and summed per
+    32-SNP block.
+    """
+    B, _, S = gl.shape
+    D = dh_bits.shape[0]
+    G = S // 32
+    e = jnp.where(dh_bits == 1, 1.0 - ref_error, ref_error)[None]     # [1,D,S]
+    term = gl[:, 0][:, None, :] * (1.0 - e) + gl[:, 1][:, None, :] * e  # [B,D,S]
+    logterm = jnp.log(jnp.maximum(term, 1e-30))
+    logsum = logterm.reshape(B, D, G, 32).sum(axis=-1)                # [B,D,G]
+    em = jnp.exp(logsum)
+    em = jnp.moveaxis(em, 1, 2)                                        # [B,G,D]
+    zeros = jnp.zeros((B, G, 1), dtype=em.dtype)
+    return jnp.concatenate([zeros, em], axis=-1)                       # [B,G,D+1]
+
+
+def emissions_for_words(
+    words: jnp.ndarray,         # [..., ] uint32 packed 32-SNP hap words
+    gl32: jnp.ndarray,          # [..., 2, 32] GL slice of the word's grid
+    ref_error: float,
+) -> jnp.ndarray:
+    """Exact emission of packed escape words vs their grid's GLs.
+
+    Device equivalent of the reference's special-symbol escape recomputation
+    (QUILT/src/reference-single.cpp:2326-2331).
+    """
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = ((words[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
+    e = bits * (1.0 - 2.0 * ref_error) + ref_error
+    term = gl32[..., 0, :] * (1.0 - e) + gl32[..., 1, :] * e
+    return jnp.exp(jnp.log(jnp.maximum(term, 1e-30)).sum(axis=-1))

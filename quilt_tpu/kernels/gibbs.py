@@ -1,0 +1,388 @@
+"""Batched per-read Gibbs sampler over a small haplotype subset (device).
+
+Functional equivalent of rcpp_forwardBackwardGibbsNIPT (reference:
+QUILT/src/gibbs-nipt.cpp:2395-3318; per-grid sweep rcpp_gibbs_nipt_iterate
+:1756-1960; in-grid read resampling sample_reads_in_grid :733-1341; read
+probability evaluation rcpp_evaluate_read_probabilities :3320-3415),
+redesigned TPU-first:
+
+- the grid axis is a lax.scan; within a grid a dynamic-trip fori_loop
+  resamples that grid's reads sequentially (the sampler is order-dependent
+  by construction);
+- every per-read quantity is vectorized over the batch axis B (independent
+  Gibbs chains, potentially of different samples) and the K lane axis;
+- numerics are float32: per-read emission products (eMatGrid) are held in
+  LOG space and exponentiated with per-grid max subtraction at point of use,
+  and alpha is renormalized after every read update. This replaces the
+  reference's fp64 magnitude guards (gibbs-nipt.R:808-836, eMatGrid_t
+  bounding in copied-from-stitch.cpp:285-307). Candidate label
+  probabilities are invariant to per-haplotype rescaling, so sampled chains
+  follow the same law as the reference's.
+
+Deviations from the reference (documented):
+- n_gibbs_sample_its is fixed at 1 (the reference's default; QUILT's 7
+  "Gibbs samples" are outer chains, which map to the batch axis here).
+- The reference's read-category 2/3 CPU shortcuts are not distinguished;
+  category-1 (uninformative) reads are skipped identically.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..io.reads import SampleReads
+from .common import pad_to_multiple
+from .emissions import PaddedReads, emat_read_from_bits
+
+
+@dataclass
+class GibbsInputs:
+    """Per-sample static device inputs for the Gibbs sweep."""
+
+    wif0: np.ndarray         # int32 [R]
+    read_start: np.ndarray   # int32 [G] first read index of each grid
+    read_count: np.ndarray   # int32 [G]
+    read_mask: np.ndarray    # bool [R] real (non-pad) reads
+    trans: np.ndarray        # f32 [G, 2] transition INTO grid g (row 0 unused)
+    G: int
+    R: int
+
+    @classmethod
+    def build(
+        cls, reads: SampleReads, trans: np.ndarray, nGrids: int,
+        R_pad_to: int = 64,
+    ) -> "GibbsInputs":
+        wif0 = reads.wif0.astype(np.int32)
+        assert (np.diff(wif0) >= 0).all(), "reads must be sorted by grid"
+        R = reads.nReads
+        Rp = pad_to_multiple(max(R, 1), R_pad_to)
+        read_start = np.searchsorted(wif0, np.arange(nGrids), side="left").astype(
+            np.int32
+        )
+        read_count = (
+            np.searchsorted(wif0, np.arange(nGrids), side="right") - read_start
+        ).astype(np.int32)
+        wif0_p = np.full(Rp, nGrids - 1, dtype=np.int32)
+        wif0_p[:R] = wif0
+        mask = np.zeros(Rp, dtype=bool)
+        mask[:R] = True
+        trans_full = np.zeros((nGrids, 2), dtype=np.float32)
+        trans_full[0] = (1.0, 0.0)
+        trans_full[1:] = np.asarray(trans, dtype=np.float32).T
+        return cls(
+            wif0=wif0_p, read_start=read_start, read_count=read_count,
+            read_mask=mask, trans=trans_full, G=nGrids, R=Rp,
+        )
+
+
+def _build_log_emat_grid(log_em, H, wif0, read_mask, G, nl):
+    """log eMatGrid [G, B, nl, K] from current labels (non-iterative init).
+
+    Equivalent of rcpp_make_eMatGrid_t (copied-from-stitch.cpp:234-310).
+    """
+    B, K, R = log_em.shape
+
+    def body(emg, r):
+        g = wif0[r]
+        h = H[:, r]
+        col = jax.lax.dynamic_index_in_dim(emg, g, 0, keepdims=False)
+        em_r = log_em[:, :, r]
+        onehot = jax.nn.one_hot(h, nl, dtype=em_r.dtype)
+        add = onehot[:, :, None] * em_r[:, None, :]
+        add = jnp.where(read_mask[r], add, 0.0)
+        emg = jax.lax.dynamic_update_index_in_dim(emg, col + add, g, 0)
+        return emg, None
+
+    emg0 = jnp.zeros((G, B, nl, K), dtype=jnp.float32)
+    emg, _ = jax.lax.scan(body, emg0, jnp.arange(R))
+    return emg
+
+
+@partial(jax.jit, static_argnames=("nl", "iterative_init", "K_real"))
+def _gibbs_core(
+    eMatRead: jnp.ndarray,     # [B, K, R] f32
+    bits: jnp.ndarray,         # [B, K, S] uint8
+    read_start: jnp.ndarray,   # [G]
+    read_count: jnp.ndarray,   # [G]
+    wif0: jnp.ndarray,         # [R]
+    read_mask: jnp.ndarray,    # [R] bool
+    trans: jnp.ndarray,        # [G, 2]
+    prior: jnp.ndarray,        # [nl] f32
+    uniforms: jnp.ndarray,     # [n_its, B, R]
+    H0: jnp.ndarray,           # [B, R] int32
+    first_read: jnp.ndarray,   # [B] int32
+    nl: int,
+    iterative_init: bool,
+    K_real: int,
+    ref_error: float = 0.001,
+):
+    B, K, R = eMatRead.shape
+    S = bits.shape[2]
+    G = read_start.shape[0]
+    n_its = uniforms.shape[0]
+    eye_b = jnp.eye(nl, dtype=bool)
+
+    k_mask = jnp.arange(K) < K_real
+    km = k_mask.astype(jnp.float32)
+    log_em_all = jnp.log(eMatRead)                         # [B, K, R]
+
+    skip = (eMatRead > 1.0 - 1e-12).all(axis=1) | ~read_mask[None, :]  # [B,R]
+
+    if iterative_init:
+        lemg = jnp.zeros((G, B, nl, K), dtype=jnp.float32)
+    else:
+        lemg = _build_log_emat_grid(log_em_all, H0, wif0, read_mask, G, nl)
+    beta = jnp.ones((G, B, nl, K), dtype=jnp.float32)
+    alphas = jnp.zeros((G, B, nl, K), dtype=jnp.float32)
+    H = H0
+    underflow = jnp.zeros((B,), dtype=bool)
+    per_it_ll = jnp.zeros((n_its, B, 2), dtype=jnp.float32)
+
+    def emg_to_e(lemg_g):
+        """exp(log eMatGrid) with per-(b,h) max subtraction; pads -> 0."""
+        lm = jnp.where(k_mask[None, None, :], lemg_g, -jnp.inf)
+        mx = lm.max(axis=2, keepdims=True)
+        return jnp.exp(lm - mx) * km[None, None, :], mx[:, :, 0]
+
+    def one_iteration(it, state):
+        lemg, beta, alphas, H, underflow, per_it_ll = state
+        u_it = uniforms[it]
+
+        def fwd_step(carry, g):
+            alpha, H, uf = carry
+            lemg_g = jax.lax.dynamic_index_in_dim(lemg, g, 0, keepdims=False)
+            beta_g = jax.lax.dynamic_index_in_dim(beta, g, 0, keepdims=False)
+            e_g, e_mx = emg_to_e(lemg_g)
+            t = trans[g]
+            is_first = (g == 0).astype(jnp.float32)
+            a_raw = e_g * (t[0] * alpha + (t[1] + is_first) / K_real)
+            s = a_raw.sum(axis=2, keepdims=True)
+            uf = uf | (~jnp.isfinite(s[:, :, 0]) | (s[:, :, 0] <= 0)).any(
+                axis=1
+            )
+            s = jnp.where(s > 0, s, 1.0)
+            alpha_g = a_raw / s
+            logc = jnp.log(s[:, :, 0]) + e_mx               # [B, nl]
+
+            def read_body(i, rs):
+                alpha_g, lemg_g, pC, H, logc, uf = rs
+                r = read_start[g] + i
+                em = jax.lax.dynamic_index_in_dim(eMatRead, r, 2, keepdims=False)
+                lem = jax.lax.dynamic_index_in_dim(log_em_all, r, 2, keepdims=False)
+                emk = jnp.where(k_mask[None, :], em, 1.0)
+                ab = alpha_g * beta_g                        # [B, nl, K]
+                gain = (ab * emk[:, None, :]).sum(axis=2)
+                lose = (ab / emk[:, None, :]).sum(axis=2)
+                h_rC = jax.lax.dynamic_index_in_dim(H, r, 1, keepdims=False)
+                oh_C = jax.nn.one_hot(h_rC, nl, dtype=jnp.float32)
+                skip_r = jax.lax.dynamic_index_in_dim(skip, r, 1, keepdims=False)
+                if iterative_init:
+                    doing_pass = (it == 0) & (r < first_read)
+                    doing_init = ((it == 0) & (r >= first_read)) | (
+                        (it == 1) & (r < first_read)
+                    )
+                else:
+                    doing_pass = jnp.zeros((B,), dtype=bool)
+                    doing_init = jnp.zeros((B,), dtype=bool)
+                normal = ~doing_init
+                base = jnp.broadcast_to(pC[:, None, :], (B, nl, nl))
+                p_init = jnp.where(eye_b[None], gain[:, :, None], base)
+                lose_C = (lose * oh_C).sum(axis=1)
+                col_C = oh_C[:, None, :].astype(bool)
+                row_C = oh_C[:, :, None].astype(bool)
+                p_norm = jnp.where(eye_b[None], gain[:, :, None], base)
+                p_norm = jnp.where(col_C & ~row_C, lose_C[:, None, None], p_norm)
+                p_norm = jnp.where(row_C, pC[:, None, :], p_norm)
+                p_opts = jnp.where(doing_init[:, None, None], p_init, p_norm)
+                w = jnp.prod(p_opts, axis=2) * prior[None, :]
+                wsum = w.sum(axis=1, keepdims=True)
+                bad = (~jnp.isfinite(wsum[:, 0])) | (wsum[:, 0] <= 0)
+                uf = uf | (bad & ~skip_r)
+                probs = jnp.where(
+                    bad[:, None], 1.0 / nl, w / jnp.where(wsum > 0, wsum, 1.0)
+                )
+                cum = jnp.cumsum(probs, axis=1)
+                u = jax.lax.dynamic_index_in_dim(u_it, r, 1, keepdims=False)
+                h_new = jnp.minimum(
+                    (cum <= u[:, None]).sum(axis=1), nl - 1
+                ).astype(H.dtype)
+                active = (~skip_r) & (~doing_pass) & (~bad)
+                flip = active & ((h_new != h_rC) | doing_init)
+                oh_N = jax.nn.one_hot(h_new, nl, dtype=jnp.float32)
+                fac = jnp.where(oh_N[:, :, None] > 0, emk[:, None, :], 1.0)
+                fac = fac * jnp.where(
+                    (oh_C[:, :, None] > 0) & normal[:, None, None],
+                    1.0 / emk[:, None, :],
+                    1.0,
+                )
+                fac = jnp.where(flip[:, None, None], fac, 1.0)
+                alpha_g = alpha_g * fac
+                dlog = oh_N[:, :, None] * lem[:, None, :] - (
+                    oh_C[:, :, None] * lem[:, None, :]
+                ) * normal[:, None, None].astype(jnp.float32)
+                dlog = jnp.where(flip[:, None, None], dlog, 0.0)
+                lemg_g = lemg_g + dlog
+                H = jax.lax.dynamic_update_index_in_dim(
+                    H, jnp.where(flip, h_new, h_rC), r, 1
+                )
+                pC_new = jnp.take_along_axis(
+                    p_opts, h_new[:, None, None], axis=1
+                )[:, 0, :]
+                pC = jnp.where(flip[:, None], pC_new, pC)
+                s = (alpha_g * km[None, None, :]).sum(axis=2, keepdims=True)
+                s = jnp.where(s > 0, s, 1.0)
+                alpha_g = alpha_g / s
+                logc = logc + jnp.log(s[:, :, 0])
+                pC = pC / s[:, :, 0]
+                return (alpha_g, lemg_g, pC, H, logc, uf)
+
+            pC0 = (alpha_g * beta_g).sum(axis=2)
+            alpha_g, lemg_g, pC, H, logc, uf = jax.lax.fori_loop(
+                0, read_count[g], read_body,
+                (alpha_g, lemg_g, pC0, H, logc, uf),
+            )
+            return (alpha_g, H, uf), (alpha_g, lemg_g, logc)
+
+        (alpha_last, H, uf), (alphas, lemg, logcs) = jax.lax.scan(
+            fwd_step,
+            (jnp.zeros((B, nl, K), dtype=jnp.float32), H, underflow),
+            jnp.arange(G),
+        )
+        underflow = uf
+
+        def bwd_step(beta_next, g):
+            gn = jnp.minimum(g + 1, G - 1)
+            lemg_n = jax.lax.dynamic_index_in_dim(lemg, gn, 0, keepdims=False)
+            t = jax.lax.dynamic_index_in_dim(trans, gn, 0, keepdims=False)
+            e_n, _ = emg_to_e(lemg_n)
+            etb = e_n * beta_next
+            b_new = t[0] * etb + t[1] * etb.sum(axis=2, keepdims=True) / K_real
+            b_new = jnp.where(g == G - 1, jnp.ones_like(b_new), b_new)
+            mx = jnp.max(b_new, axis=2, keepdims=True)
+            b_new = b_new / jnp.where(mx > 0, mx, 1.0)
+            return b_new, b_new
+
+        _, betas_rev = jax.lax.scan(
+            bwd_step,
+            jnp.ones((B, nl, K), dtype=jnp.float32),
+            jnp.arange(G - 1, -1, -1),
+        )
+        beta = betas_rev[::-1]
+        p_O = logcs.sum(axis=0).sum(axis=1)                 # [B]
+        logprior = jnp.log(prior)[H] * read_mask[None, :]
+        p_H = logprior.sum(axis=1)
+        per_it_ll = per_it_ll.at[it].set(jnp.stack([p_O, p_H], axis=1))
+        return (lemg, beta, alphas, H, underflow, per_it_ll)
+
+    state = (lemg, beta, alphas, H, underflow, per_it_ll)
+    state = jax.lax.fori_loop(0, n_its, one_iteration, state)
+    lemg, beta, alphas, H, underflow, per_it_ll = state
+
+    # genProbs / hapProbs from the final iteration's gammas
+    # (rcpp_calculate_gn_genProbs_and_hapProbs, gibbs-nipt.cpp)
+    def dos_step(_, g):
+        gam = alphas[g] * beta[g] * km[None, None, :]
+        gam = gam / jnp.maximum(gam.sum(axis=2, keepdims=True), 1e-30)
+        bits_g = jax.lax.dynamic_slice(bits, (0, 0, g * 32), (B, K, 32))
+        e_g = bits_g.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
+        hd = jnp.einsum("bhk,bks->bhs", gam, e_g)
+        return None, hd
+
+    _, hd = jax.lax.scan(dos_step, None, jnp.arange(G))     # [G, B, nl, 32]
+    hap_dos = hd.transpose(1, 2, 0, 3).reshape(B, nl, S)
+    gp = jnp.stack(
+        [
+            (1 - hap_dos[:, 0]) * (1 - hap_dos[:, 1]),
+            hap_dos[:, 0] * (1 - hap_dos[:, 1])
+            + (1 - hap_dos[:, 0]) * hap_dos[:, 1],
+            hap_dos[:, 0] * hap_dos[:, 1],
+        ],
+        axis=1,
+    )
+    if nl == 3:
+        gpF = jnp.stack(
+            [
+                (1 - hap_dos[:, 0]) * (1 - hap_dos[:, 2]),
+                hap_dos[:, 0] * (1 - hap_dos[:, 2])
+                + (1 - hap_dos[:, 0]) * hap_dos[:, 2],
+                hap_dos[:, 0] * hap_dos[:, 2],
+            ],
+            axis=1,
+        )
+    else:
+        gpF = gp
+    return gp, gpF, hap_dos, H, per_it_ll, underflow
+
+
+def run_gibbs_chains(
+    bits: np.ndarray,            # [B, K, S] uint8 subset alleles (K padded ok)
+    preads: PaddedReads,
+    inputs: GibbsInputs,
+    uniforms: np.ndarray,        # [n_its, B, R]
+    H0: np.ndarray,              # [B, R]
+    first_read: np.ndarray,      # [B]
+    n_latent: int,
+    ff: float,
+    n_burn_in: int,
+    iterative_init: bool,
+    K_real: int,
+    max_diff: float = 1e10,
+    ref_error: float = 0.001,
+    eMatRead: Optional[jnp.ndarray] = None,
+):
+    """Run B independent Gibbs chains; returns numpy outputs.
+
+    genProbs/hapProbs cover the padded SNP axis S; slice to nSNPs outside.
+    Pad rows of `bits` (beyond K_real) must duplicate a real haplotype so
+    the per-read emission rescale is unaffected; they carry zero weight in
+    all sums.
+    """
+    if n_latent == 2:
+        prior = np.array([0.5, 0.5], dtype=np.float32)
+    else:
+        prior = np.array([0.5, (1 - ff) / 2, ff / 2], dtype=np.float32)
+    if eMatRead is None:
+        eMatRead = emat_read_from_bits(
+            jnp.asarray(bits),
+            jnp.asarray(preads.u_pad),
+            jnp.asarray(preads.lr),
+            jnp.asarray(preads.la),
+            max_diff,
+        )
+        R = inputs.R
+        if eMatRead.shape[2] < R:
+            eMatRead = jnp.pad(
+                eMatRead,
+                ((0, 0), (0, 0), (0, R - eMatRead.shape[2])),
+                constant_values=1.0,
+            )
+    gp, gpF, hap_dos, H, ll, uf = _gibbs_core(
+        eMatRead,
+        jnp.asarray(bits),
+        jnp.asarray(inputs.read_start),
+        jnp.asarray(inputs.read_count),
+        jnp.asarray(inputs.wif0),
+        jnp.asarray(inputs.read_mask),
+        jnp.asarray(inputs.trans),
+        jnp.asarray(prior),
+        jnp.asarray(uniforms, dtype=np.float32),
+        jnp.asarray(H0, dtype=np.int32),
+        jnp.asarray(first_read, dtype=np.int32),
+        nl=n_latent,
+        iterative_init=iterative_init,
+        K_real=K_real,
+        ref_error=ref_error,
+    )
+    return (
+        np.asarray(gp),
+        np.asarray(gpF),
+        np.asarray(hap_dos),
+        np.asarray(H),
+        np.asarray(ll),
+        np.asarray(uf),
+    )

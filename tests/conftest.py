@@ -1,13 +1,18 @@
 import os
 
 # Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
-# exercised without TPU hardware (see SURVEY.md section 7 / task notes).
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# exercised without TPU hardware. NOTE: the axon environment imports jax at
+# interpreter startup (sitecustomize), so env vars alone are too late — use
+# jax.config before any backend is initialized.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
