@@ -1,0 +1,146 @@
+"""Multi-sample imputation driver: the QUILT() equivalent.
+
+Mirrors the orchestration in QUILT/R/quilt.R:97-1074 — load prepared
+reference, build transition rates, impute each sample, aggregate the
+info-score / allele-frequency / HWE counts, and write the VCF — minus the
+fork-based parallelism (samples batch onto the device instead).
+"""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from ..config import ImputeConfig
+from ..io.reads import SampleReads
+from ..panel.prepare import PreparedReference
+from ..out.vcf_writer import (
+    MISSING_DIPLOID_COL,
+    MISSING_NIPT_COL,
+    diploid_sample_column,
+    hwe_from_counts,
+    info_score,
+    nipt_sample_column,
+    write_quilt_vcf,
+)
+from ..out.metrics import calculate_pse, r2_simple
+from ..utils import print_message
+from .sample import RegionContext, SampleResult, impute_one_sample
+
+
+@dataclass
+class ImputeOutput:
+    results: List[SampleResult]
+    vcf_path: Optional[str]
+    eaf: np.ndarray
+    info: np.ndarray
+    r2_per_sample: Optional[List[float]] = None
+
+
+def quilt_impute(
+    prep: PreparedReference,
+    samples: Sequence[SampleReads],
+    sample_names: Sequence[str],
+    cfg: ImputeConfig,
+    output_filename: Optional[str] = None,
+    ff_values: Optional[np.ndarray] = None,
+    truth_gen: Optional[np.ndarray] = None,     # [nSNPs, N] truth genotypes
+    truth_haps: Optional[np.ndarray] = None,    # [nSNPs, N, 2]
+) -> ImputeOutput:
+    t0 = time.time()
+    N = len(samples)
+    nSNPs = prep.nSNPs
+    ctx = RegionContext.build(prep, cfg)
+    method = cfg.method
+    ff_values = ff_values if ff_values is not None else np.zeros(N)
+
+    eij_sum = np.zeros(nSNPs)
+    var_sum = np.zeros(nSNPs)
+    af_sum = np.zeros(nSNPs)
+    hwe_counts = np.zeros((nSNPs, 3), dtype=np.int64)
+    allele_count = np.zeros((nSNPs, 2))
+    results: List[SampleResult] = []
+    columns: List[List[str]] = []
+    r2s: List[float] = []
+    n_imputed = 0
+
+    for i, reads in enumerate(samples):
+        print_message(f"Imputing sample {i + 1}/{N}: {sample_names[i]}")
+        res = impute_one_sample(
+            ctx, reads, cfg, seed=cfg.seed + i, ff=ff_values[i]
+        )
+        results.append(res)
+        if not res.imputed:
+            print_message(
+                f"Sample {sample_names[i]} has fewer than "
+                f"{cfg.minimum_number_of_sample_reads} reads; output missing"
+            )
+            columns.append(
+                [MISSING_NIPT_COL if method == "nipt" else MISSING_DIPLOID_COL]
+                * nSNPs
+            )
+            continue
+        n_imputed += 1
+        gp = res.mat_gp if method == "nipt" else res.gp
+        eij = np.round(gp[1] + 2 * gp[2], 3)
+        fij = np.round(gp[1] + 4 * gp[2], 3)
+        eij_sum += eij
+        var_sum += fij - eij ** 2
+        af_sum += eij / 2
+        hwe_counts[np.arange(nSNPs), gp.argmax(axis=0)] += 1
+        allele_count += res.allele_count
+        if method == "nipt":
+            columns.append(
+                nipt_sample_column(
+                    res.mat_gp, res.fet_gp, res.mat_dosage, res.fet_dosage,
+                    res.phased_haps,
+                )
+            )
+        else:
+            columns.append(
+                diploid_sample_column(
+                    res.gp, res.phased_haps, res.dosage,
+                    output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
+                )
+            )
+        if truth_gen is not None:
+            r2 = r2_simple(truth_gen[:, i], res.dosage)
+            r2s.append(r2)
+            msg = f"  r2 vs truth: {r2:.4f}"
+            if truth_haps is not None and res.phased_haps is not None:
+                pse = calculate_pse(res.phased_haps[:2].T, truth_haps[:, i])
+                msg += f", PSE: {pse['pse']:.4f} ({pse.get('phase_sites', 0)} het sites)"
+            print_message(msg)
+
+    denom = max(n_imputed, 1)
+    eaf = af_sum / denom
+    info = info_score(eij_sum, var_sum, denom)
+    hwe = hwe_from_counts(hwe_counts)
+
+    vcf_path = None
+    if output_filename:
+        vcf_path = output_filename
+        write_quilt_vcf(
+            vcf_path,
+            chrom=prep.chrom,
+            pos=prep.pos,
+            ref_allele=prep.ref_allele,
+            alt_allele=prep.alt_allele,
+            sample_names=sample_names,
+            sample_columns=columns,
+            eaf=eaf,
+            info=info,
+            hwe=hwe,
+            allele_count=allele_count,
+            in_region=prep.in_region(),
+            method=method,
+            output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
+        )
+        print_message(f"Wrote {vcf_path}")
+    print_message(f"Done QUILT ({time.time() - t0:.1f}s)")
+    return ImputeOutput(
+        results=results, vcf_path=vcf_path, eaf=eaf, info=info,
+        r2_per_sample=r2s if truth_gen is not None else None,
+    )

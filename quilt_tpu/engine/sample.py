@@ -1,0 +1,384 @@
+"""Per-sample imputation engine: chains x seek-iterations orchestration.
+
+Functional equivalent of get_and_impute_one_sample (reference:
+QUILT/R/functions.R:3-1499): the outer loop over nGibbsSamples Gibbs chains
+plus a final phasing pass, each running n_seek_its seek iterations of
+{small-panel Gibbs -> full-panel FB -> haplotype re-selection}, dosage/GP
+accumulation past seek burn-in, cross-chain read-label consensus, and the
+phasing recast.
+
+TPU-first restructuring: the reference runs its chains sequentially in one
+process; here all chains advance together as the batch axis of the device
+kernels (Gibbs batch = chains, FB batch = chains x latent haps), with only
+the cheap haplotype-selection heuristics and consensus on the host.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import ImputeConfig
+from ..io.reads import SampleReads, bq_to_probs
+from ..panel.prepare import PreparedReference, trans_rates
+from ..kernels import FBInputs, fb_full_batched, PaddedReads
+from ..kernels.common import pad_to_multiple, unpack_bits_device
+from ..kernels.gibbs import GibbsInputs, run_gibbs_chains
+from ..utils import print_message
+from .selection import (
+    consensus_read_labels,
+    read_confidence,
+    recast_haps,
+    recast_nipt_haps,
+    select_new_haps_from_topk,
+)
+
+
+@dataclass
+class RegionContext:
+    """Device-ready per-region constants shared across samples."""
+
+    prep: PreparedReference
+    trans: np.ndarray            # [2, nGrids-1]
+    fb_inputs: Optional[FBInputs]
+    thinned_grids: np.ndarray
+    n_latent: int
+    Ksub: int
+    Knew: int
+    n_seek_its: int
+    n_burn_in_seek_its: int
+
+    @classmethod
+    def build(cls, prep: PreparedReference, cfg: ImputeConfig) -> "RegionContext":
+        trans = trans_rates(prep.sigma)
+        K = prep.K
+        Ksub = min(cfg.Ksubset, K)
+        Knew = min(cfg.Knew, Ksub)
+        n_seek = cfg.n_seek_its
+        n_burn = cfg.resolved_n_burn_in_seek_its()
+        if cfg.override_default_params_for_small_ref_panel and K <= cfg.Ksubset:
+            # small-panel override (reference: quilt.R:451-465)
+            n_seek, n_burn, Ksub, Knew = 1, 0, K, K
+        nGrids = prep.nGrids
+        n_thin = max(1, round(cfg.heuristic_match_thin * nGrids))
+        thinned = np.unique(
+            np.linspace(0, nGrids - 1, n_thin).round().astype(np.int64)
+        )
+        fb_inputs = None
+        if not cfg.use_mspbwt:
+            fb_inputs = FBInputs.build(prep.panel, trans, thinned_grids=thinned)
+        n_latent = 3 if cfg.method == "nipt" else 2
+        return cls(
+            prep=prep, trans=trans, fb_inputs=fb_inputs, thinned_grids=thinned,
+            n_latent=n_latent, Ksub=Ksub, Knew=Knew, n_seek_its=n_seek,
+            n_burn_in_seek_its=n_burn,
+        )
+
+
+@dataclass
+class SampleResult:
+    imputed: bool
+    dosage: Optional[np.ndarray] = None        # [nSNPs] diploid dosage
+    gp: Optional[np.ndarray] = None            # [3, nSNPs]
+    phased_haps: Optional[np.ndarray] = None   # [n_latent, nSNPs] 0/1
+    read_labels: Optional[np.ndarray] = None   # [R]
+    allele_count: Optional[np.ndarray] = None  # [nSNPs, 2] (alt, total)
+    # NIPT extras
+    mat_gp: Optional[np.ndarray] = None
+    fet_gp: Optional[np.ndarray] = None
+    mat_dosage: Optional[np.ndarray] = None
+    fet_dosage: Optional[np.ndarray] = None
+
+
+def gls_from_labels(
+    reads: SampleReads,
+    H: np.ndarray,
+    n_latent: int,
+    nSNPs: int,
+    minGLValue: float = 1e-10,
+) -> np.ndarray:
+    """Haploid GLs [n_latent, 2, nSNPs] from read labels (vectorized host
+    equivalent of make_gl_from_u_bq, reference-single.R:19-42)."""
+    probs = bq_to_probs(reads.bq)
+    read_of_base = np.repeat(np.arange(reads.nReads), np.diff(reads.offsets))
+    h_of_base = H[read_of_base]
+    gl = np.ones((n_latent, 2, nSNPs), dtype=np.float64)
+    nz = reads.bq != 0
+    for h in range(n_latent):
+        w = (h_of_base == h) & nz
+        np.multiply.at(gl[h, 0], reads.u[w], probs[w, 0])
+        np.multiply.at(gl[h, 1], reads.u[w], probs[w, 1])
+    if minGLValue > 0:
+        hi = gl.max(axis=1, keepdims=True)
+        fix = (gl < minGLValue).any(axis=1, keepdims=True)
+        scaled = np.maximum(gl / hi, minGLValue)
+        gl = np.where(fix, scaled, gl)
+    return gl
+
+
+def emat_read_vs_dosages(
+    reads: SampleReads, hap_dos: np.ndarray, max_diff: float = 1e10
+) -> np.ndarray:
+    """P(read | hap dosage vector) per latent hap, [n_latent, R] (host;
+    for read confidence, reference functions.R:1615-1660)."""
+    nl = hap_dos.shape[0]
+    probs = bq_to_probs(reads.bq)
+    read_of_base = np.repeat(np.arange(reads.nReads), np.diff(reads.offsets))
+    e = hap_dos[:, reads.u]                          # [nl, nBases]
+    term = e * probs[None, :, 1] + (1 - e) * probs[None, :, 0]
+    logterm = np.log(np.maximum(term, 1e-300))
+    out = np.zeros((nl, reads.nReads))
+    for h in range(nl):
+        np.add.at(out[h], read_of_base, logterm[h])
+    return np.exp(out)
+
+
+@jax.jit
+def _unpack_subset(rhb_sub: jnp.ndarray) -> jnp.ndarray:
+    return unpack_bits_device(rhb_sub)
+
+
+def _gather_topk_lists(tv, ti, thinned, n_latent, chain, K_top):
+    """Per-chain ranked top-match lists [n_thin*n_latent, K_top] from the FB
+    kernel's per-grid outputs (batch rows chain*n_latent + h)."""
+    rows_i = []
+    rows_v = []
+    for h in range(n_latent):
+        b = chain * n_latent + h
+        rows_i.append(ti[thinned, b, :])
+        rows_v.append(tv[thinned, b, :])
+    return np.concatenate(rows_i, axis=0), np.concatenate(rows_v, axis=0)
+
+
+def impute_one_sample(
+    ctx: RegionContext,
+    reads: SampleReads,
+    cfg: ImputeConfig,
+    seed: int,
+    ff: float = 0.0,
+    truth_haps: Optional[np.ndarray] = None,
+) -> SampleResult:
+    prep = ctx.prep
+    nSNPs = prep.nSNPs
+    nGrids = prep.nGrids
+    K = prep.K
+    nl = ctx.n_latent
+    rng = np.random.default_rng(seed)
+
+    if reads.nReads < cfg.minimum_number_of_sample_reads:
+        return SampleResult(imputed=False)
+
+    reads = reads.sorted_by_grid()
+    C = cfg.nGibbsSamples
+    n_its = cfg.small_ref_panel_gibbs_iterations + 1
+    ginputs = GibbsInputs.build(reads, ctx.trans, nGrids)
+    R = ginputs.R
+    preads = PaddedReads.build(reads, ref_error=prep.ref_error)
+    S = nGrids * 32
+
+    if nl == 2:
+        label_prior = np.array([0.5, 0.5])
+    else:
+        label_prior = np.array([0.5, (1 - ff) / 2, ff / 2])
+
+    # per-chain random haplotype subsets and read labels
+    which_haps = np.stack(
+        [np.sort(rng.choice(K, size=ctx.Ksub, replace=False)) for _ in range(C)]
+    )
+    H = np.zeros((C, R), dtype=np.int32)
+    H[:, : reads.nReads] = rng.choice(
+        nl, size=(C, reads.nReads), p=label_prior
+    )
+    max_diff = cfg.maxDifferenceBetweenReads
+
+    dosage_acc = np.zeros(nSNPs)
+    gp_acc = np.zeros((3, nSNPs))
+    fet_dosage_acc = np.zeros(nSNPs)
+    fet_gp_acc = np.zeros((3, nSNPs))
+    n_acc = 0
+    hap_dos_final = np.zeros((C, nl, nSNPs))
+
+    def run_chains(which_haps_b, H0_b, iterative, first_read_b, max_diff):
+        """One Gibbs call (B chains), with underflow retry policy
+        (reference: functions.R:2704-2714)."""
+        B = which_haps_b.shape[0]
+        rhb_sub = prep.rhb_t[which_haps_b]              # [B, Ksub, nGrids]
+        Ksub = rhb_sub.shape[1]
+        Kp = pad_to_multiple(Ksub, 128)
+        if Kp != Ksub:
+            pad = np.repeat(rhb_sub[:, :1, :], Kp - Ksub, axis=1)
+            rhb_sub = np.concatenate([rhb_sub, pad], axis=1)
+        bits = _unpack_subset(jnp.asarray(rhb_sub))
+        uniforms = rng.random((n_its, B, R)).astype(np.float32)
+        for attempt in range(11):
+            gp, gpF, hap_dos, Hn, ll, uf = run_gibbs_chains(
+                bits=bits, preads=preads, inputs=ginputs, uniforms=uniforms,
+                H0=H0_b, first_read=first_read_b, n_latent=nl, ff=ff,
+                n_burn_in=n_its - 1, iterative_init=iterative, K_real=Ksub,
+                max_diff=max_diff, ref_error=prep.ref_error,
+            )
+            if not uf.any():
+                break
+            max_diff = max(1.0, max_diff / 10.0)
+            print_message(
+                f"Underflow; retrying with maxDifferenceBetweenReads={max_diff}"
+            )
+        return gp, gpF, hap_dos, Hn, max_diff
+
+    def run_fb_and_select(H_b, which_haps_b, accumulate):
+        """Full-panel FB per (chain, latent hap); returns hap dosages and the
+        re-selected subsets (QUILT1 heuristic path)."""
+        B = H_b.shape[0]
+        gls = np.ones((B * nl, 2, nSNPs), dtype=np.float32)
+        for c in range(B):
+            gl_c = gls_from_labels(
+                reads, H_b[c, : reads.nReads], nl, nSNPs, cfg.minGLValue
+            )
+            gls[c * nl:(c + 1) * nl] = gl_c
+        dosage, log_like, tv, ti = fb_full_batched(
+            gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
+            ref_error=prep.ref_error,
+        )
+        hap_dos = dosage.reshape(B, nl, nSNPs)
+        new_sets = np.empty_like(which_haps_b)
+        for c in range(B):
+            n_keep = ctx.Ksub - ctx.Knew
+            prev_sel = rng.choice(which_haps_b[c], size=n_keep, replace=False)
+            li, lv = _gather_topk_lists(tv, ti, ctx.thinned_grids, nl, c,
+                                        tv.shape[2])
+            new = select_new_haps_from_topk(
+                li, lv, ctx.Knew, K, prev_sel, rng, cfg.K_top_matches
+            )
+            new_sets[c] = np.sort(np.concatenate([prev_sel, new]))
+        return hap_dos, new_sets
+
+    # ------------------------------------------------------------------
+    # main chains
+    # ------------------------------------------------------------------
+    first_read = rng.integers(0, max(reads.nReads, 1), size=C).astype(np.int32)
+    for i_it in range(1, ctx.n_seek_its + 1):
+        iterative = i_it == 1
+        gp_g, gpF_g, hap_dos_g, H, max_diff = run_chains(
+            which_haps, H, iterative, first_read, max_diff
+        )
+        if cfg.use_mspbwt:
+            # QUILT2: hap dosages from the Gibbs run; selection via mspbwt
+            from ..panel.mspbwt import select_new_haps_mspbwt
+            hap_dos = hap_dos_g[:, :, :nSNPs]
+            for c in range(C):
+                n_keep = ctx.Ksub - ctx.Knew
+                prev_sel = rng.choice(which_haps[c], size=n_keep, replace=False)
+                new = select_new_haps_mspbwt(
+                    prep.ms_indices, prep.panel, hap_dos[c], ctx.Knew, K,
+                    prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+                )
+                which_haps[c] = np.sort(np.concatenate([prev_sel, new]))
+        else:
+            hap_dos, which_haps = run_fb_and_select(H, which_haps, True)
+        if i_it > ctx.n_burn_in_seek_its:
+            h1, h2 = hap_dos[:, 0], hap_dos[:, 1]
+            dosage_acc += (h1 + h2).sum(axis=0)
+            gp_acc[0] += ((1 - h1) * (1 - h2)).sum(axis=0)
+            gp_acc[1] += (h1 * (1 - h2) + (1 - h1) * h2).sum(axis=0)
+            gp_acc[2] += (h1 * h2).sum(axis=0)
+            if nl == 3:
+                h3 = hap_dos[:, 2]
+                fet_dosage_acc += (h1 + h3).sum(axis=0)
+                fet_gp_acc[0] += ((1 - h1) * (1 - h3)).sum(axis=0)
+                fet_gp_acc[1] += (h1 * (1 - h3) + (1 - h1) * h3).sum(axis=0)
+                fet_gp_acc[2] += (h1 * h3).sum(axis=0)
+            n_acc += C
+        hap_dos_final = hap_dos
+
+    # ------------------------------------------------------------------
+    # cross-chain consensus (diploid; NIPT folds 3->2 first, reference
+    # functions.R:1788-1832)
+    # ------------------------------------------------------------------
+    labels_all = H[:, : reads.nReads].T.astype(np.int64)    # [R, C]
+    conf_all = np.zeros_like(labels_all, dtype=bool)
+    for c in range(C):
+        em = emat_read_vs_dosages(reads, hap_dos_final[c])
+        conf_all[:, c] = read_confidence(em)
+    if nl == 3:
+        labels2 = labels_all.copy()
+        conf2 = conf_all & (labels_all != 2)
+        labels2[labels_all == 2] = 1
+        cons = consensus_read_labels(labels2, conf2)
+        cons[labels_all[:, C - 1] == 2] = 2
+    else:
+        cons = consensus_read_labels(labels_all, conf_all)
+
+    # ------------------------------------------------------------------
+    # phasing pass (reference: i_gibbs_sample == nGibbsSamples+1)
+    # ------------------------------------------------------------------
+    H_p = np.zeros((1, R), dtype=np.int32)
+    H_p[0, : reads.nReads] = cons
+    wh_p = which_haps[C - 1:C].copy()
+    for i_it in range(1, ctx.n_seek_its + 1):
+        gp_p, gpF_p, hap_dos_p, H_p, max_diff = run_chains(
+            wh_p, H_p, False, np.zeros(1, dtype=np.int32), max_diff
+        )
+        if cfg.use_mspbwt:
+            from ..panel.mspbwt import select_new_haps_mspbwt
+            hap_dos_ph = hap_dos_p[:, :, :nSNPs]
+            n_keep = ctx.Ksub - ctx.Knew
+            prev_sel = rng.choice(wh_p[0], size=n_keep, replace=False)
+            new = select_new_haps_mspbwt(
+                prep.ms_indices, prep.panel, hap_dos_ph[0], ctx.Knew, K,
+                prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+            )
+            wh_p[0] = np.sort(np.concatenate([prev_sel, new]))
+        else:
+            hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, False)
+
+    # ------------------------------------------------------------------
+    # finalize
+    # ------------------------------------------------------------------
+    gp = gp_acc / max(n_acc, 1)
+    dosage = dosage_acc / max(n_acc, 1)
+    if nl == 2:
+        hd1, hd2 = recast_haps(
+            hap_dos_ph[0, 0], hap_dos_ph[0, 1], gp
+        )
+        phased = np.stack([np.round(hd1), np.round(hd2)])
+        result = SampleResult(
+            imputed=True,
+            dosage=dosage,
+            gp=gp,
+            phased_haps=phased,
+            read_labels=cons,
+            allele_count=sample_allele_count(reads, nSNPs),
+        )
+    else:
+        fet_gp = fet_gp_acc / max(n_acc, 1)
+        fet_dosage = fet_dosage_acc / max(n_acc, 1)
+        h1, h2, h3 = recast_nipt_haps(
+            hap_dos_ph[0, 0], hap_dos_ph[0, 1], hap_dos_ph[0, 2], gp, fet_gp
+        )
+        result = SampleResult(
+            imputed=True,
+            dosage=dosage,
+            gp=gp,
+            phased_haps=np.stack([h1, h2, h3]),
+            read_labels=cons,
+            allele_count=sample_allele_count(reads, nSNPs),
+            mat_gp=gp,
+            fet_gp=fet_gp,
+            mat_dosage=dosage,
+            fet_dosage=fet_dosage,
+        )
+    return result
+
+
+def sample_allele_count(reads: SampleReads, nSNPs: int) -> np.ndarray:
+    """Per-site expected (alt, total) allele counts from the pileup
+    (reference: increment2N use at functions.R:1383-1401)."""
+    probs = bq_to_probs(reads.bq)
+    alt = np.zeros(nSNPs)
+    ref = np.zeros(nSNPs)
+    np.add.at(alt, reads.u, probs[:, 1])
+    np.add.at(ref, reads.u, probs[:, 0])
+    return np.stack([alt, ref + alt], axis=1)

@@ -1,0 +1,231 @@
+"""QUILT-compatible VCF output.
+
+Equivalent of make_and_write_output_file + headers (reference:
+QUILT/R/writers.R:1-279) and the per-sample column construction
+(functions.R:1408-1462): FORMAT GT:GP:DS:HD for diploid,
+GT:MGP:MDS:FGP:FDS for NIPT, INFO EAF/INFO_SCORE/HWE/ERC/EAC/PAF, written
+as BGZF so downstream htslib tooling can index it.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from .bgzf import BgzfWriter
+
+
+def info_score(eij_sum: np.ndarray, var_sum: np.ndarray, N: int) -> np.ndarray:
+    """IMPUTE-style info score from accumulated per-sample eij and
+    (fij - eij^2) sums (reference: writers.R:50-56)."""
+    thetaHat = eij_sum / (2 * N)
+    denom = 2 * N * thetaHat * (1 - thetaHat)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        info = 1 - var_sum / denom
+    info = np.where(
+        (np.round(thetaHat, 2) == 0) | (np.round(thetaHat, 2) == 1), 1.0, info
+    )
+    return np.clip(np.nan_to_num(info, nan=1.0), 0.0, 1.0)
+
+
+def hwe_exact(het: int, hom1: int, hom2: int) -> float:
+    """Exact Hardy-Weinberg p-value (Wigginton, Cutler & Abecasis 2005).
+
+    Equivalent of STITCH::generate_hwe_on_counts used at writers.R:58.
+    """
+    n_het, n_hom1, n_hom2 = int(het), int(hom1), int(hom2)
+    if n_het < 0 or n_hom1 < 0 or n_hom2 < 0:
+        return 1.0
+    rare = 2 * min(n_hom1, n_hom2) + n_het
+    genotypes = n_het + n_hom1 + n_hom2
+    if genotypes == 0:
+        return 1.0
+    probs = np.zeros(rare + 1)
+    mid = rare * (2 * genotypes - rare) // (2 * genotypes)
+    if (mid % 2) != (rare % 2):
+        mid += 1
+    probs[mid] = 1.0
+    # downward from mid
+    het_i = mid
+    hom_r = (rare - mid) // 2
+    hom_c = genotypes - het_i - hom_r
+    while het_i > 1:
+        probs[het_i - 2] = (
+            probs[het_i] * het_i * (het_i - 1.0)
+            / (4.0 * (hom_r + 1.0) * (hom_c + 1.0))
+        )
+        het_i -= 2
+        hom_r += 1
+        hom_c += 1
+    het_i = mid
+    hom_r = (rare - mid) // 2
+    hom_c = genotypes - het_i - hom_r
+    while het_i <= rare - 2:
+        probs[het_i + 2] = (
+            probs[het_i] * 4.0 * hom_r * hom_c
+            / ((het_i + 2.0) * (het_i + 1.0))
+        )
+        het_i += 2
+        hom_r -= 1
+        hom_c -= 1
+    s = probs.sum()
+    if s <= 0:
+        return 1.0
+    probs /= s
+    target = probs[n_het if n_het <= rare else rare]
+    return float(min(1.0, probs[probs <= target + 1e-12].sum()))
+
+
+def hwe_from_counts(hwe_counts: np.ndarray) -> np.ndarray:
+    """Vector of HWE p-values from per-site genotype counts [nSNPs, 3]
+    ordered (hom-ref, het, hom-alt)."""
+    return np.array(
+        [hwe_exact(c[1], c[0], c[2]) for c in hwe_counts], dtype=np.float64
+    )
+
+
+def _fmt(x: float) -> str:
+    return f"{x:.3f}".rstrip("0").rstrip(".") if x == x else "."
+
+
+def diploid_sample_column(
+    gp: np.ndarray,              # [3, nSNPs]
+    phased: np.ndarray,          # [2, nSNPs] 0/1
+    dosage: np.ndarray,          # [nSNPs]
+    hap_dosages: Optional[np.ndarray] = None,   # [2, nSNPs] float
+    output_gt_phased_genotypes: bool = True,
+) -> List[str]:
+    nSNPs = gp.shape[1]
+    if hap_dosages is None:
+        hap_dosages = phased.astype(float)
+    cols = []
+    maxgp = gp.max(axis=0)
+    argmax = gp.argmax(axis=0)
+    gt_unphased = np.where(
+        maxgp >= 0.9,
+        np.array(["0/0", "0/1", "1/1"])[argmax],
+        "./.",
+    )
+    for s in range(nSNPs):
+        if output_gt_phased_genotypes:
+            gt = f"{int(round(phased[0, s]))}|{int(round(phased[1, s]))}"
+        else:
+            gt = gt_unphased[s]
+        cols.append(
+            f"{gt}:{round(gp[0, s], 3):g},{round(gp[1, s], 3):g},"
+            f"{round(gp[2, s], 3):g}:{round(dosage[s], 3):g}:"
+            f"{round(hap_dosages[0, s], 3):g},{round(hap_dosages[1, s], 3):g}"
+        )
+    return cols
+
+
+def nipt_sample_column(
+    mat_gp: np.ndarray,
+    fet_gp: np.ndarray,
+    mat_dosage: np.ndarray,
+    fet_dosage: np.ndarray,
+    phased: np.ndarray,          # [3, nSNPs]
+) -> List[str]:
+    nSNPs = mat_gp.shape[1]
+    cols = []
+    for s in range(nSNPs):
+        gt = (
+            f"{int(round(phased[0, s]))}|{int(round(phased[1, s]))}|"
+            f"{int(round(phased[2, s]))}"
+        )
+        cols.append(
+            f"{gt}:{round(mat_gp[0, s], 3):g},{round(mat_gp[1, s], 3):g},"
+            f"{round(mat_gp[2, s], 3):g}:{round(mat_dosage[s], 3):g}:"
+            f"{round(fet_gp[0, s], 3):g},{round(fet_gp[1, s], 3):g},"
+            f"{round(fet_gp[2, s], 3):g}:{round(fet_dosage[s], 3):g}"
+        )
+    return cols
+
+
+MISSING_DIPLOID_COL = "./.:.,.,.:.:.,."
+MISSING_NIPT_COL = ".|.|.:.,.,.:.:.,.,.:."
+
+
+def make_header(
+    sample_names: Sequence[str],
+    method: str = "diploid",
+    output_gt_phased_genotypes: bool = True,
+) -> str:
+    info = (
+        '##INFO=<ID=INFO_SCORE,Number=.,Type=Float,Description="Info score">\n'
+        '##INFO=<ID=EAF,Number=.,Type=Float,Description="Estimated allele frequency">\n'
+        '##INFO=<ID=HWE,Number=.,Type=Float,Description="Hardy-Weinberg p-value">\n'
+        '##INFO=<ID=ERC,Number=.,Type=Float,Description="Estimated number of copies of the reference allele from the pileup">\n'
+        '##INFO=<ID=EAC,Number=.,Type=Float,Description="Estimated number of copies of the alternate allele from the pileup">\n'
+        '##INFO=<ID=PAF,Number=.,Type=Float,Description="Estimated allele frequency using the pileup of reference and alternate alleles">\n'
+    )
+    if method == "nipt":
+        fmt = (
+            '##FORMAT=<ID=GT,Number=1,Type=String,Description="Phased genotypes in order of maternal transmitted, maternal untransmitted, and fetal transmitted">\n'
+            '##FORMAT=<ID=MGP,Number=3,Type=Float,Description="Maternal Posterior genotype probability of 0/0, 0/1, and 1/1">\n'
+            '##FORMAT=<ID=MDS,Number=1,Type=Float,Description="Maternal Diploid dosage">\n'
+            '##FORMAT=<ID=FGP,Number=3,Type=Float,Description="Fetal Posterior genotype probability of 0/0, 0/1, and 1/1">\n'
+            '##FORMAT=<ID=FDS,Number=1,Type=Float,Description="Fetal Diploid dosage">\n'
+        )
+    else:
+        if output_gt_phased_genotypes:
+            gt = '##FORMAT=<ID=GT,Number=1,Type=String,Description="Phased genotypes">\n'
+        else:
+            gt = '##FORMAT=<ID=GT,Number=1,Type=String,Description="Most likely genotype, given posterior probability of at least 0.90">\n'
+        fmt = gt + (
+            '##FORMAT=<ID=GP,Number=3,Type=Float,Description="Posterior genotype probability of 0/0, 0/1, and 1/1">\n'
+            '##FORMAT=<ID=DS,Number=1,Type=Float,Description="Diploid dosage">\n'
+            '##FORMAT=<ID=HD,Number=2,Type=Float,Description="Haploid dosages">\n'
+        )
+    cols = "\t".join(
+        ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
+         "FORMAT"] + list(sample_names)
+    )
+    return "##fileformat=VCFv4.0\n" + info + fmt + cols + "\n"
+
+
+def write_quilt_vcf(
+    path: str,
+    chrom: str,
+    pos: np.ndarray,
+    ref_allele: np.ndarray,
+    alt_allele: np.ndarray,
+    sample_names: Sequence[str],
+    sample_columns: Sequence[Sequence[str]],   # per sample: list of nSNPs strings
+    eaf: np.ndarray,
+    info: np.ndarray,
+    hwe: np.ndarray,
+    allele_count: np.ndarray,    # [nSNPs, 2] (alt, total)
+    in_region: Optional[np.ndarray] = None,
+    method: str = "diploid",
+    output_gt_phased_genotypes: bool = True,
+) -> None:
+    nSNPs = len(pos)
+    if in_region is None:
+        in_region = np.ones(nSNPs, dtype=bool)
+    fmt = "GT:MGP:MDS:FGP:FDS" if method == "nipt" else "GT:GP:DS:HD"
+    erc = allele_count[:, 1] - allele_count[:, 0]
+    with np.errstate(invalid="ignore", divide="ignore"):
+        paf = allele_count[:, 0] / allele_count[:, 1]
+    paf = np.nan_to_num(paf, nan=0.0)
+    with BgzfWriter(path) as w:
+        w.write(make_header(sample_names, method, output_gt_phased_genotypes))
+        lines: List[str] = []
+        for s in range(nSNPs):
+            if not in_region[s]:
+                continue
+            info_field = (
+                f"EAF={round(eaf[s], 5):g};INFO_SCORE={round(info[s], 5):g};"
+                f"HWE={hwe[s]:.2e};ERC={round(erc[s], 5):g};"
+                f"EAC={round(allele_count[s, 0], 5):g};PAF={round(paf[s], 5):g}"
+            )
+            fields = [
+                chrom, str(int(pos[s])), ".", str(ref_allele[s]),
+                str(alt_allele[s]), ".", "PASS", info_field, fmt,
+            ] + [col[s] for col in sample_columns]
+            lines.append("\t".join(fields))
+            if len(lines) >= 1000:
+                w.write("\n".join(lines) + "\n")
+                lines = []
+        if lines:
+            w.write("\n".join(lines) + "\n")
