@@ -1,0 +1,37 @@
+import numpy as np
+import jax
+
+from quilt_tpu.io import simulate_panel, simulate_sample_reads
+from quilt_tpu.io.simulate import simulate_truth_mosaic
+from quilt_tpu.panel import assign_positions_to_grid, compress_panel, trans_rates
+from quilt_tpu.utils import pack_bits_32
+from quilt_tpu.kernels import FBInputs, fb_full_batched
+from quilt_tpu.oracle import make_gl_from_reads
+from quilt_tpu.dist import make_mesh, fb_full_sharded
+
+
+def test_fb_sharded_matches_replicated(rng):
+    assert len(jax.devices()) >= 8
+    haps, pos = simulate_panel(rng, K=96, nSNPs=320)
+    rhb_t = pack_bits_32(haps)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    # nMaxDH=255 so no escapes (sharded path doesn't correct escapes)
+    panel = compress_panel(rhb_t, len(pos), nMaxDH=96)
+    assert len(panel.esc_k) == 0
+    trans = trans_rates(np.full(nGrids - 1, 0.99))
+    truth = simulate_truth_mosaic(rng, haps, n_latent=2)
+    reads, sim = simulate_sample_reads(
+        rng, truth, pos, grid, coverage=2.0, read_length_bp=1000
+    )
+    gls = []
+    for h in (0, 1):
+        which = np.flatnonzero(sim.labels == h)
+        gls.append(make_gl_from_reads(reads, which, len(pos)))
+    gl_b = np.stack(gls * 2).astype(np.float32)     # B=4 (2 data shards)
+    inputs = FBInputs.build(panel, trans)
+    dosage_ref, ll_ref, _, _ = fb_full_batched(gl_b, inputs, K_top=8)
+    mesh = make_mesh(2, 4)
+    dosage_sh, ll_sh, tv, ti = fb_full_sharded(gl_b, inputs, mesh, K_top=4)
+    np.testing.assert_allclose(dosage_sh, dosage_ref, atol=3e-3)
+    np.testing.assert_allclose(ll_sh, ll_ref, rtol=1e-3, atol=0.5)
+    assert tv.shape[2] == 16  # 4 shards x K_top 4
