@@ -1,0 +1,272 @@
+"""BAM ingestion: aligned reads -> per-read (SNP index, signed BQ) arrays.
+
+Functional equivalent of STITCH's loadBamAndConvert (C++/htslib; behavior
+described at QUILT/R/functions.R:243-272 and the QUILT.R flag docs):
+- walk each alignment's CIGAR, intersect aligned bases with the target SNP
+  positions, emit signed phred quality (positive = base matches ALT,
+  negative = matches REF; other bases dropped);
+- drop bases with quality < bqFilter; cap base quality at mapping quality;
+- skip unmapped/secondary/supplementary/duplicate/qc-fail records and
+  fragments with |isize| > iSizeUpperLimit;
+- merge mate pairs (same qname) into one logical read; optionally merge
+  linked reads by BX tag within bxTagUpperLimit;
+- downsample whole reads where coverage exceeds downsampleToCov.
+
+Pure-Python BGZF/BAM parsing (this image has no htslib); throughput is
+adequate for low-coverage inputs and will move to the C++ extension.
+"""
+from __future__ import annotations
+
+import struct
+import zlib
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..out.bgzf import iter_bgzf_blocks
+from ..utils import print_message
+from .reads import SampleReads, downsample_reads, snap_reads_to_grid
+
+SEQ_DECODE = "=ACMGRSVTWYHKDBN"
+FLAG_UNMAPPED = 0x4
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUP = 0x400
+FLAG_SUPP = 0x800
+CIGAR_OPS = "MIDNSHP=X"
+
+
+@dataclass
+class BamRead:
+    qname: str
+    u: List[int]
+    bq: List[int]
+    bx: Optional[str] = None
+    pos: int = 0
+
+
+def _read_bam_stream(path: str):
+    """Yield raw alignment records (bytes) from a BAM file + header refs."""
+    with open(path, "rb") as fh:
+        data = bytearray()
+        blocks = iter_bgzf_blocks(fh)
+        for b in blocks:
+            data.extend(b)
+            if len(data) > 1 << 16:
+                break
+        if data[:4] != b"BAM\x01":
+            raise ValueError(f"{path} is not a BAM file")
+        off = 4
+        l_text = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        header_text = bytes(data[off:off + l_text]).decode(errors="replace")
+        off += l_text
+        n_ref = struct.unpack_from("<i", data, off)[0]
+        off += 4
+        refs = []
+        # may need more blocks to finish header
+        def ensure(n):
+            nonlocal data
+            while len(data) < n:
+                try:
+                    data.extend(next(blocks))
+                except StopIteration:
+                    raise ValueError("truncated BAM header")
+        for _ in range(n_ref):
+            ensure(off + 4)
+            l_name = struct.unpack_from("<i", data, off)[0]
+            off += 4
+            ensure(off + l_name + 4)
+            name = bytes(data[off:off + l_name - 1]).decode()
+            off += l_name
+            l_ref = struct.unpack_from("<i", data, off)[0]
+            off += 4
+            refs.append((name, l_ref))
+        del data[:off]
+        # alignment records
+        while True:
+            while len(data) < 4:
+                try:
+                    data.extend(next(blocks))
+                except StopIteration:
+                    return
+            block_size = struct.unpack_from("<i", data, 0)[0]
+            while len(data) < 4 + block_size:
+                try:
+                    data.extend(next(blocks))
+                except StopIteration:
+                    raise ValueError("truncated BAM record")
+            yield header_text, refs, bytes(data[4:4 + block_size])
+            del data[:4 + block_size]
+
+
+def bam_sample_name(path: str) -> Optional[str]:
+    """SM tag from the first @RG line (reference: get_sample_names)."""
+    for header_text, refs, _rec in _read_bam_stream(path):
+        for line in header_text.splitlines():
+            if line.startswith("@RG"):
+                for fieldx in line.split("\t"):
+                    if fieldx.startswith("SM:"):
+                        return fieldx[3:]
+        return None
+    return None
+
+
+def _parse_record(rec: bytes):
+    (refID, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+     _next_ref, _next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+    off = 32
+    qname = rec[off:off + l_read_name - 1].decode()
+    off += l_read_name
+    cigar = struct.unpack_from(f"<{n_cigar}I", rec, off)
+    off += 4 * n_cigar
+    nseq = (l_seq + 1) // 2
+    seq_bytes = rec[off:off + nseq]
+    off += nseq
+    qual = rec[off:off + l_seq]
+    off += l_seq
+    tags = rec[off:]
+    return (refID, pos, mapq, flag, l_seq, tlen, qname, cigar, seq_bytes,
+            qual, tags)
+
+
+def _get_bx_tag(tags: bytes) -> Optional[str]:
+    i = 0
+    n = len(tags)
+    while i + 3 <= n:
+        tag = tags[i:i + 2]
+        typ = chr(tags[i + 2])
+        i += 3
+        if typ in "cC":
+            val, sz = tags[i], 1
+        elif typ in "sS":
+            val, sz = struct.unpack_from("<H", tags, i)[0], 2
+        elif typ in "iIf":
+            val, sz = struct.unpack_from("<I", tags, i)[0], 4
+        elif typ == "A":
+            val, sz = chr(tags[i]), 1
+        elif typ in "ZH":
+            end = tags.index(0, i)
+            val, sz = tags[i:end].decode(), end - i + 1
+        elif typ == "B":
+            sub = chr(tags[i])
+            cnt = struct.unpack_from("<I", tags, i + 1)[0]
+            szmap = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}
+            val, sz = None, 5 + cnt * szmap[sub]
+        else:
+            return None
+        if tag == b"BX" and isinstance(val, str):
+            return val
+        i += sz
+    return None
+
+
+def load_bam_reads(
+    path: str,
+    chrom: str,
+    snp_pos: np.ndarray,         # int64, sorted, 1-based
+    ref_allele: np.ndarray,
+    alt_allele: np.ndarray,
+    grid: np.ndarray,
+    bqFilter: int = 17,
+    iSizeUpperLimit: int = 600,
+    downsampleToCov: float = 30.0,
+    use_bx_tag: bool = True,
+    bxTagUpperLimit: int = 50000,
+    seed: int = 1,
+) -> SampleReads:
+    nSNPs = len(snp_pos)
+    ref_code = np.array([SEQ_DECODE.index(a) for a in ref_allele], dtype=np.uint8)
+    alt_code = np.array([SEQ_DECODE.index(a) for a in alt_allele], dtype=np.uint8)
+    groups: Dict[str, BamRead] = {}
+    target_tid = None
+    n_rec = 0
+    for header_text, refs, rec in _read_bam_stream(path):
+        if target_tid is None:
+            target_tid = next(
+                (i for i, (name, _l) in enumerate(refs) if name == chrom), -1
+            )
+        (refID, pos0, mapq, flag, l_seq, tlen, qname, cigar, seq_bytes,
+         qual, tags) = _parse_record(rec)
+        n_rec += 1
+        if refID != target_tid or flag & (
+            FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_QCFAIL | FLAG_DUP | FLAG_SUPP
+        ):
+            continue
+        if iSizeUpperLimit and tlen != 0 and abs(tlen) > iSizeUpperLimit:
+            continue
+        # CIGAR walk: collect (snp_index, signed bq)
+        rpos = pos0          # 0-based reference position
+        qpos = 0
+        us: List[int] = []
+        bqs: List[int] = []
+        for c in cigar:
+            op = c & 0xF
+            ln = c >> 4
+            opc = CIGAR_OPS[op]
+            if opc in "M=X":
+                lo = np.searchsorted(snp_pos, rpos + 1)
+                hi = np.searchsorted(snp_pos, rpos + ln, side="right")
+                for si in range(lo, hi):
+                    offset = int(snp_pos[si] - 1 - rpos)
+                    qi = qpos + offset
+                    nib = seq_bytes[qi >> 1]
+                    base = (nib >> 4) if qi % 2 == 0 else (nib & 0xF)
+                    q = min(qual[qi], mapq)
+                    if q < bqFilter:
+                        continue
+                    if base == alt_code[si]:
+                        us.append(si)
+                        bqs.append(q)
+                    elif base == ref_code[si]:
+                        us.append(si)
+                        bqs.append(-q)
+                rpos += ln
+                qpos += ln
+            elif opc in "DN":
+                rpos += ln
+            elif opc in "IS":
+                qpos += ln
+            # H, P consume nothing
+        if not us:
+            continue
+        bx = _get_bx_tag(tags) if use_bx_tag else None
+        key = bx if bx else qname
+        g = groups.get(key)
+        if g is None:
+            groups[key] = BamRead(qname=key, u=us, bq=bqs, bx=bx, pos=pos0)
+        else:
+            if bx and abs(pos0 - g.pos) > bxTagUpperLimit:
+                groups[key + f"#{pos0}"] = BamRead(
+                    qname=key, u=us, bq=bqs, bx=bx, pos=pos0
+                )
+            else:
+                g.u.extend(us)
+                g.bq.extend(bqs)
+    # finalize: sort bases within reads, dedupe per SNP keeping max |bq|
+    us_list, bq_list = [], []
+    for g in groups.values():
+        u = np.asarray(g.u, dtype=np.int32)
+        bq = np.asarray(g.bq, dtype=np.int16)
+        order = np.argsort(u, kind="stable")
+        u, bq = u[order], bq[order]
+        keep = np.ones(len(u), dtype=bool)
+        for i in range(1, len(u)):
+            if u[i] == u[i - 1]:
+                if abs(bq[i]) <= abs(bq[i - 1]):
+                    keep[i] = False
+                else:
+                    keep[i - 1] = False
+        us_list.append(u[keep])
+        bq_list.append(bq[keep])
+    reads = SampleReads.from_lists(us_list, bq_list, grid)
+    rng = np.random.default_rng(seed)
+    if downsampleToCov and downsampleToCov > 0:
+        reads = downsample_reads(reads, nSNPs, downsampleToCov, rng)
+    snap_reads_to_grid(reads, grid)
+    reads = reads.sorted_by_grid()
+    print_message(
+        f"{path}: {n_rec} alignments -> {reads.nReads} reads covering SNPs"
+    )
+    return reads

@@ -1,0 +1,105 @@
+"""Minimal BAM writer for tests and simulators.
+
+Fills the role of STITCH::make_acceptance_test_data_package's BAM
+fabrication (used by the reference's acceptance tests,
+test-acceptance-one.R:18-37): write simple fully-matching alignments so the
+BAM ingestion path can be exercised without htslib.
+"""
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+from ..out.bgzf import BgzfWriter
+
+SEQ_ENCODE = {c: i for i, c in enumerate("=ACMGRSVTWYHKDBN")}
+
+
+class BamWriter:
+    def __init__(self, path: str, chrom: str, chrom_len: int,
+                 sample_name: str = "SAMPLE"):
+        self._w = BgzfWriter(path)
+        header_text = (
+            f"@HD\tVN:1.6\tSO:coordinate\n"
+            f"@SQ\tSN:{chrom}\tLN:{chrom_len}\n"
+            f"@RG\tID:rg1\tSM:{sample_name}\n"
+        ).encode()
+        buf = b"BAM\x01" + struct.pack("<i", len(header_text)) + header_text
+        name_b = chrom.encode() + b"\x00"
+        buf += struct.pack("<i", 1)
+        buf += struct.pack("<i", len(name_b)) + name_b
+        buf += struct.pack("<i", chrom_len)
+        self._w.write(buf)
+
+    def write_read(
+        self,
+        qname: str,
+        pos0: int,                 # 0-based leftmost position
+        seq: str,
+        quals: Sequence[int],
+        mapq: int = 60,
+        flag: int = 0,
+        tlen: int = 0,
+        bx: Optional[str] = None,
+    ) -> None:
+        l_seq = len(seq)
+        name_b = qname.encode() + b"\x00"
+        cigar = struct.pack("<I", (l_seq << 4) | 0)     # "{l}M"
+        seq_b = bytearray((l_seq + 1) // 2)
+        for i, c in enumerate(seq):
+            nib = SEQ_ENCODE.get(c, 15)
+            if i % 2 == 0:
+                seq_b[i >> 1] |= nib << 4
+            else:
+                seq_b[i >> 1] |= nib
+        qual_b = bytes(min(int(q), 93) for q in quals)
+        tags = b""
+        if bx is not None:
+            tags = b"BXZ" + bx.encode() + b"\x00"
+        rec = struct.pack(
+            "<iiBBHHHiiii",
+            0, pos0, len(name_b), mapq,
+            4680, len(cigar) // 4, flag, l_seq,
+            -1, -1, tlen,
+        ) + name_b + cigar + bytes(seq_b) + qual_b + tags
+        self._w.write(struct.pack("<i", len(rec)) + rec)
+
+    def close(self):
+        self._w.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        self.close()
+
+
+def write_panel_vcf(
+    path: str,
+    chrom: str,
+    pos,
+    ref_allele,
+    alt_allele,
+    haps,                        # [K, nSNPs], K even (pairs of haplotypes)
+    sample_prefix: str = "REF",
+) -> None:
+    """Write a phased reference-panel VCF (bgzipped)."""
+    K, nSNPs = haps.shape
+    assert K % 2 == 0
+    n_samp = K // 2
+    names = [f"{sample_prefix}{i}" for i in range(n_samp)]
+    with BgzfWriter(path) as w:
+        w.write("##fileformat=VCFv4.2\n")
+        w.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')
+        w.write(
+            "#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\tFORMAT\t"
+            + "\t".join(names) + "\n"
+        )
+        for s in range(nSNPs):
+            gts = "\t".join(
+                f"{haps[2 * i, s]}|{haps[2 * i + 1, s]}" for i in range(n_samp)
+            )
+            w.write(
+                f"{chrom}\t{pos[s]}\t.\t{ref_allele[s]}\t{alt_allele[s]}"
+                f"\t.\tPASS\t.\tGT\t{gts}\n"
+            )

@@ -4,21 +4,22 @@ Functional equivalent of Rcpp_haploid_dosage_versus_refs (reference:
 QUILT/src/reference-single.cpp:2189-2413, forward v3 at :878-1151, fused
 backward + dosage + streaming top-K at :1152-2188), redesigned TPU-first:
 
-- the grid axis is a lax.scan; the K (panel) axis is a dense vector lane
-  axis, shardable over a mesh axis (see quilt_tpu/dist);
-- per-grid emissions are a [B, nMaxDH+1] table lookup realized as a one-hot
-  matmul on the MXU (gather-as-matmul), with the distinct-haplotype table
-  built once per call from the sample's GLs;
-- escape entries (haplotypes whose grid word is not among the top nMaxDH,
-  hapMatcher == 0) are corrected exactly via a padded per-grid COO scatter —
-  replacing the reference's per-element binary search
-  (reference-single.cpp:2326-2331);
-- the backward pass fuses per-SNP dosage accumulation (via the
-  distinctHapsIE table, as in the reference) and top-K extraction at thinned
-  grids (lax.top_k instead of the reference's streaming insertion sort,
-  reference-single.cpp:129-266);
-- numerics: float32 with per-grid renormalization (the reference's lazy fp64
-  normalization, reference-single.cpp:521-537, does not survive fp32).
+- per-grid emissions for all K haplotypes are materialized BEFORE the scans
+  with one batched gather from the per-grid distinct-haplotype emission
+  table (built once per call from the sample's GLs), plus an exact scatter
+  correction for escape entries (hapMatcher == 0) — replacing the
+  reference's per-element binary search (reference-single.cpp:2326-2331);
+- the grid axis is then a lax.scan whose steps are purely elementwise over
+  [B, K] (no gathers/matmuls inside the scan), keeping the sequential
+  recursion at HBM-bandwidth speed; K is shardable over a mesh axis
+  (quilt_tpu/dist);
+- per-SNP dosages reduce through the distinctHapsIE table as chunked MXU
+  matmuls over the stored gammas (gather-as-matmul with a one-hot in bf16,
+  exact since one-hot entries are 0/1);
+- top-K matching haplotypes are extracted at thinned grids with lax.top_k
+  (replacing the streaming insertion sort, reference-single.cpp:129-266);
+- numerics: float32 with per-grid renormalization (the reference's lazy
+  fp64 normalization, reference-single.cpp:521-537, does not survive fp32).
 
 Batch axis B = {samples x chains x latent haps}.
 """
@@ -34,29 +35,29 @@ import numpy as np
 
 from ..panel.prepare import CompressedPanel
 from .common import pad_axis, pad_to_multiple
-from .emissions import emat_dh_from_gl, emissions_for_words
+from .emissions import emat_dh_from_gl
 
 
 @dataclass
 class FBInputs:
     """Static (per-region) device inputs for fb_full, built once."""
 
-    dh: np.ndarray            # int32 [nGrids, K] hapMatcher transposed (0=escape)
-    dh_onehot_ready: bool
+    dh: np.ndarray            # int32 [nGrids, K_pad] hapMatcher.T (0=escape)
     ie: np.ndarray            # f32 [nMaxDH+1, S] inflated dosages (row 0 = 0)
     dh_bits: np.ndarray       # uint8 [nMaxDH, S] distinct hap alleles
-    esc_k: np.ndarray         # int32 [nGrids, M] escape hap index (0 pad)
-    esc_word: np.ndarray      # uint32 [nGrids, M]
-    esc_mask: np.ndarray      # bool [nGrids, M]
-    trans: np.ndarray         # f32 [nGrids, 2]; row g = (stay, jump) INTO grid g
+    esc_grid: np.ndarray      # int32 [nnz] escape grid (flat COO)
+    esc_k: np.ndarray         # int32 [nnz]
+    esc_word: np.ndarray      # uint32 [nnz]
+    esc_bits: np.ndarray      # uint8 [nnz, 32]
+    trans: np.ndarray         # f32 [nGrids, 2]; row g = (stay, jump) INTO g
     thin_flag: np.ndarray     # int32 [nGrids]; slot index at thinned grids else -1
     K: int
     K_pad: int
     nGrids: int
-    S: int                    # padded SNP count = nGrids*32
+    S: int
     nSNPs: int
     nMaxDH: int
-    M: int
+    nnz: int
 
     @classmethod
     def build(
@@ -65,19 +66,20 @@ class FBInputs:
         trans: np.ndarray,
         thinned_grids: Optional[np.ndarray] = None,
     ) -> "FBInputs":
+        from ..utils import unpack_bits_32, unpack_words
+
         K, nGrids = panel.K, panel.nGrids
         K_pad = pad_to_multiple(K, 128)
         S = nGrids * 32
         dh = panel.hapMatcher.astype(np.int32).T          # [G, K]
-        dh = pad_axis(dh, 1, K_pad, value=-1)             # pads get emission 0
-        dh = np.where(dh < 0, 0, dh + 0)                  # pads -> slot 0 (0 emission)
-        # mark pad rows: emission slot 0 yields 0; alpha stays 0 for pads
+        dh = pad_axis(dh, 1, K_pad, value=0)              # pads -> slot 0 = 0
         ie = np.zeros((panel.nMaxDH + 1, S), dtype=np.float32)
         ie[1:, :panel.nSNPs] = panel.distinctHapsIE[:, :panel.nSNPs]
-        from ..utils import unpack_bits_32
         dh_bits = np.zeros((panel.nMaxDH, S), dtype=np.uint8)
-        dh_bits[:, :panel.nSNPs] = unpack_bits_32(panel.distinctHapsB, panel.nSNPs)
-        esc_k, esc_word, esc_mask, M = panel.escape_padded()
+        dh_bits[:, :panel.nSNPs] = unpack_bits_32(
+            panel.distinctHapsB, panel.nSNPs
+        )
+        esc_bits = unpack_words(panel.esc_word)           # [nnz, 32]
         trans_full = np.zeros((nGrids, 2), dtype=np.float32)
         trans_full[0] = (1.0, 0.0)
         trans_full[1:] = np.asarray(trans, dtype=np.float32).T
@@ -86,143 +88,153 @@ class FBInputs:
             for i, g in enumerate(thinned_grids):
                 thin_flag[int(g)] = i
         return cls(
-            dh=dh, dh_onehot_ready=False, ie=ie, dh_bits=dh_bits,
-            esc_k=esc_k.astype(np.int32), esc_word=esc_word.astype(np.uint32),
-            esc_mask=esc_mask, trans=trans_full, thin_flag=thin_flag,
+            dh=dh, ie=ie, dh_bits=dh_bits,
+            esc_grid=panel.esc_grid.astype(np.int32),
+            esc_k=panel.esc_k.astype(np.int32),
+            esc_word=panel.esc_word.astype(np.uint32),
+            esc_bits=esc_bits,
+            trans=trans_full, thin_flag=thin_flag,
             K=K, K_pad=K_pad, nGrids=nGrids, S=S, nSNPs=panel.nSNPs,
-            nMaxDH=panel.nMaxDH, M=M,
+            nMaxDH=panel.nMaxDH, nnz=len(panel.esc_k),
         )
+
+
+def _escape_emissions_flat(gl, esc_grid, esc_bits, ref_error):
+    """Exact emissions of flat escape entries: [B, nnz]."""
+    B = gl.shape[0]
+    G = gl.shape[2] // 32
+    gl_g = gl.reshape(B, 2, G, 32)
+    dR = gl_g[:, 0, esc_grid, :]                   # [B, nnz, 32]
+    dA = gl_g[:, 1, esc_grid, :]
+    e = esc_bits.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
+    term = dR * (1.0 - e[None]) + dA * e[None]
+    return jnp.exp(jnp.log(jnp.maximum(term, 1e-30)).sum(axis=-1))
 
 
 @partial(
     jax.jit,
-    static_argnames=("K", "K_pad", "nMaxDH", "M", "n_thin", "K_top", "ref_error"),
+    static_argnames=("K", "K_pad", "nMaxDH", "nnz", "K_top", "ref_error",
+                     "grid_chunk"),
 )
 def _fb_core(
     gl: jnp.ndarray,          # [B, 2, S] f32 (pad SNPs = 1)
     dh: jnp.ndarray,          # [G, K_pad] int32
     ie: jnp.ndarray,          # [D+1, S]
     dh_bits: jnp.ndarray,     # [D, S] uint8
-    esc_k: jnp.ndarray,       # [G, M]
-    esc_word: jnp.ndarray,    # [G, M]
-    esc_mask: jnp.ndarray,    # [G, M]
+    esc_grid: jnp.ndarray,    # [nnz]
+    esc_k: jnp.ndarray,       # [nnz]
+    esc_bits: jnp.ndarray,    # [nnz, 32]
     trans: jnp.ndarray,       # [G, 2]
     thin_flag: jnp.ndarray,   # [G]
     K: int,
     K_pad: int,
     nMaxDH: int,
-    M: int,
-    n_thin: int,
+    nnz: int,
     K_top: int,
     ref_error: float,
+    grid_chunk: int = 64,
 ):
     B, _, S = gl.shape
     G = S // 32
     D1 = nMaxDH + 1
-    eMatDH = emat_dh_from_gl(gl, dh_bits, ref_error)      # [B, G, D+1]
-    gl_grids = gl.reshape(B, 2, G, 32)
-    if M > 0:
-        gl_per_grid = jnp.moveaxis(gl_grids, 2, 1)        # [B, G, 2, 32]
-        esc_e = _esc_emissions(esc_word, gl_per_grid, ref_error)  # [B, G, M]
-    else:
-        esc_e = jnp.zeros((B, G, 1), dtype=jnp.float32)
+    # ---- emissions for every (grid, hap): one gather, then COO correction
+    eMatDH = emat_dh_from_gl(gl, dh_bits, ref_error)       # [B, G, D+1]
+    eMatDH_t = jnp.moveaxis(eMatDH, 0, 1)                  # [G, B, D+1]
+    E = jnp.take_along_axis(eMatDH_t, dh[:, None, :], axis=2)   # [G, B, K_pad]
+    if nnz > 0:
+        esc_e = _escape_emissions_flat(gl, esc_grid, esc_bits, ref_error)
+        E = E.at[esc_grid, :, esc_k].set(esc_e.T)
+    # pad haps: dh pads point at slot 0 whose table value is 0 => alpha 0
 
-    def emission_at(g):
-        dh_g = dh[g]                                       # [K_pad]
-        table = jax.lax.dynamic_index_in_dim(eMatDH, g, 1, keepdims=False)
-        # gather-as-matmul: [B, D+1] x [D+1, K_pad] one-hot
-        onehot = jax.nn.one_hot(dh_g, D1, dtype=table.dtype, axis=0)
-        e = table @ onehot                                 # [B, K_pad]
-        if M > 0:
-            ek = esc_k[g]                                  # [M]
-            ee = jax.lax.dynamic_index_in_dim(esc_e, g, 1, keepdims=False)
-            em_mask = esc_mask[g]
-            corr = jnp.where(em_mask[None, :], ee, 0.0)    # [B, M]
-            e = e.at[:, ek].add(corr, mode="drop")
-        return e
-
-    def fwd_step(alpha, g):
-        stay = trans[g, 0]
-        jump = trans[g, 1]
-        e = emission_at(g)
-        a_raw = jnp.where(g == 0, e / K, (stay * alpha + jump / K) * e)
+    # ---- forward scan: elementwise only
+    def fwd_step(alpha, xs):
+        e, t = xs
+        is_first = (t[0] == 1.0) & (t[1] == 0.0)
+        a_raw = (t[0] * alpha + (t[1] + is_first.astype(jnp.float32)) / K) * e
         s = a_raw.sum(axis=1, keepdims=True)
         a = a_raw / s
         return a, (a, jnp.log(s[:, 0]))
 
     alpha0 = jnp.zeros((B, K_pad), dtype=jnp.float32)
-    _, (alphas, log_s) = jax.lax.scan(fwd_step, alpha0, jnp.arange(G))
-    # log-likelihood: alpha normalized each grid => log P(O) = sum log s
-    log_like = log_s.sum(axis=0)                           # [B]
+    _, (alphas, log_s) = jax.lax.scan(fwd_step, alpha0, (E, trans))
+    log_like = log_s.sum(axis=0)
 
-    def bwd_step(carry, g):
-        beta, _ = carry
-        is_last = g == (G - 1)
-        # transition INTO grid g+1 (trans row g+1 in the shifted layout)
-        t_next = jax.lax.dynamic_index_in_dim(
-            trans, jnp.minimum(g + 1, G - 1), 0, keepdims=False
-        )
-        e_next = emission_at(jnp.minimum(g + 1, G - 1))
+    # ---- backward scan: beta + normalized gamma (+ top-K at thinned grids)
+    def bwd_step(beta, g):
+        gn = jnp.minimum(g + 1, G - 1)
+        e_next = E[gn]
+        t_next = trans[gn]
         etb = e_next * beta
-        beta_new = jnp.where(
-            is_last,
-            jnp.ones_like(beta),
-            t_next[0] * etb + t_next[1] * etb.sum(axis=1, keepdims=True) / K,
-        )
-        # normalize beta for fp32 stability (gamma is renormalized anyway)
-        beta_new = beta_new / jnp.maximum(
-            beta_new.max(axis=1, keepdims=True), 1e-30
-        )
-        alpha_g = jax.lax.dynamic_index_in_dim(alphas, g, 0, keepdims=False)
-        gamma = alpha_g * beta_new
+        b_new = t_next[0] * etb + t_next[1] * etb.sum(axis=1, keepdims=True) / K
+        b_new = jnp.where(g == G - 1, jnp.ones_like(beta), b_new)
+        b_new = b_new / jnp.maximum(b_new.max(axis=1, keepdims=True), 1e-30)
+        gamma = alphas[g] * b_new
         gamma = gamma / gamma.sum(axis=1, keepdims=True)
-        # dosage for this grid via matched-gamma table (MXU):
-        dh_g = dh[g]
-        onehot = jax.nn.one_hot(dh_g, D1, dtype=gamma.dtype, axis=1)  # [K_pad, D+1]
-        matched = gamma @ onehot                            # [B, D+1]
-        ie_g = jax.lax.dynamic_slice(ie, (0, g * 32), (D1, 32))
-        dos = matched @ ie_g                                # [B, 32]
-        if M > 0:
-            ek = esc_k[g]
-            ew = esc_word[g]
-            em_mask = esc_mask[g]
-            g_esc = jnp.where(em_mask[None, :], gamma[:, ek], 0.0)  # [B, M]
-            shifts = jnp.arange(32, dtype=jnp.uint32)
-            bits = ((ew[:, None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
-            e_inf = bits * (1.0 - 2.0 * ref_error) + ref_error      # [M, 32]
-            dos = dos + g_esc @ e_inf
-        # top-K at thinned grids
         tf = thin_flag[g]
+
         def do_topk(_):
             v, i = jax.lax.top_k(gamma[:, :K], K_top)
             return v, i.astype(jnp.int32)
+
         def no_topk(_):
             return (
                 jnp.zeros((B, K_top), dtype=gamma.dtype),
                 jnp.zeros((B, K_top), dtype=jnp.int32),
             )
-        tv, ti = jax.lax.cond(tf >= 0, do_topk, no_topk, None)
-        return (beta_new, None), (dos, tv, ti)
 
-    _, (dosage_grids, top_vals, top_idx) = jax.lax.scan(
+        tv, ti = jax.lax.cond(tf >= 0, do_topk, no_topk, None)
+        return b_new, (gamma, tv, ti)
+
+    _, (gammas_rev, tv_rev, ti_rev) = jax.lax.scan(
         bwd_step,
-        (jnp.ones((B, K_pad), dtype=jnp.float32), None),
+        jnp.ones((B, K_pad), dtype=jnp.float32),
         jnp.arange(G - 1, -1, -1),
     )
-    # dosage_grids come out in reversed grid order
-    dosage = dosage_grids[::-1].transpose(1, 0, 2).reshape(B, S)
-    return dosage, log_like, top_vals[::-1], top_idx[::-1]
+    gammas = gammas_rev[::-1]                              # [G, B, K_pad]
+    top_vals = tv_rev[::-1]
+    top_idx = ti_rev[::-1]
 
+    # ---- dosage: chunked MXU matmuls through the distinct-hap table
+    ie_g = ie.reshape(D1, G, 32)
+    n_chunks = (G + grid_chunk - 1) // grid_chunk
+    Gp = n_chunks * grid_chunk
+    if Gp != G:
+        gammas_p = jnp.pad(gammas, ((0, Gp - G), (0, 0), (0, 0)))
+        dh_p = jnp.pad(dh, ((0, Gp - G), (0, 0)))
+        ie_p = jnp.pad(ie_g, ((0, 0), (0, Gp - G), (0, 0)))
+    else:
+        gammas_p, dh_p, ie_p = gammas, dh, ie_g
 
-def _esc_emissions(esc_word, gl_per_grid, ref_error):
-    """Escape emissions [B, G, M] from words [G, M] and gl [B, G, 2, 32]."""
-    shifts = jnp.arange(32, dtype=jnp.uint32)
-    bits = ((esc_word[..., None] >> shifts) & jnp.uint32(1)).astype(jnp.float32)
-    e = bits * (1.0 - 2.0 * ref_error) + ref_error          # [G, M, 32]
-    dR = gl_per_grid[:, :, 0, :][:, :, None, :]             # [B, G, 1, 32]
-    dA = gl_per_grid[:, :, 1, :][:, :, None, :]
-    term = dR * (1.0 - e[None]) + dA * e[None]              # [B, G, M, 32]
-    return jnp.exp(jnp.log(jnp.maximum(term, 1e-30)).sum(axis=-1))
+    def dos_chunk(_, c):
+        g0 = c * grid_chunk
+        gam = jax.lax.dynamic_slice(
+            gammas_p, (g0, 0, 0), (grid_chunk, B, K_pad)
+        )
+        dh_c = jax.lax.dynamic_slice(dh_p, (g0, 0), (grid_chunk, K_pad))
+        onehot = jax.nn.one_hot(dh_c, D1, dtype=jnp.bfloat16)   # [CG, K, D+1]
+        matched = jnp.einsum(
+            "gbk,gkd->gbd", gam.astype(jnp.bfloat16), onehot,
+            preferred_element_type=jnp.float32,
+        )
+        ie_c = jax.lax.dynamic_slice(ie_p, (0, g0, 0), (D1, grid_chunk, 32))
+        dos = jnp.einsum(
+            "gbd,dgs->gbs", matched, ie_c, preferred_element_type=jnp.float32
+        )
+        return None, dos
+
+    _, dos_chunks = jax.lax.scan(dos_chunk, None, jnp.arange(n_chunks))
+    dosage = (
+        dos_chunks.reshape(Gp, B, 32)[:G].transpose(1, 0, 2).reshape(B, S)
+    )
+    if nnz > 0:
+        # exact escape dosage: gamma of escape haps x their inflated alleles
+        gam_esc = gammas[esc_grid, :, esc_k]               # [nnz, B]
+        e_inf = esc_bits.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
+        contrib = gam_esc[:, :, None] * e_inf[:, None, :]  # [nnz, B, 32]
+        dos_g = dosage.reshape(B, G, 32)
+        dos_g = jnp.moveaxis(dos_g, 0, 1).at[esc_grid].add(contrib)
+        dosage = jnp.moveaxis(dos_g, 0, 1).reshape(B, S)
+    return dosage, log_like, top_vals, top_idx
 
 
 def fb_full_batched(
@@ -241,22 +253,20 @@ def fb_full_batched(
     S = inputs.S
     gl_pad = np.ones((B, 2, S), dtype=np.float32)
     gl_pad[:, :, : gl.shape[2]] = gl
-    n_thin = int((inputs.thin_flag >= 0).sum())
     dosage, log_like, tv, ti = _fb_core(
         jnp.asarray(gl_pad),
         jnp.asarray(inputs.dh),
         jnp.asarray(inputs.ie),
         jnp.asarray(inputs.dh_bits),
+        jnp.asarray(inputs.esc_grid),
         jnp.asarray(inputs.esc_k),
-        jnp.asarray(inputs.esc_word),
-        jnp.asarray(inputs.esc_mask),
+        jnp.asarray(inputs.esc_bits),
         jnp.asarray(inputs.trans),
         jnp.asarray(inputs.thin_flag),
         K=inputs.K,
         K_pad=inputs.K_pad,
         nMaxDH=inputs.nMaxDH,
-        M=inputs.M,
-        n_thin=n_thin,
+        nnz=inputs.nnz,
         K_top=K_top,
         ref_error=ref_error,
     )
