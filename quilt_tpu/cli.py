@@ -1,0 +1,245 @@
+"""Command-line interface.
+
+The flag surface is generated from the config dataclasses (config.py), the
+same single-source-of-truth pattern the reference uses (CLIs generated from
+roxygen by STITCH::make_STITCH_cli; QUILT.R:6-533). Subcommands:
+
+  quilt-tpu prepare   ~= QUILT_prepare_reference.R
+  quilt-tpu impute    ~= QUILT.R  (QUILT1 defaults)
+  quilt-tpu impute2   ~= QUILT2.R (use_mspbwt=TRUE, impute_rare_common=TRUE)
+
+The full invocation is echoed to the log for reproducibility
+(reference: quilt.R:188-194).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from .config import ImputeConfig, PrepareConfig
+from .utils import print_message
+
+
+def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+    for f in dataclasses.fields(cls):
+        name = f"--{f.name}"
+        default = (
+            f.default
+            if f.default is not dataclasses.MISSING
+            else (f.default_factory() if f.default_factory is not dataclasses.MISSING else None)
+        )
+        if f.type in ("bool", bool):
+            parser.add_argument(
+                name, type=lambda x: x.upper() in ("TRUE", "1", "YES"),
+                default=default, metavar="TRUE/FALSE",
+            )
+        elif f.type in ("int", int, "Optional[int]"):
+            parser.add_argument(name, type=int, default=default)
+        elif f.type in ("float", float):
+            parser.add_argument(name, type=float, default=default)
+        elif "List[int]" in str(f.type):
+            parser.add_argument(
+                name, type=lambda s: [int(x) for x in s.split(",")],
+                default=default,
+            )
+        elif "List[str]" in str(f.type) or "Optional[List[str]]" in str(f.type):
+            parser.add_argument(
+                name, type=lambda s: s.split(","), default=default
+            )
+        else:
+            parser.add_argument(name, type=str, default=default)
+
+
+def _config_from_args(cls, args) -> object:
+    kw = {}
+    for f in dataclasses.fields(cls):
+        if hasattr(args, f.name):
+            kw[f.name] = getattr(args, f.name)
+    return cls(**kw)
+
+
+def cmd_prepare(args) -> int:
+    from .io.vcf import read_panel_vcf, read_genetic_map
+    from .panel.prepare import prepare_panel
+    import os
+
+    cfg: PrepareConfig = _config_from_args(PrepareConfig, args)
+    if not cfg.reference_vcf_file:
+        print("--reference_vcf_file is required", file=sys.stderr)
+        return 1
+    region_start = (
+        None if cfg.regionStart is None else cfg.regionStart - cfg.buffer
+    )
+    region_end = None if cfg.regionEnd is None else cfg.regionEnd + cfg.buffer
+    keep = None
+    exclude = None
+    if cfg.reference_sample_file:
+        import csv
+        rows = list(csv.reader(open(cfg.reference_sample_file), delimiter=" "))
+        header, rows = rows[0], rows[1:]
+        if cfg.reference_populations:
+            keep = [r[0] for r in rows if r[1] in cfg.reference_populations]
+    if cfg.reference_exclude_samplelist_file:
+        exclude = [
+            l.split()[0] for l in open(cfg.reference_exclude_samplelist_file)
+        ]
+    panel = read_panel_vcf(
+        cfg.reference_vcf_file,
+        region_chrom=cfg.chr or None,
+        region_start=region_start,
+        region_end=region_end,
+        keep_samples=keep,
+        exclude_samples=exclude,
+    )
+    gmap_pos = gmap_cm = None
+    if cfg.genetic_map_file:
+        gmap_pos, gmap_cm = read_genetic_map(cfg.genetic_map_file)
+    prep = prepare_panel(
+        chrom=panel.chrom,
+        pos=panel.pos,
+        ref_allele=panel.ref_allele,
+        alt_allele=panel.alt_allele,
+        haps=panel.haps,
+        gmap_pos=gmap_pos,
+        gmap_cm=gmap_cm,
+        nGen=cfg.nGen,
+        expRate=cfg.expRate,
+        minRate=cfg.minRate,
+        maxRate=cfg.maxRate,
+        ref_error=cfg.ref_error,
+        nMaxDH=cfg.nMaxDH,
+        regionStart=cfg.regionStart,
+        regionEnd=cfg.regionEnd,
+        buffer=cfg.buffer,
+        impute_rare_common=cfg.impute_rare_common,
+        rare_af_threshold=cfg.rare_af_threshold,
+        use_mspbwt=cfg.use_mspbwt,
+        mspbwt_nindices=cfg.mspbwt_nindices,
+    )
+    out = cfg.output_file
+    if not out:
+        region_name = cfg.chr or panel.chrom
+        if cfg.regionStart is not None:
+            region_name += f".{cfg.regionStart}.{cfg.regionEnd}"
+        os.makedirs(os.path.join(cfg.outputdir, "RData"), exist_ok=True)
+        out = os.path.join(
+            cfg.outputdir, "RData",
+            f"QUILT_prepared_reference.{region_name}.npz",
+        )
+    prep.save(out)
+    print_message(f"Saved prepared reference to {out}")
+    return 0
+
+
+def cmd_impute(args, quilt2: bool = False) -> int:
+    import os
+    from .panel.prepare import PreparedReference
+    from .io.bam import bam_sample_name, load_bam_reads
+    from .io.vcf import read_genfile, read_phasefile, read_posfile
+    from .engine import quilt_impute
+
+    cfg: ImputeConfig = _config_from_args(ImputeConfig, args)
+    if quilt2:
+        cfg.use_mspbwt = True
+    region_name = cfg.chr
+    if cfg.regionStart is not None:
+        region_name += f".{cfg.regionStart}.{cfg.regionEnd}"
+    prep_file = cfg.prepared_reference_filename or os.path.join(
+        cfg.outputdir, "RData", f"QUILT_prepared_reference.{region_name}.npz"
+    )
+    if not os.path.exists(prep_file) and cfg.reference_vcf_file:
+        print_message("No prepared reference found; preparing now")
+        pargs = argparse.Namespace(**vars(args))
+        pargs.output_file = prep_file
+        rc = cmd_prepare(pargs)
+        if rc:
+            return rc
+    prep = PreparedReference.load(prep_file)
+
+    bam_files: List[str] = []
+    if cfg.bamlist:
+        bam_files = [l.strip() for l in open(cfg.bamlist) if l.strip()]
+    if not bam_files:
+        print("--bamlist with at least one BAM is required", file=sys.stderr)
+        return 1
+    if cfg.sampleNames_file:
+        names = [l.strip() for l in open(cfg.sampleNames_file) if l.strip()]
+    else:
+        names = [
+            bam_sample_name(b) or os.path.basename(b).split(".")[0]
+            for b in bam_files
+        ]
+    samples = [
+        load_bam_reads(
+            b, prep.chrom, prep.pos, prep.ref_allele, prep.alt_allele,
+            prep.grid, bqFilter=cfg.bqFilter,
+            iSizeUpperLimit=cfg.iSizeUpperLimit,
+            downsampleToCov=cfg.downsampleToCov,
+            use_bx_tag=cfg.use_bx_tag, bxTagUpperLimit=cfg.bxTagUpperLimit,
+            seed=cfg.seed,
+        )
+        for b in bam_files
+    ]
+    ff_values = None
+    if cfg.method == "nipt":
+        if not cfg.fflist:
+            print("--fflist is required for method=nipt", file=sys.stderr)
+            return 1
+        ff_values = np.loadtxt(cfg.fflist, ndmin=1)
+    truth_gen = None
+    truth_haps = None
+    if cfg.genfile and cfg.posfile:
+        _, pos_t, _, _ = read_posfile(cfg.posfile)
+        gnames, gen = read_genfile(cfg.genfile)
+        idx = {p: i for i, p in enumerate(pos_t)}
+        sel = np.array([idx.get(p, -1) for p in prep.pos])
+        truth_gen = np.full((prep.nSNPs, len(names)), np.nan)
+        for j, nm in enumerate(names):
+            if nm in gnames:
+                col = gnames.index(nm)
+                ok = sel >= 0
+                truth_gen[ok, j] = gen[sel[ok], col]
+    out_file = cfg.output_filename or os.path.join(
+        cfg.outputdir, f"quilt.{region_name}.vcf.gz"
+    )
+    os.makedirs(cfg.outputdir or ".", exist_ok=True)
+    quilt_impute(
+        prep, samples, names, cfg,
+        output_filename=out_file,
+        ff_values=ff_values,
+        truth_gen=truth_gen,
+        truth_haps=truth_haps,
+    )
+    return 0
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    parser = argparse.ArgumentParser(
+        prog="quilt-tpu",
+        description="TPU-native genotype imputation (QUILT-compatible)",
+    )
+    sub = parser.add_subparsers(dest="command", required=True)
+    p_prep = sub.add_parser("prepare", help="prepare reference panel")
+    _add_dataclass_args(p_prep, PrepareConfig)
+    p_imp = sub.add_parser("impute", help="impute (QUILT1 defaults)")
+    _add_dataclass_args(p_imp, ImputeConfig)
+    p_imp2 = sub.add_parser("impute2", help="impute (QUILT2 defaults)")
+    _add_dataclass_args(p_imp2, ImputeConfig)
+    args = parser.parse_args(argv)
+    print_message("quilt-tpu invocation: " + " ".join(sys.argv))
+    if args.command == "prepare":
+        return cmd_prepare(args)
+    if args.command == "impute":
+        return cmd_impute(args, quilt2=False)
+    if args.command == "impute2":
+        return cmd_impute(args, quilt2=True)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
