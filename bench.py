@@ -33,7 +33,8 @@ def main():
     rng = np.random.default_rng(0)
     K, nSNPs, B = 5120, 65536, 28
     haps, pos = simulate_panel(
-        rng, K=K, nSNPs=nSNPs, n_founders=32, region_span=4_000_000
+        rng, K=K, nSNPs=nSNPs, n_founders=32, region_span=4_000_000,
+        mutation=0.0003,
     )
     rhb_t = pack_bits_32(haps)
     grid, L_grid, nGrids = assign_positions_to_grid(pos)

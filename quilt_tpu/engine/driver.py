@@ -51,10 +51,29 @@ def quilt_impute(
 ) -> ImputeOutput:
     t0 = time.time()
     N = len(samples)
-    nSNPs = prep.nSNPs
     ctx = RegionContext.build(prep, cfg)
     method = cfg.method
     ff_values = ff_values if ff_values is not None else np.zeros(N)
+    rare_common = cfg.impute_rare_common and prep.snp_is_common is not None
+    if rare_common:
+        # samples hold ALL-SNP reads; the seek loop runs on common SNPs
+        # (reference: quilt.R:664-684, functions.R:130-174)
+        from .rare_common import restrict_reads_to_common
+        nSNPs = len(prep.snp_is_common)
+        out_pos = prep.pos_all
+        out_ref, out_alt = prep.ref_allele_all, prep.alt_allele_all
+        in_region = prep.in_region_all()
+        samples_all = list(samples)
+        samples = [
+            restrict_reads_to_common(r, prep.snp_is_common, prep.grid)
+            for r in samples_all
+        ]
+    else:
+        nSNPs = prep.nSNPs
+        out_pos = prep.pos
+        out_ref, out_alt = prep.ref_allele, prep.alt_allele
+        in_region = prep.in_region()
+        samples_all = [None] * N
 
     eij_sum = np.zeros(nSNPs)
     var_sum = np.zeros(nSNPs)
@@ -69,7 +88,8 @@ def quilt_impute(
     for i, reads in enumerate(samples):
         print_message(f"Imputing sample {i + 1}/{N}: {sample_names[i]}")
         res = impute_one_sample(
-            ctx, reads, cfg, seed=cfg.seed + i, ff=ff_values[i]
+            ctx, reads, cfg, seed=cfg.seed + i, ff=ff_values[i],
+            reads_all=samples_all[i],
         )
         results.append(res)
         if not res.imputed:
@@ -125,16 +145,16 @@ def quilt_impute(
         write_quilt_vcf(
             vcf_path,
             chrom=prep.chrom,
-            pos=prep.pos,
-            ref_allele=prep.ref_allele,
-            alt_allele=prep.alt_allele,
+            pos=out_pos,
+            ref_allele=out_ref,
+            alt_allele=out_alt,
             sample_names=sample_names,
             sample_columns=columns,
             eaf=eaf,
             info=info,
             hwe=hwe,
             allele_count=allele_count,
-            in_region=prep.in_region(),
+            in_region=in_region,
             method=method,
             output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
         )

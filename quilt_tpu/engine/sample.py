@@ -50,6 +50,8 @@ class RegionContext:
     Knew: int
     n_seek_its: int
     n_burn_in_seek_its: int
+    trans_all: Optional[np.ndarray] = None    # rare/common: all-SNP trans
+    nGrids_all: int = 0
 
     @classmethod
     def build(cls, prep: PreparedReference, cfg: ImputeConfig) -> "RegionContext":
@@ -71,10 +73,16 @@ class RegionContext:
         if not cfg.use_mspbwt:
             fb_inputs = FBInputs.build(prep.panel, trans, thinned_grids=thinned)
         n_latent = 3 if cfg.method == "nipt" else 2
+        trans_all = None
+        nGrids_all = 0
+        if cfg.impute_rare_common and prep.sigma_all is not None:
+            trans_all = trans_rates(prep.sigma_all)
+            nGrids_all = len(prep.L_grid_all)
         return cls(
             prep=prep, trans=trans, fb_inputs=fb_inputs, thinned_grids=thinned,
             n_latent=n_latent, Ksub=Ksub, Knew=Knew, n_seek_its=n_seek,
-            n_burn_in_seek_its=n_burn,
+            n_burn_in_seek_its=n_burn, trans_all=trans_all,
+            nGrids_all=nGrids_all,
         )
 
 
@@ -160,6 +168,7 @@ def impute_one_sample(
     seed: int,
     ff: float = 0.0,
     truth_haps: Optional[np.ndarray] = None,
+    reads_all: Optional[SampleReads] = None,
 ) -> SampleResult:
     prep = ctx.prep
     nSNPs = prep.nSNPs
@@ -255,6 +264,62 @@ def impute_one_sample(
             new_sets[c] = np.sort(np.concatenate([prev_sel, new]))
         return hap_dos, new_sets
 
+    # rare/common support (QUILT2 impute_rare_common;
+    # reference: rare_common.R:109-470)
+    rare_common = (
+        cfg.impute_rare_common and reads_all is not None
+        and prep.snp_is_common is not None
+    )
+    if rare_common:
+        from .rare_common import (
+            build_subset_bits_all, initial_all_snp_labels,
+        )
+        reads_all = reads_all.sorted_by_grid()
+        nSNPs_all = len(prep.snp_is_common)
+        nGrids_all = ctx.nGrids_all
+        S_all = nGrids_all * 32
+        ginputs_all = GibbsInputs.build(reads_all, ctx.trans_all, nGrids_all)
+        preads_all = PaddedReads.build(reads_all, ref_error=prep.ref_error)
+        dosage_all_acc = np.zeros(nSNPs_all)
+        gp_all_acc = np.zeros((3, nSNPs_all))
+        fet_dosage_all_acc = np.zeros(nSNPs_all)
+        fet_gp_all_acc = np.zeros((3, nSNPs_all))
+        n_all_acc = 0
+
+    def run_all_snp_gibbs(which_haps_b, hap_dos_common, max_diff):
+        """Final all-SNP Gibbs for a batch of chains (rare/common mode)."""
+        B = which_haps_b.shape[0]
+        Ksub = which_haps_b.shape[1]
+        bits_np = build_subset_bits_all(
+            prep.rhb_t, which_haps_b, prep.snp_is_common,
+            prep.rare_per_hap_info, nGrids_all,
+        )
+        Kp = pad_to_multiple(Ksub, 128)
+        if Kp != Ksub:
+            pad = np.repeat(bits_np[:, :1, :], Kp - Ksub, axis=1)
+            bits_np = np.concatenate([bits_np, pad], axis=1)
+        H0_all = np.zeros((B, ginputs_all.R), dtype=np.int32)
+        for c in range(B):
+            H0_all[c, : reads_all.nReads] = initial_all_snp_labels(
+                reads_all, hap_dos_common[c], prep.snp_is_common, nl, ff, rng
+            )
+        uniforms = rng.random((n_its, B, ginputs_all.R)).astype(np.float32)
+        for attempt in range(11):
+            gp_a, gpF_a, hd_a, Hn, ll, uf = run_gibbs_chains(
+                bits=bits_np, preads=preads_all, inputs=ginputs_all,
+                uniforms=uniforms, H0=H0_all,
+                first_read=np.zeros(B, dtype=np.int32), n_latent=nl, ff=ff,
+                n_burn_in=n_its - 1, iterative_init=False, K_real=Ksub,
+                max_diff=max_diff, ref_error=prep.ref_error,
+            )
+            if not uf.any():
+                break
+            max_diff = max(1.0, max_diff / 10.0)
+        return (
+            gp_a[:, :, :nSNPs_all], gpF_a[:, :, :nSNPs_all],
+            hd_a[:, :, :nSNPs_all],
+        )
+
     # ------------------------------------------------------------------
     # main chains
     # ------------------------------------------------------------------
@@ -292,6 +357,23 @@ def impute_one_sample(
                 fet_gp_acc[2] += (h1 * h3).sum(axis=0)
             n_acc += C
         hap_dos_final = hap_dos
+
+    if rare_common:
+        gp_a, gpF_a, hd_a = run_all_snp_gibbs(
+            which_haps, hap_dos_final, max_diff
+        )
+        h1a, h2a = hd_a[:, 0], hd_a[:, 1]
+        dosage_all_acc += (h1a + h2a).sum(axis=0)
+        gp_all_acc[0] += ((1 - h1a) * (1 - h2a)).sum(axis=0)
+        gp_all_acc[1] += (h1a * (1 - h2a) + (1 - h1a) * h2a).sum(axis=0)
+        gp_all_acc[2] += (h1a * h2a).sum(axis=0)
+        if nl == 3:
+            h3a = hd_a[:, 2]
+            fet_dosage_all_acc += (h1a + h3a).sum(axis=0)
+            fet_gp_all_acc[0] += ((1 - h1a) * (1 - h3a)).sum(axis=0)
+            fet_gp_all_acc[1] += (h1a * (1 - h3a) + (1 - h1a) * h3a).sum(axis=0)
+            fet_gp_all_acc[2] += (h1a * h3a).sum(axis=0)
+        n_all_acc += C
 
     # ------------------------------------------------------------------
     # cross-chain consensus (diploid; NIPT folds 3->2 first, reference
@@ -333,6 +415,44 @@ def impute_one_sample(
             wh_p[0] = np.sort(np.concatenate([prev_sel, new]))
         else:
             hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, False)
+
+    if rare_common:
+        gp_ph, gpF_ph, hd_ph = run_all_snp_gibbs(
+            wh_p, hap_dos_ph[:, :, :nSNPs], max_diff
+        )
+        hap_dos_ph = hd_ph          # phased hap dosages over ALL SNPs
+        gp_all = gp_all_acc / max(n_all_acc, 1)
+        dosage_all = dosage_all_acc / max(n_all_acc, 1)
+        if nl == 2:
+            hd1, hd2 = recast_haps(hap_dos_ph[0, 0], hap_dos_ph[0, 1], gp_all)
+            return SampleResult(
+                imputed=True,
+                dosage=dosage_all,
+                gp=gp_all,
+                phased_haps=np.stack([np.round(hd1), np.round(hd2)]),
+                read_labels=cons,
+                allele_count=sample_allele_count(
+                    reads_all, nSNPs_all
+                ),
+            )
+        fet_gp_all = fet_gp_all_acc / max(n_all_acc, 1)
+        fet_dosage_all = fet_dosage_all_acc / max(n_all_acc, 1)
+        h1, h2, h3 = recast_nipt_haps(
+            hap_dos_ph[0, 0], hap_dos_ph[0, 1], hap_dos_ph[0, 2],
+            gp_all, fet_gp_all,
+        )
+        return SampleResult(
+            imputed=True,
+            dosage=dosage_all,
+            gp=gp_all,
+            phased_haps=np.stack([h1, h2, h3]),
+            read_labels=cons,
+            allele_count=sample_allele_count(reads_all, nSNPs_all),
+            mat_gp=gp_all,
+            fet_gp=fet_gp_all,
+            mat_dosage=dosage_all,
+            fet_dosage=fet_dosage_all,
+        )
 
     # ------------------------------------------------------------------
     # finalize

@@ -31,6 +31,7 @@ def simulate_panel(
     n_founders: int = 12,
     switch_rate: float = 0.01,
     region_span: int = 1_000_000,
+    mutation: float = 0.002,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Simulate a phased reference panel with LD.
 
@@ -50,7 +51,7 @@ def simulate_panel(
     founder_of = choice[np.arange(K)[:, None], idx]
     haps = founders[founder_of, np.arange(nSNPs)[None, :]]
     # light mutation
-    mut = rng.random((K, nSNPs)) < 0.002
+    mut = rng.random((K, nSNPs)) < mutation
     haps = np.where(mut, 1 - haps, haps).astype(np.uint8)
     pos = np.sort(rng.choice(region_span, size=nSNPs, replace=False)) + 1
     return haps, pos.astype(np.int64)

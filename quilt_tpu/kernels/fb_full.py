@@ -99,16 +99,39 @@ class FBInputs:
         )
 
 
+ESC_CHUNK = 65536
+
+
+def _pad_nnz(x, n_pad, value=0):
+    return jnp.pad(x, [(0, n_pad - x.shape[0])] + [(0, 0)] * (x.ndim - 1),
+                   constant_values=value)
+
+
 def _escape_emissions_flat(gl, esc_grid, esc_bits, ref_error):
-    """Exact emissions of flat escape entries: [B, nnz]."""
+    """Exact emissions of flat escape entries: [B, nnz] (chunked over nnz
+    to bound the [B, chunk, 32] transient)."""
     B = gl.shape[0]
     G = gl.shape[2] // 32
+    nnz = esc_grid.shape[0]
     gl_g = gl.reshape(B, 2, G, 32)
-    dR = gl_g[:, 0, esc_grid, :]                   # [B, nnz, 32]
-    dA = gl_g[:, 1, esc_grid, :]
-    e = esc_bits.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
-    term = dR * (1.0 - e[None]) + dA * e[None]
-    return jnp.exp(jnp.log(jnp.maximum(term, 1e-30)).sum(axis=-1))
+    e_all = esc_bits.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
+    n_chunks = (nnz + ESC_CHUNK - 1) // ESC_CHUNK
+    npad = n_chunks * ESC_CHUNK
+    eg = _pad_nnz(esc_grid, npad)
+    eb = _pad_nnz(e_all, npad)
+
+    def chunk(_, c):
+        g_c = jax.lax.dynamic_slice(eg, (c * ESC_CHUNK,), (ESC_CHUNK,))
+        e_c = jax.lax.dynamic_slice(
+            eb, (c * ESC_CHUNK, 0), (ESC_CHUNK, 32)
+        )
+        dR = gl_g[:, 0, g_c, :]
+        dA = gl_g[:, 1, g_c, :]
+        term = dR * (1.0 - e_c[None]) + dA * e_c[None]
+        return None, jnp.exp(jnp.log(jnp.maximum(term, 1e-30)).sum(axis=-1))
+
+    _, out = jax.lax.scan(chunk, None, jnp.arange(n_chunks))
+    return jnp.moveaxis(out, 0, 1).reshape(B, npad)[:, :nnz]
 
 
 @partial(
@@ -227,12 +250,27 @@ def _fb_core(
         dos_chunks.reshape(Gp, B, 32)[:G].transpose(1, 0, 2).reshape(B, S)
     )
     if nnz > 0:
-        # exact escape dosage: gamma of escape haps x their inflated alleles
-        gam_esc = gammas[esc_grid, :, esc_k]               # [nnz, B]
-        e_inf = esc_bits.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
-        contrib = gam_esc[:, :, None] * e_inf[:, None, :]  # [nnz, B, 32]
-        dos_g = dosage.reshape(B, G, 32)
-        dos_g = jnp.moveaxis(dos_g, 0, 1).at[esc_grid].add(contrib)
+        # exact escape dosage: gamma of escape haps x their inflated alleles,
+        # chunked over nnz and scatter-added per grid
+        e_inf_all = esc_bits.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
+        n_chunks = (nnz + ESC_CHUNK - 1) // ESC_CHUNK
+        npad = n_chunks * ESC_CHUNK
+        eg = _pad_nnz(esc_grid, npad)
+        ek = _pad_nnz(esc_k, npad)
+        ei = _pad_nnz(e_inf_all, npad)
+        valid = _pad_nnz(jnp.ones((nnz,), jnp.float32), npad)
+        dos_g = jnp.moveaxis(dosage.reshape(B, G, 32), 0, 1)   # [G, B, 32]
+
+        def chunk(dg, c):
+            g_c = jax.lax.dynamic_slice(eg, (c * ESC_CHUNK,), (ESC_CHUNK,))
+            k_c = jax.lax.dynamic_slice(ek, (c * ESC_CHUNK,), (ESC_CHUNK,))
+            e_c = jax.lax.dynamic_slice(ei, (c * ESC_CHUNK, 0), (ESC_CHUNK, 32))
+            v_c = jax.lax.dynamic_slice(valid, (c * ESC_CHUNK,), (ESC_CHUNK,))
+            gam_esc = gammas[g_c, :, k_c] * v_c[:, None]       # [chunk, B]
+            contrib = gam_esc[:, :, None] * e_c[:, None, :]    # [chunk, B, 32]
+            return dg.at[g_c].add(contrib), None
+
+        dos_g, _ = jax.lax.scan(chunk, dos_g, jnp.arange(n_chunks))
         dosage = jnp.moveaxis(dos_g, 0, 1).reshape(B, S)
     return dosage, log_like, top_vals, top_idx
 

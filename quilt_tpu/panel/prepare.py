@@ -299,6 +299,11 @@ class PreparedReference:
     af_all: Optional[np.ndarray] = None
     rare_per_hap_info: Optional[list] = None         # per hap: rare SNP idx carried
     ms_indices: Optional[list] = None                # mspbwt indices
+    # all-SNP HMM geometry (rare/common mode; reference:
+    # prepare_full_objects_for_rare_common, prepare_reference_functions.R:172-249)
+    grid_all: Optional[np.ndarray] = None            # int32 [nSNPs_all]
+    L_grid_all: Optional[np.ndarray] = None
+    sigma_all: Optional[np.ndarray] = None
 
     @property
     def K(self) -> int:
@@ -361,6 +366,9 @@ class PreparedReference:
             d["ref_allele_all"] = np.asarray(self.ref_allele_all)
             d["alt_allele_all"] = np.asarray(self.alt_allele_all)
             d["af_all"] = self.af_all
+            d["grid_all"] = self.grid_all
+            d["L_grid_all"] = self.L_grid_all
+            d["sigma_all"] = self.sigma_all
         if self.rare_per_hap_info is not None:
             flat = np.concatenate([np.asarray(x, dtype=np.int64)
                                    for x in self.rare_per_hap_info]) \
@@ -424,6 +432,9 @@ class PreparedReference:
             af_all=z.get("af_all"),
             rare_per_hap_info=rare_per_hap_info,
             ms_indices=ms_indices,
+            grid_all=z.get("grid_all"),
+            L_grid_all=z.get("L_grid_all"),
+            sigma_all=z.get("sigma_all"),
         )
 
 
@@ -491,6 +502,15 @@ def prepare_panel(
     grid, L_grid, nGrids = assign_positions_to_grid(pos)
     cM_grid = interpolate_genetic_map(gmap_pos, gmap_cm, L_grid, expRate)
     sigma = sigma_from_cm_grid(nGen, cM_grid, L_grid, expRate, minRate, maxRate)
+    grid_all = L_grid_all = sigma_all = None
+    if impute_rare_common:
+        grid_all, L_grid_all, _ = assign_positions_to_grid(pos_all)
+        cM_grid_all = interpolate_genetic_map(
+            gmap_pos, gmap_cm, L_grid_all, expRate
+        )
+        sigma_all = sigma_from_cm_grid(
+            nGen, cM_grid_all, L_grid_all, expRate, minRate, maxRate
+        )
     panel = compress_panel(rhb_t_common, nSNPs, ref_error=ref_error, nMaxDH=nMaxDH)
     ms_indices = None
     if use_mspbwt:
@@ -524,4 +544,7 @@ def prepare_panel(
         af_all=af_all if impute_rare_common else None,
         rare_per_hap_info=rare_per_hap_info,
         ms_indices=ms_indices,
+        grid_all=grid_all,
+        L_grid_all=L_grid_all,
+        sigma_all=sigma_all,
     )
