@@ -52,6 +52,7 @@ class RegionContext:
     n_burn_in_seek_its: int
     trans_all: Optional[np.ndarray] = None    # rare/common: all-SNP trans
     nGrids_all: int = 0
+    boundaries: Optional[np.ndarray] = None   # block-Gibbs suffix starts
 
     @classmethod
     def build(cls, prep: PreparedReference, cfg: ImputeConfig) -> "RegionContext":
@@ -78,11 +79,17 @@ class RegionContext:
         if cfg.impute_rare_common and prep.sigma_all is not None:
             trans_all = trans_rates(prep.sigma_all)
             nGrids_all = len(prep.L_grid_all)
+        from ..panel.prepare import make_smoothed_rate
+        from ..oracle.block_gibbs import detect_boundaries
+        smooth = make_smoothed_rate(
+            prep.sigma, prep.L_grid, cfg.shuffle_bin_radius
+        )
+        boundaries = detect_boundaries(smooth, 0.9) if nGrids > 4 else None
         return cls(
             prep=prep, trans=trans, fb_inputs=fb_inputs, thinned_grids=thinned,
             n_latent=n_latent, Ksub=Ksub, Knew=Knew, n_seek_its=n_seek,
             n_burn_in_seek_its=n_burn, trans_all=trans_all,
-            nGrids_all=nGrids_all,
+            nGrids_all=nGrids_all, boundaries=boundaries,
         )
 
 
@@ -210,6 +217,14 @@ def impute_one_sample(
     n_acc = 0
     hap_dos_final = np.zeros((C, nl, nSNPs))
 
+    # block-Gibbs schedule (reference: small_ref_panel_block_gibbs_iterations,
+    # quilt.R default c(3,6,9))
+    do_block_np = np.zeros(n_its, dtype=bool)
+    for bit in cfg.small_ref_panel_block_gibbs_iterations:
+        if 1 <= bit <= n_its:
+            do_block_np[bit - 1] = True
+    bnd = ctx.boundaries if ctx.boundaries is not None else np.zeros(0, np.int32)
+
     def run_chains(which_haps_b, H0_b, iterative, first_read_b, max_diff):
         """One Gibbs call (B chains), with underflow retry policy
         (reference: functions.R:2704-2714)."""
@@ -222,12 +237,14 @@ def impute_one_sample(
             rhb_sub = np.concatenate([rhb_sub, pad], axis=1)
         bits = _unpack_subset(jnp.asarray(rhb_sub))
         uniforms = rng.random((n_its, B, R)).astype(np.float32)
+        block_u = rng.random((n_its, len(bnd), 3, B)).astype(np.float32)
         for attempt in range(11):
             gp, gpF, hap_dos, Hn, ll, uf = run_gibbs_chains(
                 bits=bits, preads=preads, inputs=ginputs, uniforms=uniforms,
                 H0=H0_b, first_read=first_read_b, n_latent=nl, ff=ff,
                 n_burn_in=n_its - 1, iterative_init=iterative, K_real=Ksub,
                 max_diff=max_diff, ref_error=prep.ref_error,
+                boundaries=bnd, block_u=block_u, do_block=do_block_np,
             )
             if not uf.any():
                 break

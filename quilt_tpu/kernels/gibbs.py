@@ -116,6 +116,9 @@ def _gibbs_core(
     uniforms: jnp.ndarray,     # [n_its, B, R]
     H0: jnp.ndarray,           # [B, R] int32
     first_read: jnp.ndarray,   # [B] int32
+    boundaries: jnp.ndarray,   # [NB] int32 (block-Gibbs suffix starts; -1 pad)
+    block_u: jnp.ndarray,      # [n_its, NB, 3, B] uniforms for block moves
+    do_block: jnp.ndarray,     # [n_its] bool
     nl: int,
     iterative_init: bool,
     K_real: int,
@@ -148,6 +151,72 @@ def _gibbs_core(
         lm = jnp.where(k_mask[None, None, :], lemg_g, -jnp.inf)
         mx = lm.max(axis=2, keepdims=True)
         return jnp.exp(lm - mx) * km[None, None, :], mx[:, :, 0]
+
+    NB = boundaries.shape[0]
+    pairs = [(0, 1)] if nl == 2 else [(0, 1), (0, 2), (1, 2)]
+    log_prior = jnp.log(prior)
+
+    def block_moves(it, lemg, beta, alphas, H):
+        """Suffix-relabel escape moves at recombination-hot boundaries.
+        Functional equivalent of Rcpp_(shard_)block_gibbs_resampler
+        (gibbs-nipt-block.cpp:1636-2355); see oracle/block_gibbs.py."""
+
+        def bound_body(j, st):
+            lemg, beta, alphas, H = st
+            b = boundaries[j]
+            valid = b > 0
+            bb = jnp.maximum(b, 1)
+            sfx_g = (jnp.arange(G) >= bb)[:, None]          # [G, 1]
+            sfx_r = wif0 >= bb                               # [R]
+            for pi, (i, j2) in enumerate(pairs):
+                # decision state: alpha through b-1 (prefix), beta at b-1
+                # (future from b on) — the swap applies to grids >= b
+                alpha_b = alphas[bb - 1]                     # [B, nl, K]
+                beta_b = beta[bb - 1]
+                cii = (alpha_b[:, i] * beta_b[:, i]).sum(axis=1)
+                cjj = (alpha_b[:, j2] * beta_b[:, j2]).sum(axis=1)
+                cij = (alpha_b[:, i] * beta_b[:, j2]).sum(axis=1)
+                cji = (alpha_b[:, j2] * beta_b[:, i]).sum(axis=1)
+                w_keep = cii * cjj
+                w_swap = cij * cji
+                if nl == 3:
+                    mr = (sfx_r & read_mask)[None, :]
+                    n_i = ((H == i) & mr).sum(axis=1)
+                    n_j = ((H == j2) & mr).sum(axis=1)
+                    logpr = jnp.clip(
+                        (n_j - n_i).astype(jnp.float32)
+                        * (log_prior[i] - log_prior[j2]),
+                        -80.0, 80.0,
+                    )
+                    w_swap = w_swap * jnp.exp(logpr)
+                tot = w_keep + w_swap
+                ok = jnp.isfinite(tot) & (tot > 0)
+                p_swap = jnp.where(ok, w_swap / jnp.where(tot > 0, tot, 1.0), 0.0)
+                u = block_u[it, j, pi]                       # [B]
+                do_swap = valid & ok & (u < p_swap)          # [B]
+                cond_g = sfx_g & do_swap[None, :]            # [G, B]
+                cg = cond_g[:, :, None]
+                for arr_name in range(3):
+                    arr = (lemg, beta, alphas)[arr_name]
+                    ai = arr[:, :, i, :]
+                    aj = arr[:, :, j2, :]
+                    new_i = jnp.where(cg, aj, ai)
+                    new_j = jnp.where(cg, ai, aj)
+                    arr = arr.at[:, :, i, :].set(new_i)
+                    arr = arr.at[:, :, j2, :].set(new_j)
+                    if arr_name == 0:
+                        lemg = arr
+                    elif arr_name == 1:
+                        beta = arr
+                    else:
+                        alphas = arr
+                cond_r = (sfx_r[None, :] & do_swap[:, None])
+                H = jnp.where(cond_r & (H == i), nl + 7,
+                              jnp.where(cond_r & (H == j2), i, H))
+                H = jnp.where(H == nl + 7, j2, H)
+            return (lemg, beta, alphas, H)
+
+        return jax.lax.fori_loop(0, NB, bound_body, (lemg, beta, alphas, H))
 
     def one_iteration(it, state):
         lemg, beta, alphas, H, underflow, per_it_ll = state
@@ -273,6 +342,13 @@ def _gibbs_core(
             jnp.arange(G - 1, -1, -1),
         )
         beta = betas_rev[::-1]
+        if NB > 0:
+            lemg, beta, alphas, H = jax.lax.cond(
+                do_block[it],
+                lambda args: block_moves(it, *args),
+                lambda args: args,
+                (lemg, beta, alphas, H),
+            )
         p_O = logcs.sum(axis=0).sum(axis=1)                 # [B]
         logprior = jnp.log(prior)[H] * read_mask[None, :]
         p_H = logprior.sum(axis=1)
@@ -334,6 +410,9 @@ def run_gibbs_chains(
     max_diff: float = 1e10,
     ref_error: float = 0.001,
     eMatRead: Optional[jnp.ndarray] = None,
+    boundaries: Optional[np.ndarray] = None,
+    block_u: Optional[np.ndarray] = None,
+    do_block: Optional[np.ndarray] = None,
 ):
     """Run B independent Gibbs chains; returns numpy outputs.
 
@@ -361,6 +440,12 @@ def run_gibbs_chains(
                 ((0, 0), (0, 0), (0, R - eMatRead.shape[2])),
                 constant_values=1.0,
             )
+    n_its = uniforms.shape[0]
+    B = bits.shape[0]
+    if boundaries is None or len(boundaries) == 0:
+        boundaries = np.zeros(0, dtype=np.int32)
+        block_u = np.zeros((n_its, 0, 3, B), dtype=np.float32)
+        do_block = np.zeros(n_its, dtype=bool)
     gp, gpF, hap_dos, H, ll, uf = _gibbs_core(
         eMatRead,
         jnp.asarray(bits),
@@ -373,6 +458,9 @@ def run_gibbs_chains(
         jnp.asarray(uniforms, dtype=np.float32),
         jnp.asarray(H0, dtype=np.int32),
         jnp.asarray(first_read, dtype=np.int32),
+        jnp.asarray(boundaries, dtype=np.int32),
+        jnp.asarray(block_u, dtype=np.float32),
+        jnp.asarray(do_block),
         nl=n_latent,
         iterative_init=iterative_init,
         K_real=K_real,
