@@ -69,8 +69,9 @@ def _fb_sharded_local(
     def fwd_step(alpha, g):
         t = trans[g]
         e = emission_at(g)
-        is_first = (g == 0).astype(jnp.float32)
-        a_raw = (t[0] * alpha + (t[1] + is_first) / K) * e
+        # trans row 0 is (1, 1): with zero alpha carry this yields the
+        # uniform prior e/K at the first grid
+        a_raw = (t[0] * alpha + t[1] / K) * e
         # global normalizer across the panel axis
         s = jax.lax.psum(a_raw.sum(axis=1), axis_name="panel")   # [B]
         s = jnp.maximum(s, 1e-30)

@@ -58,6 +58,17 @@ class FBInputs:
     nSNPs: int
     nMaxDH: int
     nnz: int
+    _dev: Optional[dict] = None    # cached device-resident arrays
+
+    def device(self) -> dict:
+        """Upload the static arrays once; reused across FB calls."""
+        if self._dev is None:
+            self._dev = {
+                k: jnp.asarray(getattr(self, k))
+                for k in ("dh", "ie", "dh_bits", "esc_grid", "esc_k",
+                          "esc_bits", "trans", "thin_flag")
+            }
+        return self._dev
 
     @classmethod
     def build(
@@ -70,9 +81,14 @@ class FBInputs:
 
         K, nGrids = panel.K, panel.nGrids
         K_pad = pad_to_multiple(K, 128)
-        S = nGrids * 32
-        dh = panel.hapMatcher.astype(np.int32).T          # [G, K]
-        dh = pad_axis(dh, 1, K_pad, value=0)              # pads -> slot 0 = 0
+        # grid axis padded to the scan-chunk multiple with NEUTRAL grids
+        # (emission 1 for real haps, stay=1/jump=0): the recursion is a
+        # no-op through them, amortizing per-step scan overhead
+        Gp = pad_to_multiple(nGrids, GRID_CHUNK)
+        S = Gp * 32
+        dh = np.zeros((Gp, K_pad), dtype=np.int32)
+        dh[:nGrids, :K] = panel.hapMatcher.astype(np.int32).T
+        dh[nGrids:, :K] = 1                               # neutral: slot 1
         ie = np.zeros((panel.nMaxDH + 1, S), dtype=np.float32)
         ie[1:, :panel.nSNPs] = panel.distinctHapsIE[:, :panel.nSNPs]
         dh_bits = np.zeros((panel.nMaxDH, S), dtype=np.uint8)
@@ -80,10 +96,11 @@ class FBInputs:
             panel.distinctHapsB, panel.nSNPs
         )
         esc_bits = unpack_words(panel.esc_word)           # [nnz, 32]
-        trans_full = np.zeros((nGrids, 2), dtype=np.float32)
-        trans_full[0] = (1.0, 0.0)
-        trans_full[1:] = np.asarray(trans, dtype=np.float32).T
-        thin_flag = np.full(nGrids, -1, dtype=np.int32)
+        trans_full = np.zeros((Gp, 2), dtype=np.float32)
+        trans_full[0] = (1.0, 1.0)    # g=0: alpha carry 0 => prior jump/K
+        trans_full[1:nGrids] = np.asarray(trans, dtype=np.float32).T
+        trans_full[nGrids:] = (1.0, 0.0)
+        thin_flag = np.full(Gp, -1, dtype=np.int32)
         if thinned_grids is not None:
             for i, g in enumerate(thinned_grids):
                 thin_flag[int(g)] = i
@@ -94,12 +111,14 @@ class FBInputs:
             esc_word=panel.esc_word.astype(np.uint32),
             esc_bits=esc_bits,
             trans=trans_full, thin_flag=thin_flag,
-            K=K, K_pad=K_pad, nGrids=nGrids, S=S, nSNPs=panel.nSNPs,
+            K=K, K_pad=K_pad, nGrids=Gp, S=S, nSNPs=panel.nSNPs,
             nMaxDH=panel.nMaxDH, nnz=len(panel.esc_k),
         )
 
 
 ESC_CHUNK = 65536
+GRID_CHUNK = 16      # grids per scan step (amortizes TPU loop overhead)
+EMIT_CHUNK = 64      # grids per emission-matmul chunk
 
 
 def _pad_nnz(x, n_pad, value=0):
@@ -160,62 +179,114 @@ def _fb_core(
     B, _, S = gl.shape
     G = S // 32
     D1 = nMaxDH + 1
-    # ---- emissions for every (grid, hap): one gather, then COO correction
+    CG = GRID_CHUNK
+    NSC = G // CG
+    # ---- emissions for every (grid, hap): chunked one-hot MXU matmuls
+    # (gather-as-matmul; direct gathers are an order of magnitude slower on
+    # TPU for this access pattern), then exact COO escape correction
     eMatDH = emat_dh_from_gl(gl, dh_bits, ref_error)       # [B, G, D+1]
     eMatDH_t = jnp.moveaxis(eMatDH, 0, 1)                  # [G, B, D+1]
-    E = jnp.take_along_axis(eMatDH_t, dh[:, None, :], axis=2)   # [G, B, K_pad]
+    NEC = G // np.gcd(G, EMIT_CHUNK)
+    EC = G // NEC if NEC > 0 else G
+
+    def e_chunk(_, c):
+        g0 = c * EC
+        tab = jax.lax.dynamic_slice(eMatDH_t, (g0, 0, 0), (EC, B, D1))
+        dh_c = jax.lax.dynamic_slice(dh, (g0, 0), (EC, K_pad))
+        onehot = jax.nn.one_hot(dh_c, D1, dtype=jnp.bfloat16)  # [EC, K, D1]
+        e = jnp.einsum(
+            "gbd,gkd->gbk", tab.astype(jnp.bfloat16), onehot,
+            preferred_element_type=jnp.float32,
+        )
+        return None, e
+
+    _, E = jax.lax.scan(e_chunk, None, jnp.arange(NEC))
+    E = E.reshape(G, B, K_pad)
     if nnz > 0:
         esc_e = _escape_emissions_flat(gl, esc_grid, esc_bits, ref_error)
         E = E.at[esc_grid, :, esc_k].set(esc_e.T)
     # pad haps: dh pads point at slot 0 whose table value is 0 => alpha 0
 
-    # ---- forward scan: elementwise only
-    def fwd_step(alpha, xs):
-        e, t = xs
-        is_first = (t[0] == 1.0) & (t[1] == 0.0)
-        a_raw = (t[0] * alpha + (t[1] + is_first.astype(jnp.float32)) / K) * e
-        s = a_raw.sum(axis=1, keepdims=True)
-        a = a_raw / s
-        return a, (a, jnp.log(s[:, 0]))
+    # ---- forward: scan over grid chunks, inner steps unrolled
+    E_c = E.reshape(NSC, CG, B, K_pad)
+    trans_c = trans.reshape(NSC, CG, 2)
+
+    def fwd_chunk(alpha, xs):
+        e_ch, t_ch = xs
+        outs = []
+        logs = []
+        for i in range(CG):
+            a_raw = (t_ch[i, 0] * alpha + t_ch[i, 1] / K) * e_ch[i]
+            ssum = a_raw.sum(axis=1, keepdims=True)
+            alpha = a_raw / ssum
+            outs.append(alpha)
+            logs.append(jnp.log(ssum[:, 0]))
+        return alpha, (jnp.stack(outs), jnp.stack(logs))
 
     alpha0 = jnp.zeros((B, K_pad), dtype=jnp.float32)
-    _, (alphas, log_s) = jax.lax.scan(fwd_step, alpha0, (E, trans))
-    log_like = log_s.sum(axis=0)
+    _, (alphas_c, log_s) = jax.lax.scan(fwd_chunk, alpha0, (E_c, trans_c))
+    alphas = alphas_c.reshape(G, B, K_pad)
+    log_like = log_s.reshape(G, B).sum(axis=0)
 
-    # ---- backward scan: beta + normalized gamma (+ top-K at thinned grids)
-    def bwd_step(beta, g):
-        gn = jnp.minimum(g + 1, G - 1)
-        e_next = E[gn]
-        t_next = trans[gn]
-        etb = e_next * beta
-        b_new = t_next[0] * etb + t_next[1] * etb.sum(axis=1, keepdims=True) / K
-        b_new = jnp.where(g == G - 1, jnp.ones_like(beta), b_new)
-        b_new = b_new / jnp.maximum(b_new.max(axis=1, keepdims=True), 1e-30)
-        gamma = alphas[g] * b_new
-        gamma = gamma / gamma.sum(axis=1, keepdims=True)
-        tf = thin_flag[g]
+    # ---- backward: chunked reverse scan; beta + normalized gamma + top-K
+    thin_c = thin_flag.reshape(NSC, CG)
 
-        def do_topk(_):
-            v, i = jax.lax.top_k(gamma[:, :K], K_top)
-            return v, i.astype(jnp.int32)
+    def bwd_chunk(carry, c):
+        beta, e_next, t_next = carry      # state at grid (c+1)*CG
+        ci = NSC - 1 - c
+        e_ch = E_c[ci]
+        t_ch = trans_c[ci]
+        a_ch = alphas_c[ci]
+        th_ch = thin_c[ci]
+        gammas = []
+        tvs = []
+        tis = []
+        for i in range(CG - 1, -1, -1):
+            is_last_grid = (ci == NSC - 1) & (i == CG - 1)
+            etb = e_next * beta
+            b_new = t_next[0] * etb + t_next[1] * etb.sum(
+                axis=1, keepdims=True
+            ) / K
+            beta = jnp.where(is_last_grid, jnp.ones_like(beta), b_new)
+            beta = beta / jnp.maximum(beta.max(axis=1, keepdims=True), 1e-30)
+            gamma = a_ch[i] * beta
+            gamma = gamma / gamma.sum(axis=1, keepdims=True)
+            gammas.append(gamma)
+            tf = th_ch[i]
 
-        def no_topk(_):
-            return (
-                jnp.zeros((B, K_top), dtype=gamma.dtype),
-                jnp.zeros((B, K_top), dtype=jnp.int32),
-            )
+            def do_topk(_):
+                v, ix = jax.lax.top_k(gamma[:, :K], K_top)
+                return v, ix.astype(jnp.int32)
 
-        tv, ti = jax.lax.cond(tf >= 0, do_topk, no_topk, None)
-        return b_new, (gamma, tv, ti)
+            def no_topk(_):
+                return (
+                    jnp.zeros((B, K_top), dtype=gamma.dtype),
+                    jnp.zeros((B, K_top), dtype=jnp.int32),
+                )
 
-    _, (gammas_rev, tv_rev, ti_rev) = jax.lax.scan(
-        bwd_step,
+            tv, ti = jax.lax.cond(tf >= 0, do_topk, no_topk, None)
+            tvs.append(tv)
+            tis.append(ti)
+            e_next = e_ch[i]
+            t_next = t_ch[i]
+        gammas.reverse()
+        tvs.reverse()
+        tis.reverse()
+        return (beta, e_next, t_next), (
+            jnp.stack(gammas), jnp.stack(tvs), jnp.stack(tis)
+        )
+
+    carry0 = (
         jnp.ones((B, K_pad), dtype=jnp.float32),
-        jnp.arange(G - 1, -1, -1),
+        E_c[NSC - 1, CG - 1],
+        trans_c[NSC - 1, CG - 1],
     )
-    gammas = gammas_rev[::-1]                              # [G, B, K_pad]
-    top_vals = tv_rev[::-1]
-    top_idx = ti_rev[::-1]
+    _, (gammas_rc, tv_rc, ti_rc) = jax.lax.scan(
+        bwd_chunk, carry0, jnp.arange(NSC)
+    )
+    gammas = gammas_rc[::-1].reshape(G, B, K_pad)
+    top_vals = tv_rc[::-1].reshape(G, B, K_top)
+    top_idx = ti_rc[::-1].reshape(G, B, K_top)
 
     # ---- dosage: chunked MXU matmuls through the distinct-hap table
     ie_g = ie.reshape(D1, G, 32)
@@ -291,16 +362,17 @@ def fb_full_batched(
     S = inputs.S
     gl_pad = np.ones((B, 2, S), dtype=np.float32)
     gl_pad[:, :, : gl.shape[2]] = gl
+    dev = inputs.device()
     dosage, log_like, tv, ti = _fb_core(
         jnp.asarray(gl_pad),
-        jnp.asarray(inputs.dh),
-        jnp.asarray(inputs.ie),
-        jnp.asarray(inputs.dh_bits),
-        jnp.asarray(inputs.esc_grid),
-        jnp.asarray(inputs.esc_k),
-        jnp.asarray(inputs.esc_bits),
-        jnp.asarray(inputs.trans),
-        jnp.asarray(inputs.thin_flag),
+        dev["dh"],
+        dev["ie"],
+        dev["dh_bits"],
+        dev["esc_grid"],
+        dev["esc_k"],
+        dev["esc_bits"],
+        dev["trans"],
+        dev["thin_flag"],
         K=inputs.K,
         K_pad=inputs.K_pad,
         nMaxDH=inputs.nMaxDH,
