@@ -37,6 +37,12 @@ class BgzfWriter:
         self._fh: BinaryIO = open(path, "wb")
         self._buf = bytearray()
         self._level = level
+        self._coffset = 0     # compressed bytes written so far
+
+    def tell_virtual(self) -> int:
+        """Tabix virtual offset of the next byte to be written:
+        (compressed_block_start << 16) | uncompressed_offset_in_block."""
+        return (self._coffset << 16) | (len(self._buf) & 0xFFFF)
 
     def write(self, data: Union[bytes, str]) -> None:
         if isinstance(data, str):
@@ -45,11 +51,15 @@ class BgzfWriter:
         while len(self._buf) >= MAX_BLOCK:
             block = bytes(self._buf[:MAX_BLOCK])
             del self._buf[:MAX_BLOCK]
-            self._fh.write(_compress_block(block, self._level))
+            comp = _compress_block(block, self._level)
+            self._fh.write(comp)
+            self._coffset += len(comp)
 
     def close(self) -> None:
         if self._buf:
-            self._fh.write(_compress_block(bytes(self._buf), self._level))
+            comp = _compress_block(bytes(self._buf), self._level)
+            self._fh.write(comp)
+            self._coffset += len(comp)
             self._buf.clear()
         self._fh.write(BGZF_EOF)
         self._fh.close()

@@ -199,7 +199,10 @@ def write_quilt_vcf(
     in_region: Optional[np.ndarray] = None,
     method: str = "diploid",
     output_gt_phased_genotypes: bool = True,
+    write_index: bool = True,
 ) -> None:
+    from .tabix import TabixIndexer
+
     nSNPs = len(pos)
     if in_region is None:
         in_region = np.ones(nSNPs, dtype=bool)
@@ -208,9 +211,9 @@ def write_quilt_vcf(
     with np.errstate(invalid="ignore", divide="ignore"):
         paf = allele_count[:, 0] / allele_count[:, 1]
     paf = np.nan_to_num(paf, nan=0.0)
+    idx = TabixIndexer() if write_index else None
     with BgzfWriter(path) as w:
         w.write(make_header(sample_names, method, output_gt_phased_genotypes))
-        lines: List[str] = []
         for s in range(nSNPs):
             if not in_region[s]:
                 continue
@@ -223,9 +226,9 @@ def write_quilt_vcf(
                 chrom, str(int(pos[s])), ".", str(ref_allele[s]),
                 str(alt_allele[s]), ".", "PASS", info_field, fmt,
             ] + [col[s] for col in sample_columns]
-            lines.append("\t".join(fields))
-            if len(lines) >= 1000:
-                w.write("\n".join(lines) + "\n")
-                lines = []
-        if lines:
-            w.write("\n".join(lines) + "\n")
+            vbeg = w.tell_virtual()
+            w.write("\t".join(fields) + "\n")
+            if idx is not None:
+                idx.add(chrom, int(pos[s]), vbeg, w.tell_virtual())
+    if idx is not None:
+        idx.write(path + ".tbi")
