@@ -1,0 +1,210 @@
+"""HLA allele typing for one sample.
+
+Functional equivalent of QUILT_HLA / quilt_hla_one_sample (reference:
+QUILT/R/quilt-hla.R:24-316, hla_functions.R): combine
+(1) direct read-vs-allele mapping likelihoods over the gene's reads
+    (do_simon_read_stuff_with_that_and_that2, hla_functions.R:1345-1645),
+    with kmer-consistency filtering (filter_that*, :491-710), and
+(2) allele probabilities derived from QUILT's full-panel state posterior
+    at the gene-centre grid through the allele-labeled panel haplotypes
+    (get_fourdigitreadscaledlikelihoodmat, :757-852),
+reporting best allele pairs until cumulative posterior >= 0.99
+(getbestalleles, :1327-1344).
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..utils import print_message
+from .db import BASES
+from .prepare import HLAPrepared
+
+
+@dataclass
+class GeneRead:
+    pos0: int                 # 0-based genomic leftmost
+    seq: np.ndarray           # uint8 base codes
+    qual: np.ndarray          # int
+
+
+@dataclass
+class HLATypingResult:
+    gene: str
+    allele_names: List[str]
+    # pair posteriors, both modes
+    pairs_combined: List[Tuple[str, str, float]]   # sorted desc
+    pairs_quilt_only: List[Tuple[str, str, float]]
+    bestallele1: str
+    bestallele2: str
+    post: float
+
+
+def _kmer_fraction(seq: np.ndarray, kmers, k: int) -> float:
+    if len(seq) < k:
+        return 0.0
+    n = hit = 0
+    code = 0
+    valid = 0
+    mask = (1 << (2 * k)) - 1
+    for b in seq:
+        if b >= 4:
+            code, valid = 0, 0
+            continue
+        code = ((code << 2) | int(b)) & mask
+        valid += 1
+        if valid >= k:
+            n += 1
+            if code in kmers:
+                hit += 1
+    return hit / max(n, 1)
+
+
+def read_allele_loglik(
+    read: GeneRead, hla: HLAPrepared
+) -> Optional[np.ndarray]:
+    """log P(read | allele) for every allele, aligning by genomic position.
+
+    Bases outside the gene span are ignored; mismatches cost log(eps/3)
+    with eps from the base quality (hla_functions.R getscores :974-999).
+    """
+    g = hla.db.gene
+    A = hla.db.n_alleles
+    L = g.length
+    start_off = read.pos0 + 1 - g.start          # offset into gene seq
+    lo = max(0, -start_off)
+    hi = min(len(read.seq), L - start_off)
+    if hi - lo < hla.k:
+        return None
+    idx = np.arange(lo, hi)
+    gidx = start_off + idx
+    seq = read.seq[idx]
+    qual = np.maximum(read.qual[idx], 5)
+    eps = 10.0 ** (-qual / 10.0)
+    ok = seq < 4
+    if ok.sum() < hla.k:
+        return None
+    allele_bases = hla.db.seqs[:, gidx]           # [A, n]
+    match = allele_bases == seq[None, :]
+    logp = np.where(
+        match, np.log(1 - eps)[None, :], np.log(eps / 3)[None, :]
+    )
+    logp = np.where(ok[None, :], logp, 0.0)
+    return logp.sum(axis=1)
+
+
+def type_hla_sample(
+    hla: HLAPrepared,
+    reads: Sequence[GeneRead],
+    gammas: Optional[np.ndarray] = None,     # [n_chains, K] or [K]
+    kmer_min_fraction: float = 0.5,
+    post_cutoff: float = 0.99,
+) -> HLATypingResult:
+    A = hla.db.n_alleles
+    names = hla.db.allele_names
+    # ---- direct read likelihoods with kmer filter
+    logliks: List[np.ndarray] = []
+    n_filtered = 0
+    for rd in reads:
+        if _kmer_fraction(rd.seq, hla.kmers, hla.k) < kmer_min_fraction:
+            n_filtered += 1
+            continue
+        ll = read_allele_loglik(rd, hla)
+        if ll is not None:
+            logliks.append(ll)
+    # ---- state-posterior allele prior
+    if gammas is not None:
+        gam = np.atleast_2d(np.asarray(gammas))
+        prior = np.zeros(A)
+        for row in gam:
+            prior += hla.allele_prior_from_gamma(row)
+        prior /= len(gam)
+        prior = np.maximum(prior, 1e-12)
+    else:
+        prior = np.full(A, 1.0 / A)
+
+    def pair_posteriors(use_reads: bool, use_prior: bool):
+        logw = np.zeros((A, A))
+        for a1 in range(A):
+            for a2 in range(a1, A):
+                lw = 0.0
+                if use_prior:
+                    lw += np.log(prior[a1]) + np.log(prior[a2])
+                    if a1 != a2:
+                        lw += np.log(2.0)
+                if use_reads:
+                    for ll in logliks:
+                        m = max(ll[a1], ll[a2])
+                        lw += m + np.log(
+                            0.5 * np.exp(ll[a1] - m) + 0.5 * np.exp(ll[a2] - m)
+                        )
+                logw[a1, a2] = lw
+        iu = np.triu_indices(A)
+        vals = logw[iu]
+        vals = vals - vals.max()
+        p = np.exp(vals)
+        p /= p.sum()
+        order = np.argsort(-p)
+        return [
+            (names[iu[0][o]], names[iu[1][o]], float(p[o])) for o in order
+        ]
+
+    combined = pair_posteriors(use_reads=True, use_prior=gammas is not None)
+    quilt_only = pair_posteriors(use_reads=False, use_prior=True)
+    best = combined[0]
+    print_message(
+        f"HLA {hla.db.gene.name}: {len(logliks)} reads used "
+        f"({n_filtered} kmer-filtered); best {best[0]}/{best[1]} "
+        f"post {best[2]:.3f}"
+    )
+    return HLATypingResult(
+        gene=hla.db.gene.name,
+        allele_names=names,
+        pairs_combined=combined,
+        pairs_quilt_only=quilt_only,
+        bestallele1=best[0],
+        bestallele2=best[1],
+        post=best[2],
+    )
+
+
+def write_hla_summaries(
+    results: Dict[str, HLATypingResult],
+    sample_names: Sequence[str],
+    outputdir: str,
+    region: str,
+    post_cutoff: float = 0.99,
+) -> None:
+    """Write the reference's 4 summary tables (quilt-hla.R:278-307):
+    {top, all >= cutoff} x {combined, quilt-only}."""
+    import os
+
+    os.makedirs(outputdir, exist_ok=True)
+    for mode in ("combined", "quiltonly"):
+        top_rows = ["sample_number\tsample_name\tbestallele1\tbestallele2\tpost"]
+        all_rows = ["sample_number\tsample_name\tallele1\tallele2\tpost\tsums"]
+        for i, sn in enumerate(sample_names):
+            res = results.get(sn)
+            if res is None:
+                continue
+            pairs = (
+                res.pairs_combined if mode == "combined"
+                else res.pairs_quilt_only
+            )
+            top_rows.append(
+                f"{i + 1}\t{sn}\t{pairs[0][0]}\t{pairs[0][1]}\t{pairs[0][2]:.4f}"
+            )
+            cum = 0.0
+            for a1, a2, p in pairs:
+                cum += p
+                all_rows.append(f"{i + 1}\t{sn}\t{a1}\t{a2}\t{p:.4f}\t{cum:.4f}")
+                if cum >= post_cutoff:
+                    break
+        for kind, rows in (("topresult", top_rows), ("allres", all_rows)):
+            path = os.path.join(
+                outputdir, f"quilt.hla.output.{mode}.{kind}.{region}.txt"
+            )
+            with open(path, "w") as fh:
+                fh.write("\n".join(rows) + "\n")

@@ -60,14 +60,20 @@ class FBInputs:
     nnz: int
     _dev: Optional[dict] = None    # cached device-resident arrays
 
+    capture_grid: int = -1       # grid whose gamma to capture (hla_run)
+
     def device(self) -> dict:
         """Upload the static arrays once; reused across FB calls."""
         if self._dev is None:
+            cap = np.zeros(self.nGrids, dtype=np.float32)
+            if self.capture_grid >= 0:
+                cap[self.capture_grid] = 1.0
             self._dev = {
                 k: jnp.asarray(getattr(self, k))
                 for k in ("dh", "ie", "dh_bits", "esc_grid", "esc_k",
                           "esc_bits", "trans", "thin_flag")
             }
+            self._dev["capture_flag"] = jnp.asarray(cap)
         return self._dev
 
     @classmethod
@@ -168,6 +174,7 @@ def _fb_core(
     esc_bits: jnp.ndarray,    # [nnz, 32]
     trans: jnp.ndarray,       # [G, 2]
     thin_flag: jnp.ndarray,   # [G]
+    capture_flag: jnp.ndarray,  # [G] f32; 1 at grids whose gamma is captured
     K: int,
     K_pad: int,
     nMaxDH: int,
@@ -231,13 +238,16 @@ def _fb_core(
     # ---- backward: chunked reverse scan; beta + normalized gamma + top-K
     thin_c = thin_flag.reshape(NSC, CG)
 
+    cap_c = capture_flag.reshape(NSC, CG)
+
     def bwd_chunk(carry, c):
-        beta, e_next, t_next = carry      # state at grid (c+1)*CG
+        beta, e_next, t_next, gcap = carry    # state at grid (c+1)*CG
         ci = NSC - 1 - c
         e_ch = E_c[ci]
         t_ch = trans_c[ci]
         a_ch = alphas_c[ci]
         th_ch = thin_c[ci]
+        cp_ch = cap_c[ci]
         gammas = []
         tvs = []
         tis = []
@@ -267,12 +277,13 @@ def _fb_core(
             tv, ti = jax.lax.cond(tf >= 0, do_topk, no_topk, None)
             tvs.append(tv)
             tis.append(ti)
+            gcap = gcap + gamma * cp_ch[i]
             e_next = e_ch[i]
             t_next = t_ch[i]
         gammas.reverse()
         tvs.reverse()
         tis.reverse()
-        return (beta, e_next, t_next), (
+        return (beta, e_next, t_next, gcap), (
             jnp.stack(gammas), jnp.stack(tvs), jnp.stack(tis)
         )
 
@@ -280,8 +291,9 @@ def _fb_core(
         jnp.ones((B, K_pad), dtype=jnp.float32),
         E_c[NSC - 1, CG - 1],
         trans_c[NSC - 1, CG - 1],
+        jnp.zeros((B, K_pad), dtype=jnp.float32),
     )
-    _, (gammas_rc, tv_rc, ti_rc) = jax.lax.scan(
+    (_, _, _, gamma_cap), (gammas_rc, tv_rc, ti_rc) = jax.lax.scan(
         bwd_chunk, carry0, jnp.arange(NSC)
     )
     gammas = gammas_rc[::-1].reshape(G, B, K_pad)
@@ -343,7 +355,7 @@ def _fb_core(
 
         dos_g, _ = jax.lax.scan(chunk, dos_g, jnp.arange(n_chunks))
         dosage = jnp.moveaxis(dos_g, 0, 1).reshape(B, S)
-    return dosage, log_like, top_vals, top_idx
+    return dosage, log_like, top_vals, top_idx, gamma_cap
 
 
 def fb_full_batched(
@@ -363,7 +375,7 @@ def fb_full_batched(
     gl_pad = np.ones((B, 2, S), dtype=np.float32)
     gl_pad[:, :, : gl.shape[2]] = gl
     dev = inputs.device()
-    dosage, log_like, tv, ti = _fb_core(
+    dosage, log_like, tv, ti, gamma_cap = _fb_core(
         jnp.asarray(gl_pad),
         dev["dh"],
         dev["ie"],
@@ -373,6 +385,7 @@ def fb_full_batched(
         dev["esc_bits"],
         dev["trans"],
         dev["thin_flag"],
+        dev["capture_flag"],
         K=inputs.K,
         K_pad=inputs.K_pad,
         nMaxDH=inputs.nMaxDH,
@@ -381,10 +394,13 @@ def fb_full_batched(
         ref_error=ref_error,
     )
     if return_arrays:
-        return (
+        out = (
             np.asarray(dosage)[:, : inputs.nSNPs],
             np.asarray(log_like),
             np.asarray(tv),
             np.asarray(ti),
         )
-    return dosage, log_like, tv, ti
+        if inputs.capture_grid >= 0:
+            return out + (np.asarray(gamma_cap)[:, : inputs.K],)
+        return out
+    return dosage, log_like, tv, ti, gamma_cap

@@ -1,0 +1,110 @@
+"""HLA subsystem tests: prepare (kmer DB + hap labeling) and typing
+(read mapping x state-posterior combination), mirroring the reference's
+pseudo-acceptance HLA test strategy (test-acceptance-hla.R:1-120)."""
+import numpy as np
+import pytest
+
+from quilt_tpu.hla import (
+    HLAGene,
+    prepare_hla_reference,
+    simulate_hla_db,
+    type_hla_sample,
+    write_hla_summaries,
+)
+from quilt_tpu.hla.db import BASES, alleles_at_positions
+from quilt_tpu.hla.typing import GeneRead
+from quilt_tpu.io import simulate_panel
+from quilt_tpu.panel import prepare_panel
+
+
+@pytest.fixture
+def hla_world(rng):
+    gene = HLAGene("HLA-A", "chr6", 10_001, 13_000)
+    db = simulate_hla_db(rng, gene, n_alleles=6, n_variant_sites=60)
+    # panel: SNPs inside the gene at allele-variant sites; each panel hap
+    # carries one allele's sequence states
+    var_sites = np.flatnonzero(
+        (db.seqs != db.seqs[0][None, :]).any(axis=0)
+    )
+    pos = gene.start + var_sites.astype(np.int64)
+    ref = np.array([BASES[b] for b in db.seqs[0, var_sites]])
+    # alt: the most common non-ref base at the site
+    alt = []
+    for j, s in enumerate(var_sites):
+        col = db.seqs[:, s]
+        others = col[col != db.seqs[0, s]]
+        alt.append(BASES[others[0]])
+    alt = np.array(alt)
+    K = 40
+    hap_allele = rng.integers(0, db.n_alleles, K)
+    haps = np.zeros((K, len(pos)), dtype=np.uint8)
+    for k in range(K):
+        states, idx = alleles_at_positions(db, pos, ref, alt)
+        st = states[hap_allele[k]]
+        haps[k] = np.where(st == 1, 1, 0)
+    prep = prepare_panel(
+        chrom="chr6", pos=pos, ref_allele=ref, alt_allele=alt, haps=haps,
+        nMaxDH=32,
+    )
+    return gene, db, prep, hap_allele
+
+
+def test_prepare_labels_haps(hla_world):
+    gene, db, prep, hap_allele = hla_world
+    hla = prepare_hla_reference(db, prep, k=8)
+    labeled = hla.hap_labels >= 0
+    assert labeled.mean() > 0.9
+    # labels must identify alleles with identical gene-SNP states
+    states, idx = alleles_at_positions(
+        db, prep.pos, prep.ref_allele, prep.alt_allele
+    )
+    agree = 0
+    for k in np.flatnonzero(labeled):
+        if (states[hla.hap_labels[k]] == states[hap_allele[k]]).all():
+            agree += 1
+    assert agree / labeled.sum() > 0.9
+
+
+def test_typing_recovers_alleles(hla_world, rng, tmp_path):
+    gene, db, prep, hap_allele = hla_world
+    hla = prepare_hla_reference(db, prep, k=8)
+    true_a = (1, 3)
+    reads = []
+    L = 120
+    for r in range(60):
+        a = true_a[r % 2]
+        start = int(rng.integers(0, gene.length - L))
+        seq = db.seqs[a, start:start + L].copy()
+        err = rng.random(L) < 0.002
+        seq = np.where(err, (seq + 1) % 4, seq).astype(np.uint8)
+        reads.append(GeneRead(
+            pos0=gene.start - 1 + start, seq=seq,
+            qual=np.full(L, 30),
+        ))
+    # contaminant reads that should be kmer-filtered
+    for r in range(10):
+        reads.append(GeneRead(
+            pos0=gene.start - 1,
+            seq=rng.integers(0, 4, L).astype(np.uint8),
+            qual=np.full(L, 30),
+        ))
+    # fake QUILT gammas: posterior mass on panel haps labeled with truth
+    gam = np.zeros(prep.K)
+    for k in range(prep.K):
+        if hla.hap_labels[k] in true_a:
+            gam[k] = 1.0
+    gam /= gam.sum()
+    res = type_hla_sample(hla, reads, gammas=gam)
+    found = {res.bestallele1, res.bestallele2}
+    expected = {db.allele_names[true_a[0]], db.allele_names[true_a[1]]}
+    assert found == expected, f"typed {found}, expected {expected}"
+    assert res.post > 0.9
+    # quilt-only mode should also favour the truth pair
+    q1 = res.pairs_quilt_only[0]
+    assert {q1[0], q1[1]} == expected
+    write_hla_summaries(
+        {"S0": res}, ["S0"], str(tmp_path), "HLA-A"
+    )
+    import os
+    files = os.listdir(tmp_path)
+    assert len([f for f in files if f.startswith("quilt.hla.output")]) == 4
