@@ -53,6 +53,7 @@ class RegionContext:
     trans_all: Optional[np.ndarray] = None    # rare/common: all-SNP trans
     nGrids_all: int = 0
     boundaries: Optional[np.ndarray] = None   # block-Gibbs suffix starts
+    hla_capture: bool = False
 
     @classmethod
     def build(cls, prep: PreparedReference, cfg: ImputeConfig) -> "RegionContext":
@@ -71,8 +72,22 @@ class RegionContext:
             np.linspace(0, nGrids - 1, n_thin).round().astype(np.int64)
         )
         fb_inputs = None
-        if not cfg.use_mspbwt:
+        hla_capture = False
+        if not cfg.use_mspbwt or cfg.hla_run:
             fb_inputs = FBInputs.build(prep.panel, trans, thinned_grids=thinned)
+            if cfg.hla_run:
+                # capture full-panel gamma at the grid physically closest to
+                # the gene centre (reference: quilt-hla.R:192-212,
+                # functions.R:1261-1280)
+                if cfg.gamma_physically_closest_to is not None:
+                    snp = int(
+                        np.abs(prep.pos - cfg.gamma_physically_closest_to)
+                        .argmin()
+                    )
+                    fb_inputs.capture_grid = int(prep.grid[snp])
+                else:
+                    fb_inputs.capture_grid = prep.nGrids // 2
+                hla_capture = True
         n_latent = 3 if cfg.method == "nipt" else 2
         trans_all = None
         nGrids_all = 0
@@ -90,6 +105,7 @@ class RegionContext:
             n_latent=n_latent, Ksub=Ksub, Knew=Knew, n_seek_its=n_seek,
             n_burn_in_seek_its=n_burn, trans_all=trans_all,
             nGrids_all=nGrids_all, boundaries=boundaries,
+            hla_capture=hla_capture,
         )
 
 
@@ -106,6 +122,9 @@ class SampleResult:
     fet_gp: Optional[np.ndarray] = None
     mat_dosage: Optional[np.ndarray] = None
     fet_dosage: Optional[np.ndarray] = None
+    # HLA extras (hla_run): per-chain full-panel gamma at the gene grid
+    hla_gammas: Optional[np.ndarray] = None    # [C, n_latent, K]
+    hla_gamma_total: Optional[np.ndarray] = None   # [K]
 
 
 def gls_from_labels(
@@ -210,12 +229,14 @@ def impute_one_sample(
     )
     max_diff = cfg.maxDifferenceBetweenReads
 
+    hla_gammas = None
     dosage_acc = np.zeros(nSNPs)
     gp_acc = np.zeros((3, nSNPs))
     fet_dosage_acc = np.zeros(nSNPs)
     fet_gp_acc = np.zeros((3, nSNPs))
     n_acc = 0
     hap_dos_final = np.zeros((C, nl, nSNPs))
+    gcap_store = [None]
 
     # block-Gibbs schedule (reference: small_ref_panel_block_gibbs_iterations,
     # quilt.R default c(3,6,9))
@@ -264,10 +285,15 @@ def impute_one_sample(
                 reads, H_b[c, : reads.nReads], nl, nSNPs, cfg.minGLValue
             )
             gls[c * nl:(c + 1) * nl] = gl_c
-        dosage, log_like, tv, ti = fb_full_batched(
+        res_fb = fb_full_batched(
             gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
             ref_error=prep.ref_error,
         )
+        if ctx.hla_capture:
+            dosage, log_like, tv, ti, gcap = res_fb
+            gcap_store[0] = gcap.reshape(B, nl, -1)
+        else:
+            dosage, log_like, tv, ti = res_fb
         hap_dos = dosage.reshape(B, nl, nSNPs)
         new_sets = np.empty_like(which_haps_b)
         for c in range(B):
@@ -360,6 +386,8 @@ def impute_one_sample(
                 which_haps[c] = np.sort(np.concatenate([prev_sel, new]))
         else:
             hap_dos, which_haps = run_fb_and_select(H, which_haps, True)
+        if ctx.hla_capture and gcap_store[0] is not None:
+            hla_gammas = gcap_store[0]
         if i_it > ctx.n_burn_in_seek_its:
             h1, h2 = hap_dos[:, 0], hap_dos[:, 1]
             dosage_acc += (h1 + h2).sum(axis=0)
@@ -488,6 +516,10 @@ def impute_one_sample(
             phased_haps=phased,
             read_labels=cons,
             allele_count=sample_allele_count(reads, nSNPs),
+            hla_gammas=hla_gammas,
+            hla_gamma_total=(
+                hla_gammas.sum(axis=(0, 1)) if hla_gammas is not None else None
+            ),
         )
     else:
         fet_gp = fet_gp_acc / max(n_acc, 1)

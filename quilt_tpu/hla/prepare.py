@@ -113,3 +113,46 @@ def prepare_hla_reference(
         gene_snp_idx=gene_idx,
         gamma_grid=gamma_grid,
     )
+
+
+def save_hla_prepared(hla: HLAPrepared, path: str) -> None:
+    np.savez_compressed(
+        path,
+        gene_name=np.array(hla.db.gene.name),
+        gene_chrom=np.array(hla.db.gene.chrom),
+        gene_span=np.array([hla.db.gene.start, hla.db.gene.end]),
+        allele_names=np.asarray(hla.db.allele_names),
+        seqs=hla.db.seqs,
+        kmers=np.fromiter(hla.kmers, dtype=np.int64),
+        k=np.array(hla.k),
+        hap_labels=hla.hap_labels,
+        hap_label_scores=hla.hap_label_scores,
+        gene_snp_idx=hla.gene_snp_idx,
+        gamma_grid=np.array(hla.gamma_grid),
+    )
+
+
+def load_hla_prepared(path: str) -> HLAPrepared:
+    from .db import HLAGene, HLAAlleleDB
+
+    z = np.load(path, allow_pickle=False)
+    gene = HLAGene(
+        name=str(z["gene_name"]),
+        chrom=str(z["gene_chrom"]),
+        start=int(z["gene_span"][0]),
+        end=int(z["gene_span"][1]),
+    )
+    db = HLAAlleleDB(
+        gene=gene,
+        allele_names=[str(x) for x in z["allele_names"]],
+        seqs=z["seqs"],
+    )
+    return HLAPrepared(
+        db=db,
+        kmers=set(int(x) for x in z["kmers"]),
+        k=int(z["k"]),
+        hap_labels=z["hap_labels"],
+        hap_label_scores=z["hap_label_scores"],
+        gene_snp_idx=z["gene_snp_idx"],
+        gamma_grid=int(z["gamma_grid"]),
+    )

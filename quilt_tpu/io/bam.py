@@ -270,3 +270,41 @@ def load_bam_reads(
         f"{path}: {n_rec} alignments -> {reads.nReads} reads covering SNPs"
     )
     return reads
+
+
+def load_bam_sequences(
+    path: str,
+    chrom: str,
+    start: int,
+    end: int,
+    min_mapq: int = 0,
+):
+    """Raw read sequences overlapping [start, end] (1-based), for HLA
+    direct read mapping (equivalent of the samtools view extraction at
+    hla_functions.R:450,544). Returns list of (qname, pos0, seq_codes,
+    quals) with seq codes 0..3 = ACGT, 4 = other."""
+    decode_code = {1: 0, 2: 1, 4: 2, 8: 3}
+    out = []
+    target_tid = None
+    for header_text, refs, rec in _read_bam_stream(path):
+        if target_tid is None:
+            target_tid = next(
+                (i for i, (name, _l) in enumerate(refs) if name == chrom), -1
+            )
+        (refID, pos0, mapq, flag, l_seq, tlen, qname, cigar, seq_bytes,
+         qual, tags) = _parse_record(rec)
+        if refID != target_tid or flag & (
+            FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_QCFAIL | FLAG_DUP | FLAG_SUPP
+        ):
+            continue
+        if mapq < min_mapq:
+            continue
+        if pos0 + l_seq < start - 1 or pos0 > end - 1:
+            continue
+        seq = np.empty(l_seq, dtype=np.uint8)
+        for qi in range(l_seq):
+            nib = seq_bytes[qi >> 1]
+            base = (nib >> 4) if qi % 2 == 0 else (nib & 0xF)
+            seq[qi] = decode_code.get(base, 4)
+        out.append((qname, pos0, seq, np.frombuffer(qual, dtype=np.uint8)))
+    return out

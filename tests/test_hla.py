@@ -108,3 +108,54 @@ def test_typing_recovers_alleles(hla_world, rng, tmp_path):
     import os
     files = os.listdir(tmp_path)
     assert len([f for f in files if f.startswith("quilt.hla.output")]) == 4
+
+
+def test_hla_run_through_engine(hla_world, rng):
+    """Full pipeline: QUILT run with hla_run=True captures gammas at the
+    gene grid; combined with direct reads, typing recovers truth alleles."""
+    from quilt_tpu.config import ImputeConfig
+    from quilt_tpu.engine.sample import RegionContext, impute_one_sample
+    from quilt_tpu.io.simulate import simulate_sample_reads
+
+    gene, db, prep, hap_allele = hla_world
+    hla = prepare_hla_reference(db, prep, k=8)
+    true_a = (1, 3)
+    states, idx = alleles_at_positions(
+        db, prep.pos, prep.ref_allele, prep.alt_allele
+    )
+    truth = np.stack([
+        np.where(states[true_a[0]] == 1, 1, 0),
+        np.where(states[true_a[1]] == 1, 1, 0),
+    ]).astype(np.uint8)
+    reads, sim = simulate_sample_reads(
+        rng, truth, prep.pos, prep.grid, coverage=2.0, read_length_bp=400,
+        phred=28,
+    )
+    cfg = ImputeConfig(
+        nGibbsSamples=3, n_seek_its=1, Ksubset=40, Knew=40,
+        small_ref_panel_gibbs_iterations=8, hla_run=True,
+        gamma_physically_closest_to=(gene.start + gene.end) // 2,
+        override_default_params_for_small_ref_panel=False,
+    )
+    ctx = RegionContext.build(prep, cfg)
+    assert ctx.hla_capture
+    res = impute_one_sample(ctx, reads, cfg, seed=11)
+    assert res.hla_gammas is not None
+    assert res.hla_gamma_total is not None
+    # gamma mass should sit on panel haps labeled with the truth alleles
+    prior = hla.allele_prior_from_gamma(res.hla_gamma_total)
+    top2 = set(np.argsort(-prior)[:2].tolist())
+    assert top2 == set(true_a), f"gamma alleles {top2} vs truth {set(true_a)}"
+    # direct reads + gammas => typing
+    L = 120
+    gene_reads = []
+    for r in range(40):
+        a = true_a[r % 2]
+        start = int(rng.integers(0, gene.length - L))
+        seq = db.seqs[a, start:start + L].copy()
+        gene_reads.append(GeneRead(
+            pos0=gene.start - 1 + start, seq=seq, qual=np.full(L, 30),
+        ))
+    res_t = type_hla_sample(hla, gene_reads, gammas=res.hla_gamma_total)
+    expected = {db.allele_names[true_a[0]], db.allele_names[true_a[1]]}
+    assert {res_t.bestallele1, res_t.bestallele2} == expected
