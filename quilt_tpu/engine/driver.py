@@ -48,6 +48,7 @@ def quilt_impute(
     ff_values: Optional[np.ndarray] = None,
     truth_gen: Optional[np.ndarray] = None,     # [nSNPs, N] truth genotypes
     truth_haps: Optional[np.ndarray] = None,    # [nSNPs, N, 2]
+    region_name: str = "region",
 ) -> ImputeOutput:
     t0 = time.time()
     N = len(samples)
@@ -125,6 +126,14 @@ def quilt_impute(
                     output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
                 )
             )
+        if cfg.make_plots and cfg.outputdir:
+            from ..out.plots import plot_sample_diagnostics
+            plot_sample_diagnostics(
+                cfg.outputdir, sample_names[i], region_name,
+                pos=out_pos, dosage=res.dosage, gp=gp,
+                af=prep.af_all if rare_common else prep.af,
+                truth_gen=truth_gen[:, i] if truth_gen is not None else None,
+            )
         if truth_gen is not None:
             r2 = r2_simple(truth_gen[:, i], res.dosage)
             r2s.append(r2)
@@ -159,6 +168,21 @@ def quilt_impute(
             output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
         )
         print_message(f"Wrote {vcf_path}")
+    if cfg.output_read_label_prob and cfg.outputdir:
+        # npz stand-in for the reference's output_RData_filename dump
+        # (quilt.R:1029-1068)
+        import os
+        os.makedirs(os.path.join(cfg.outputdir, "RData"), exist_ok=True)
+        dump = {}
+        for i, res in enumerate(results):
+            if res.imputed and res.read_labels is not None:
+                dump[f"read_labels_{sample_names[i]}"] = res.read_labels
+        np.savez_compressed(
+            os.path.join(
+                cfg.outputdir, "RData", f"quilt.output.{region_name}.npz"
+            ),
+            **dump,
+        )
     print_message(f"Done QUILT ({time.time() - t0:.1f}s)")
     return ImputeOutput(
         results=results, vcf_path=vcf_path, eaf=eaf, info=info,

@@ -1,0 +1,198 @@
+"""ctypes bindings for the native IO engine (quilt_tpu/native/quilt_io.cpp).
+
+Builds libquilt_io.so with g++ on first use (cached next to the source);
+every entry point has a pure-Python fallback (io/vcf.py, io/bam.py), so the
+framework degrades gracefully where no compiler exists. Parity between the
+two implementations is enforced by tests/test_native_io.py.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..utils import print_message
+
+_LIB = None
+_TRIED = False
+
+
+def _build_lib() -> Optional[str]:
+    src_dir = os.path.join(os.path.dirname(__file__), "..", "native")
+    src = os.path.abspath(os.path.join(src_dir, "quilt_io.cpp"))
+    out = os.path.abspath(os.path.join(src_dir, "libquilt_io.so"))
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
+             "-o", out, "-lz"],
+            check=True, capture_output=True, timeout=120,
+        )
+        print_message(f"Built native IO library {out}")
+        return out
+    except Exception as e:  # no compiler / failed build -> Python fallback
+        print_message(f"Native IO build unavailable ({e}); using Python IO")
+        return None
+
+
+def get_lib():
+    global _LIB, _TRIED
+    if _LIB is None and not _TRIED:
+        _TRIED = True
+        path = _build_lib()
+        if path:
+            lib = ctypes.CDLL(path)
+            lib.qio_read_gzip.restype = ctypes.c_void_p
+            lib.qio_read_gzip.argtypes = [ctypes.c_char_p]
+            lib.qio_buffer_size.restype = ctypes.c_int64
+            lib.qio_buffer_size.argtypes = [ctypes.c_void_p]
+            lib.qio_buffer_data.restype = ctypes.POINTER(ctypes.c_uint8)
+            lib.qio_buffer_data.argtypes = [ctypes.c_void_p]
+            lib.qio_buffer_free.argtypes = [ctypes.c_void_p]
+            lib.qio_vcf_panel.restype = ctypes.c_void_p
+            lib.qio_vcf_panel.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int64,
+                ctypes.c_int64,
+            ]
+            for fn in ("qio_panel_n_snps", "qio_panel_n_haps",
+                       "qio_panel_n_skipped", "qio_panel_n_samples"):
+                getattr(lib, fn).restype = ctypes.c_int
+                getattr(lib, fn).argtypes = [ctypes.c_void_p]
+            lib.qio_panel_fill.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_char_p,
+                ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint32),
+            ]
+            lib.qio_panel_sample_name.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ]
+            lib.qio_panel_free.argtypes = [ctypes.c_void_p]
+            lib.qio_bam_extract.restype = ctypes.c_void_p
+            lib.qio_bam_extract.argtypes = [
+                ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ]
+            lib.qio_reads_n.restype = ctypes.c_int
+            lib.qio_reads_n.argtypes = [ctypes.c_void_p]
+            lib.qio_reads_n_bases.restype = ctypes.c_int64
+            lib.qio_reads_n_bases.argtypes = [ctypes.c_void_p]
+            lib.qio_reads_n_records.restype = ctypes.c_int
+            lib.qio_reads_n_records.argtypes = [ctypes.c_void_p]
+            lib.qio_reads_fill.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int16),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.qio_reads_free.argtypes = [ctypes.c_void_p]
+            _LIB = lib
+    return _LIB
+
+
+def native_available() -> bool:
+    return get_lib() is not None
+
+
+def read_panel_vcf_native(
+    path: str,
+    region_chrom: Optional[str] = None,
+    region_start: Optional[int] = None,
+    region_end: Optional[int] = None,
+):
+    """Native fast path of io.vcf.read_panel_vcf (no sample selection;
+    the caller subsets haplotype rows afterwards if needed)."""
+    lib = get_lib()
+    assert lib is not None
+    h = lib.qio_vcf_panel(
+        path.encode(),
+        (region_chrom or "").encode(),
+        -1 if region_start is None else region_start,
+        -1 if region_end is None else region_end,
+    )
+    if not h:
+        raise IOError(f"native VCF parse failed for {path}")
+    try:
+        n_snps = lib.qio_panel_n_snps(h)
+        n_haps = lib.qio_panel_n_haps(h)
+        n_skipped = lib.qio_panel_n_skipped(h)
+        n_samples = lib.qio_panel_n_samples(h)
+        if n_snps == 0:
+            raise ValueError(f"No usable variants found in {path}")
+        n_grids = (n_snps + 31) // 32
+        pos = np.zeros(n_snps, dtype=np.int64)
+        ref = np.zeros(n_snps, dtype="S1")
+        alt = np.zeros(n_snps, dtype="S1")
+        rhb_t = np.zeros((n_haps, n_grids), dtype=np.uint32)
+        lib.qio_panel_fill(
+            h,
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ref.ctypes.data_as(ctypes.c_char_p),
+            alt.ctypes.data_as(ctypes.c_char_p),
+            rhb_t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        names: List[str] = []
+        buf = ctypes.create_string_buffer(256)
+        for i in range(n_samples):
+            lib.qio_panel_sample_name(h, i, buf, 256)
+            names.append(buf.value.decode())
+        return (
+            pos, ref.astype("U1"), alt.astype("U1"), rhb_t, names, n_skipped
+        )
+    finally:
+        lib.qio_panel_free(h)
+
+
+SEQ_DECODE = "=ACMGRSVTWYHKDBN"
+
+
+def load_bam_reads_native(
+    path: str,
+    chrom: str,
+    snp_pos: np.ndarray,
+    ref_allele: np.ndarray,
+    alt_allele: np.ndarray,
+    bqFilter: int = 17,
+    iSizeUpperLimit: int = 600,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Native fast path of io.bam.load_bam_reads: returns flat
+    (u, bq, offsets); grid snapping / downsampling happen in Python."""
+    lib = get_lib()
+    assert lib is not None
+    snp_pos = np.ascontiguousarray(snp_pos, dtype=np.int64)
+    ref_code = np.array(
+        [SEQ_DECODE.index(str(a)) for a in ref_allele], dtype=np.uint8
+    )
+    alt_code = np.array(
+        [SEQ_DECODE.index(str(a)) for a in alt_allele], dtype=np.uint8
+    )
+    h = lib.qio_bam_extract(
+        path.encode(), chrom.encode(),
+        snp_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ref_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        alt_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        len(snp_pos), bqFilter, iSizeUpperLimit,
+    )
+    if not h:
+        raise IOError(f"native BAM parse failed for {path}")
+    try:
+        n_reads = lib.qio_reads_n(h)
+        n_bases = lib.qio_reads_n_bases(h)
+        u = np.zeros(n_bases, dtype=np.int32)
+        bq = np.zeros(n_bases, dtype=np.int16)
+        offsets = np.zeros(n_reads + 1, dtype=np.int64)
+        if n_bases:
+            lib.qio_reads_fill(
+                h,
+                u.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+                bq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
+                offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            )
+        return u, bq, offsets
+    finally:
+        lib.qio_reads_free(h)

@@ -38,7 +38,53 @@ def read_panel_vcf(
     region_end: Optional[int] = None,
     keep_samples: Optional[Sequence[str]] = None,
     exclude_samples: Optional[Sequence[str]] = None,
+    use_native: bool = True,
 ) -> PanelVCF:
+    if use_native:
+        try:
+            from .native import native_available, read_panel_vcf_native
+            from ..utils import unpack_bits_32
+            if native_available():
+                pos, ref, alt, rhb_t, names, n_skip = read_panel_vcf_native(
+                    path, region_chrom, region_start, region_end
+                )
+                haps = unpack_bits_32(rhb_t, len(pos))
+                mask = np.ones(len(names), dtype=bool)
+                if keep_samples is not None:
+                    keep = set(keep_samples)
+                    mask &= np.array([s in keep for s in names])
+                if exclude_samples is not None:
+                    exc = set(exclude_samples)
+                    mask &= np.array([s not in exc for s in names])
+                keep_idx = np.flatnonzero(mask)
+                if len(keep_idx) != len(names):
+                    rows = np.sort(
+                        np.concatenate([keep_idx * 2, keep_idx * 2 + 1])
+                    )
+                    haps = haps[rows]
+                    names = [names[i] for i in keep_idx]
+                order = np.argsort(pos, kind="stable")
+                chrom_out = region_chrom
+                if not chrom_out:
+                    for line in bgzf_open(path):
+                        if not line.startswith("#"):
+                            chrom_out = line.split("\t", 1)[0]
+                            break
+                print_message(
+                    f"Read panel VCF (native): {haps.shape[0]} haplotypes x "
+                    f"{haps.shape[1]} SNPs ({n_skip} skipped)"
+                )
+                return PanelVCF(
+                    chrom=chrom_out or "",
+                    pos=pos[order],
+                    ref_allele=ref[order],
+                    alt_allele=alt[order],
+                    haps=haps[:, order],
+                    sample_names=names,
+                    n_skipped=n_skip,
+                )
+        except Exception as e:
+            print_message(f"Native VCF path failed ({e}); using Python parser")
     sample_names: List[str] = []
     keep_idx: Optional[np.ndarray] = None
     pos_list: List[int] = []

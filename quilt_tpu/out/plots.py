@@ -1,0 +1,83 @@
+"""Per-sample diagnostic plots and data export.
+
+Light-weight equivalent of the reference's plot suite
+(QUILT/R/plotting_functions.R:1-1014: gamma/dosage vs truth :67-321,
+per-iteration likelihood traces :351-552): a dosage/GP panel figure per
+sample plus a machine-readable export of the same data, gated behind
+make_plots / plot_per_sample_likelihoods.
+"""
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+
+from ..utils import print_message
+
+
+def plot_sample_diagnostics(
+    outdir: str,
+    sample_name: str,
+    region_name: str,
+    pos: np.ndarray,
+    dosage: np.ndarray,
+    gp: np.ndarray,
+    af: Optional[np.ndarray] = None,
+    truth_gen: Optional[np.ndarray] = None,
+    per_it_likelihoods: Optional[np.ndarray] = None,
+    export_data: bool = True,
+) -> Optional[str]:
+    os.makedirs(os.path.join(outdir, "plots"), exist_ok=True)
+    base = os.path.join(
+        outdir, "plots", f"haps.{sample_name}.{region_name}"
+    )
+    if export_data:
+        cols = {"pos": pos, "dosage": dosage,
+                "gp0": gp[0], "gp1": gp[1], "gp2": gp[2]}
+        if af is not None:
+            cols["af"] = af
+        if truth_gen is not None:
+            cols["truth"] = truth_gen
+        arr = np.column_stack(list(cols.values()))
+        np.savetxt(
+            base + ".diagnostics.tsv.gz", arr, delimiter="\t",
+            header="\t".join(cols), comments="",
+        )
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    n_rows = 2 + (per_it_likelihoods is not None)
+    fig, axes = plt.subplots(
+        n_rows, 1, figsize=(14, 3 * n_rows), sharex=False
+    )
+    ax = axes[0]
+    ax.plot(pos, dosage, ".", ms=2, color="tab:blue", label="imputed dosage")
+    if truth_gen is not None:
+        ok = np.isfinite(truth_gen)
+        ax.plot(pos[ok], truth_gen[ok], ".", ms=2, color="tab:red",
+                alpha=0.5, label="truth")
+    ax.set_ylabel("dosage")
+    ax.set_title(f"{sample_name} {region_name}")
+    ax.legend(loc="upper right", fontsize=8)
+    ax = axes[1]
+    maxgp = gp.max(axis=0)
+    ax.plot(pos, maxgp, ".", ms=2, color="tab:green")
+    ax.set_ylabel("max GP")
+    ax.set_xlabel("position")
+    if per_it_likelihoods is not None:
+        ax = axes[2]
+        ll = np.asarray(per_it_likelihoods)
+        for b in range(ll.shape[1]):
+            ax.plot(ll[:, b, 0], alpha=0.6)
+        ax.set_ylabel("log P(O|H)")
+        ax.set_xlabel("Gibbs iteration")
+    fig.tight_layout()
+    out = base + ".png"
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    print_message(f"Wrote {out}")
+    return out
