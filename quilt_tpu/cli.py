@@ -160,6 +160,14 @@ def cmd_impute(args, quilt2: bool = False) -> int:
             return rc
     prep = PreparedReference.load(prep_file)
 
+    if cfg.cramlist:
+        print(
+            "CRAM input is not supported yet in quilt-tpu (requires "
+            "reference-based decoding); please convert to BAM "
+            "(samtools view -b) or use --bamlist",
+            file=sys.stderr,
+        )
+        return 1
     bam_files: List[str] = []
     if cfg.bamlist:
         bam_files = [l.strip() for l in open(cfg.bamlist) if l.strip()]
@@ -173,10 +181,15 @@ def cmd_impute(args, quilt2: bool = False) -> int:
             bam_sample_name(b) or os.path.basename(b).split(".")[0]
             for b in bam_files
         ]
+    rc_mode = cfg.impute_rare_common and prep.pos_all is not None
+    load_pos = prep.pos_all if rc_mode else prep.pos
+    load_ref = prep.ref_allele_all if rc_mode else prep.ref_allele
+    load_alt = prep.alt_allele_all if rc_mode else prep.alt_allele
+    load_grid = prep.grid_all if rc_mode else prep.grid
     samples = [
         load_bam_reads(
-            b, prep.chrom, prep.pos, prep.ref_allele, prep.alt_allele,
-            prep.grid, bqFilter=cfg.bqFilter,
+            b, prep.chrom, load_pos, load_ref, load_alt,
+            load_grid, bqFilter=cfg.bqFilter,
             iSizeUpperLimit=cfg.iSizeUpperLimit,
             downsampleToCov=cfg.downsampleToCov,
             use_bx_tag=cfg.use_bx_tag, bxTagUpperLimit=cfg.bxTagUpperLimit,
@@ -192,17 +205,30 @@ def cmd_impute(args, quilt2: bool = False) -> int:
         ff_values = np.loadtxt(cfg.fflist, ndmin=1)
     truth_gen = None
     truth_haps = None
-    if cfg.genfile and cfg.posfile:
+    out_pos = prep.pos_all if (
+        cfg.impute_rare_common and prep.pos_all is not None
+    ) else prep.pos
+    if cfg.posfile and (cfg.genfile or cfg.phasefile):
         _, pos_t, _, _ = read_posfile(cfg.posfile)
-        gnames, gen = read_genfile(cfg.genfile)
         idx = {p: i for i, p in enumerate(pos_t)}
-        sel = np.array([idx.get(p, -1) for p in prep.pos])
-        truth_gen = np.full((prep.nSNPs, len(names)), np.nan)
-        for j, nm in enumerate(names):
-            if nm in gnames:
-                col = gnames.index(nm)
-                ok = sel >= 0
-                truth_gen[ok, j] = gen[sel[ok], col]
+        sel = np.array([idx.get(p, -1) for p in out_pos])
+        ok = sel >= 0
+        if cfg.genfile:
+            gnames, gen = read_genfile(cfg.genfile)
+            truth_gen = np.full((len(out_pos), len(names)), np.nan)
+            for j, nm in enumerate(names):
+                if nm in gnames:
+                    col = gnames.index(nm)
+                    truth_gen[ok, j] = gen[sel[ok], col]
+        if cfg.phasefile:
+            pnames, phase = read_phasefile(cfg.phasefile)
+            truth_haps = np.full((len(out_pos), len(names), 2), np.nan)
+            for j, nm in enumerate(names):
+                if nm in pnames:
+                    col = pnames.index(nm)
+                    truth_haps[ok, j, :] = phase[sel[ok], col, :2]
+            if truth_gen is None:
+                truth_gen = truth_haps.sum(axis=2)
     out_file = cfg.output_filename or os.path.join(
         cfg.outputdir, f"quilt.{region_name}.vcf.gz"
     )
@@ -213,6 +239,7 @@ def cmd_impute(args, quilt2: bool = False) -> int:
         ff_values=ff_values,
         truth_gen=truth_gen,
         truth_haps=truth_haps,
+        region_name=region_name,
     )
     return 0
 
