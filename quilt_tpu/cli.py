@@ -244,6 +244,66 @@ def cmd_impute(args, quilt2: bool = False) -> int:
     return 0
 
 
+def cmd_hla_prepare(args) -> int:
+    """QUILT_HLA_prepare_reference equivalent: allele DB (+ prepared
+    reference panel) -> kmer database + allele-labeled haplotypes."""
+    from .hla.db import load_hla_db
+    from .hla.prepare import prepare_hla_reference, save_hla_prepared
+    from .panel.prepare import PreparedReference
+
+    db = load_hla_db(args.hla_db)
+    prep = PreparedReference.load(args.prepared_reference_filename)
+    hla = prepare_hla_reference(db, prep, k=args.kmer_size)
+    save_hla_prepared(hla, args.output_file)
+    print_message(f"Saved prepared HLA reference to {args.output_file}")
+    return 0
+
+
+def cmd_hla(args) -> int:
+    """QUILT_HLA equivalent: run imputation with gamma capture at the gene,
+    extract gene reads, type alleles, write the 4 summary tables."""
+    import os
+    from .engine.sample import RegionContext, impute_one_sample
+    from .hla.prepare import load_hla_prepared
+    from .hla.typing import GeneRead, type_hla_sample, write_hla_summaries
+    from .io.bam import bam_sample_name, load_bam_reads, load_bam_sequences
+    from .panel.prepare import PreparedReference
+
+    cfg: ImputeConfig = _config_from_args(ImputeConfig, args)
+    hla = load_hla_prepared(args.prepared_hla_reference_filename)
+    prep = PreparedReference.load(cfg.prepared_reference_filename)
+    gene = hla.db.gene
+    cfg.hla_run = True
+    cfg.gamma_physically_closest_to = (gene.start + gene.end) // 2
+    ctx = RegionContext.build(prep, cfg)
+    bam_files = [l.strip() for l in open(cfg.bamlist) if l.strip()]
+    names = [
+        bam_sample_name(b) or os.path.basename(b).split(".")[0]
+        for b in bam_files
+    ]
+    results = {}
+    for i, bam in enumerate(bam_files):
+        reads = load_bam_reads(
+            bam, prep.chrom, prep.pos, prep.ref_allele, prep.alt_allele,
+            prep.grid, bqFilter=cfg.bqFilter,
+            downsampleToCov=cfg.downsampleToCov, seed=cfg.seed,
+        )
+        res = impute_one_sample(ctx, reads, cfg, seed=cfg.seed + i)
+        raw = load_bam_sequences(
+            bam, gene.chrom, gene.start - 300, gene.end + 300
+        )
+        gene_reads = [
+            GeneRead(pos0=p0, seq=seq, qual=q) for (_qn, p0, seq, q) in raw
+        ]
+        gam = res.hla_gamma_total if res.imputed else None
+        results[names[i]] = type_hla_sample(hla, gene_reads, gammas=gam)
+    write_hla_summaries(
+        results, names, cfg.outputdir or ".", gene.name
+    )
+    print_message(f"Wrote HLA summaries for {len(names)} samples")
+    return 0
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser(
@@ -257,6 +317,14 @@ def main(argv: Optional[List[str]] = None) -> int:
     _add_dataclass_args(p_imp, ImputeConfig)
     p_imp2 = sub.add_parser("impute2", help="impute (QUILT2 defaults)")
     _add_dataclass_args(p_imp2, ImputeConfig)
+    p_hp = sub.add_parser("hla-prepare", help="prepare HLA reference")
+    p_hp.add_argument("--hla_db", required=True)
+    p_hp.add_argument("--prepared_reference_filename", required=True)
+    p_hp.add_argument("--output_file", required=True)
+    p_hp.add_argument("--kmer_size", type=int, default=10)
+    p_hla = sub.add_parser("hla", help="HLA allele typing")
+    _add_dataclass_args(p_hla, ImputeConfig)
+    p_hla.add_argument("--prepared_hla_reference_filename", required=True)
     args = parser.parse_args(argv)
     print_message("quilt-tpu invocation: " + " ".join(sys.argv))
     if args.command == "prepare":
@@ -265,6 +333,10 @@ def main(argv: Optional[List[str]] = None) -> int:
         return cmd_impute(args, quilt2=False)
     if args.command == "impute2":
         return cmd_impute(args, quilt2=True)
+    if args.command == "hla-prepare":
+        return cmd_hla_prepare(args)
+    if args.command == "hla":
+        return cmd_hla(args)
     return 1
 
 

@@ -83,3 +83,29 @@ def alleles_at_positions(
         out[col == rc, j] = 0
         out[col == ac, j] = 1
     return out, idx
+
+
+def save_hla_db(db: HLAAlleleDB, path: str) -> None:
+    np.savez_compressed(
+        path,
+        gene_name=np.array(db.gene.name),
+        gene_chrom=np.array(db.gene.chrom),
+        gene_span=np.array([db.gene.start, db.gene.end]),
+        allele_names=np.asarray(db.allele_names),
+        seqs=db.seqs,
+    )
+
+
+def load_hla_db(path: str) -> HLAAlleleDB:
+    z = np.load(path, allow_pickle=False)
+    gene = HLAGene(
+        name=str(z["gene_name"]),
+        chrom=str(z["gene_chrom"]),
+        start=int(z["gene_span"][0]),
+        end=int(z["gene_span"][1]),
+    )
+    return HLAAlleleDB(
+        gene=gene,
+        allele_names=[str(x) for x in z["allele_names"]],
+        seqs=z["seqs"],
+    )

@@ -81,7 +81,7 @@ def read_allele_loglik(
     idx = np.arange(lo, hi)
     gidx = start_off + idx
     seq = read.seq[idx]
-    qual = np.maximum(read.qual[idx], 5)
+    qual = np.maximum(read.qual[idx].astype(np.float64), 5.0)
     eps = 10.0 ** (-qual / 10.0)
     ok = seq < 4
     if ok.sum() < hla.k:
