@@ -1,0 +1,279 @@
+"""Multi-sample batched imputation.
+
+The Gibbs sweep's device cost is nearly flat in the batch size (it is
+dominated by sequential per-grid/per-read step latency), so imputing many
+samples in one kernel call multiplies throughput: batch rows are
+{sample x chain}, each row carrying its own reads (GibbsInputs/PaddedReads
+build_batched). This replaces the reference's fork-per-sample parallelism
+(QUILT/R/quilt.R:692) as the production scaling path on a chip.
+
+Covers the diploid/NIPT QUILT1 and QUILT2(mspbwt) paths; rare/common and
+HLA runs use the per-sample engine (engine/sample.py).
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import ImputeConfig
+from ..io.reads import SampleReads
+from ..kernels import PaddedReads, fb_full_batched
+from ..kernels.common import pad_to_multiple
+from ..kernels.gibbs import GibbsInputs, run_gibbs_chains
+from ..utils import print_message
+from .sample import (
+    RegionContext,
+    SampleResult,
+    _gather_topk_lists,
+    _unpack_subset,
+    emat_read_vs_dosages,
+    gls_from_labels,
+    sample_allele_count,
+)
+from .selection import (
+    consensus_read_labels,
+    read_confidence,
+    recast_haps,
+    recast_nipt_haps,
+    select_new_haps_from_topk,
+)
+
+
+def impute_samples_batched(
+    ctx: RegionContext,
+    reads_list: Sequence[SampleReads],
+    cfg: ImputeConfig,
+    seed: int,
+    ff_values: Optional[np.ndarray] = None,
+) -> List[SampleResult]:
+    prep = ctx.prep
+    nSNPs, nGrids, K, nl = prep.nSNPs, prep.nGrids, prep.K, ctx.n_latent
+    rng = np.random.default_rng(seed)
+    S = len(reads_list)
+    C = cfg.nGibbsSamples
+    B = S * C
+    ff_values = ff_values if ff_values is not None else np.zeros(S)
+    ff = float(ff_values[0])  # batched NIPT assumes shared ff per batch
+
+    ok = [r.nReads >= cfg.minimum_number_of_sample_reads for r in reads_list]
+    reads_sorted = [r.sorted_by_grid() for r in reads_list]
+
+    ginputs1 = GibbsInputs.build_batched(reads_sorted, ctx.trans, nGrids)
+    ginputs = ginputs1.repeat_rows(C)
+    R = ginputs.R
+    preads1 = PaddedReads.build_batched(reads_sorted, ref_error=prep.ref_error)
+    preads = PaddedReads(
+        u_pad=np.repeat(preads1.u_pad, C, axis=0),
+        lr=np.repeat(preads1.lr, C, axis=0),
+        la=np.repeat(preads1.la, C, axis=0),
+        mask=np.repeat(preads1.mask, C, axis=0),
+        wif0=np.repeat(preads1.wif0, C, axis=0),
+        nReads=preads1.nReads,
+        J=preads1.J,
+    )
+    n_its = cfg.small_ref_panel_gibbs_iterations + 1
+    if nl == 2:
+        label_prior = np.array([0.5, 0.5])
+    else:
+        label_prior = np.array([0.5, (1 - ff) / 2, ff / 2])
+
+    which_haps = np.stack([
+        np.sort(rng.choice(K, size=ctx.Ksub, replace=False)) for _ in range(B)
+    ])                                                     # [B, Ksub]
+    H = np.zeros((B, R), dtype=np.int32)
+    for s in range(S):
+        nr = reads_sorted[s].nReads
+        for c in range(C):
+            H[s * C + c, :nr] = rng.choice(nl, size=nr, p=label_prior)
+    max_diff = cfg.maxDifferenceBetweenReads
+    first_read = np.array(
+        [rng.integers(0, max(reads_sorted[b // C].nReads, 1))
+         for b in range(B)], dtype=np.int32,
+    )
+
+    do_block_np = np.zeros(n_its, dtype=bool)
+    for bit in cfg.small_ref_panel_block_gibbs_iterations:
+        if 1 <= bit <= n_its:
+            do_block_np[bit - 1] = True
+    bnd = ctx.boundaries if ctx.boundaries is not None else np.zeros(0, np.int32)
+
+    def run_chains(which_b, H0_b, iterative, first_b, ginputs_b, preads_b,
+                   max_diff):
+        Bb = which_b.shape[0]
+        rhb_sub = prep.rhb_t[which_b]
+        Ksub = rhb_sub.shape[1]
+        Kp = pad_to_multiple(Ksub, 128)
+        if Kp != Ksub:
+            pad = np.repeat(rhb_sub[:, :1, :], Kp - Ksub, axis=1)
+            rhb_sub = np.concatenate([rhb_sub, pad], axis=1)
+        bits = _unpack_subset(jnp.asarray(rhb_sub))
+        uniforms = rng.random((n_its, Bb, ginputs_b.R)).astype(np.float32)
+        block_u = rng.random((n_its, len(bnd), 3, Bb)).astype(np.float32)
+        for attempt in range(11):
+            gp, gpF, hap_dos, Hn, ll, uf = run_gibbs_chains(
+                bits=bits, preads=preads_b, inputs=ginputs_b,
+                uniforms=uniforms, H0=H0_b, first_read=first_b, n_latent=nl,
+                ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,
+                K_real=Ksub, max_diff=max_diff, ref_error=prep.ref_error,
+                boundaries=bnd, block_u=block_u, do_block=do_block_np,
+            )
+            if not uf.any():
+                break
+            max_diff = max(1.0, max_diff / 10.0)
+            print_message(
+                f"Underflow; retrying batch with "
+                f"maxDifferenceBetweenReads={max_diff}"
+            )
+        return gp, gpF, hap_dos, Hn, max_diff
+
+    def run_fb_and_select(H_b, which_b, row_to_sample):
+        Bb = H_b.shape[0]
+        gls = np.ones((Bb * nl, 2, nSNPs), dtype=np.float32)
+        for b in range(Bb):
+            rs = reads_sorted[row_to_sample[b]]
+            gl_c = gls_from_labels(
+                rs, H_b[b, : rs.nReads], nl, nSNPs, cfg.minGLValue
+            )
+            gls[b * nl:(b + 1) * nl] = gl_c
+        res_fb = fb_full_batched(
+            gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
+            ref_error=prep.ref_error,
+        )
+        dosage = res_fb[0]
+        tv, ti = res_fb[2], res_fb[3]
+        hap_dos = dosage.reshape(Bb, nl, nSNPs)
+        new_sets = np.empty_like(which_b)
+        for b in range(Bb):
+            n_keep = ctx.Ksub - ctx.Knew
+            prev_sel = rng.choice(which_b[b], size=n_keep, replace=False)
+            li, lv = _gather_topk_lists(
+                tv, ti, ctx.thinned_grids, nl, b, tv.shape[2]
+            )
+            new = select_new_haps_from_topk(
+                li, lv, ctx.Knew, K, prev_sel, rng, cfg.K_top_matches
+            )
+            new_sets[b] = np.sort(np.concatenate([prev_sel, new]))
+        return hap_dos, new_sets
+
+    dosage_acc = np.zeros((S, nSNPs))
+    gp_acc = np.zeros((S, 3, nSNPs))
+    fet_dosage_acc = np.zeros((S, nSNPs))
+    fet_gp_acc = np.zeros((S, 3, nSNPs))
+    n_acc = 0
+    hap_dos_final = np.zeros((B, nl, nSNPs))
+    row_to_sample = np.repeat(np.arange(S), C)
+
+    for i_it in range(1, ctx.n_seek_its + 1):
+        iterative = i_it == 1
+        gp_g, gpF_g, hap_dos_g, H, max_diff = run_chains(
+            which_haps, H, iterative, first_read, ginputs, preads, max_diff
+        )
+        if cfg.use_mspbwt:
+            from ..panel.mspbwt import select_new_haps_mspbwt
+            hap_dos = hap_dos_g[:, :, :nSNPs]
+            for b in range(B):
+                n_keep = ctx.Ksub - ctx.Knew
+                prev_sel = rng.choice(which_haps[b], size=n_keep, replace=False)
+                new = select_new_haps_mspbwt(
+                    prep.ms_indices, prep.panel, hap_dos[b], ctx.Knew, K,
+                    prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+                )
+                which_haps[b] = np.sort(np.concatenate([prev_sel, new]))
+        else:
+            hap_dos, which_haps = run_fb_and_select(
+                H, which_haps, row_to_sample
+            )
+        if i_it > ctx.n_burn_in_seek_its:
+            h1 = hap_dos[:, 0].reshape(S, C, nSNPs)
+            h2 = hap_dos[:, 1].reshape(S, C, nSNPs)
+            dosage_acc += (h1 + h2).sum(axis=1)
+            gp_acc[:, 0] += ((1 - h1) * (1 - h2)).sum(axis=1)
+            gp_acc[:, 1] += (h1 * (1 - h2) + (1 - h1) * h2).sum(axis=1)
+            gp_acc[:, 2] += (h1 * h2).sum(axis=1)
+            if nl == 3:
+                h3 = hap_dos[:, 2].reshape(S, C, nSNPs)
+                fet_dosage_acc += (h1 + h3).sum(axis=1)
+                fet_gp_acc[:, 0] += ((1 - h1) * (1 - h3)).sum(axis=1)
+                fet_gp_acc[:, 1] += (h1 * (1 - h3) + (1 - h1) * h3).sum(axis=1)
+                fet_gp_acc[:, 2] += (h1 * h3).sum(axis=1)
+            n_acc += C
+        hap_dos_final = hap_dos
+
+    # per-sample consensus
+    cons_list = []
+    for s in range(S):
+        nr = reads_sorted[s].nReads
+        labels_all = H[s * C:(s + 1) * C, :nr].T.astype(np.int64)
+        conf_all = np.zeros_like(labels_all, dtype=bool)
+        for c in range(C):
+            em = emat_read_vs_dosages(
+                reads_sorted[s], hap_dos_final[s * C + c]
+            )
+            conf_all[:, c] = read_confidence(em)
+        if nl == 3:
+            labels2 = labels_all.copy()
+            conf2 = conf_all & (labels_all != 2)
+            labels2[labels_all == 2] = 1
+            cons = consensus_read_labels(labels2, conf2)
+            cons[labels_all[:, C - 1] == 2] = 2
+        else:
+            cons = consensus_read_labels(labels_all, conf_all)
+        cons_list.append(cons)
+
+    # phasing pass: one chain per sample, batched (B = S)
+    H_p = np.zeros((S, R), dtype=np.int32)
+    for s in range(S):
+        H_p[s, : reads_sorted[s].nReads] = cons_list[s]
+    wh_p = which_haps[np.arange(S) * C + (C - 1)].copy()
+    for i_it in range(1, ctx.n_seek_its + 1):
+        gp_p, gpF_p, hap_dos_p, H_p, max_diff = run_chains(
+            wh_p, H_p, False, np.zeros(S, dtype=np.int32), ginputs1, preads1,
+            max_diff,
+        )
+        if cfg.use_mspbwt:
+            from ..panel.mspbwt import select_new_haps_mspbwt
+            hap_dos_ph = hap_dos_p[:, :, :nSNPs]
+            for s in range(S):
+                n_keep = ctx.Ksub - ctx.Knew
+                prev_sel = rng.choice(wh_p[s], size=n_keep, replace=False)
+                new = select_new_haps_mspbwt(
+                    prep.ms_indices, prep.panel, hap_dos_ph[s], ctx.Knew, K,
+                    prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+                )
+                wh_p[s] = np.sort(np.concatenate([prev_sel, new]))
+        else:
+            hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, np.arange(S))
+
+    results: List[SampleResult] = []
+    for s in range(S):
+        if not ok[s]:
+            results.append(SampleResult(imputed=False))
+            continue
+        gp = gp_acc[s] / max(n_acc, 1)
+        dosage = dosage_acc[s] / max(n_acc, 1)
+        if nl == 2:
+            hd1, hd2 = recast_haps(hap_dos_ph[s, 0], hap_dos_ph[s, 1], gp)
+            results.append(SampleResult(
+                imputed=True, dosage=dosage, gp=gp,
+                phased_haps=np.stack([np.round(hd1), np.round(hd2)]),
+                read_labels=cons_list[s],
+                allele_count=sample_allele_count(reads_sorted[s], nSNPs),
+            ))
+        else:
+            fet_gp = fet_gp_acc[s] / max(n_acc, 1)
+            fet_dosage = fet_dosage_acc[s] / max(n_acc, 1)
+            h1, h2, h3 = recast_nipt_haps(
+                hap_dos_ph[s, 0], hap_dos_ph[s, 1], hap_dos_ph[s, 2],
+                gp, fet_gp,
+            )
+            results.append(SampleResult(
+                imputed=True, dosage=dosage, gp=gp,
+                phased_haps=np.stack([h1, h2, h3]),
+                read_labels=cons_list[s],
+                allele_count=sample_allele_count(reads_sorted[s], nSNPs),
+                mat_gp=gp, fet_gp=fet_gp, mat_dosage=dosage,
+                fet_dosage=fet_dosage,
+            ))
+    return results

@@ -54,7 +54,9 @@ def quilt_impute(
     N = len(samples)
     ctx = RegionContext.build(prep, cfg)
     method = cfg.method
-    ff_values = ff_values if ff_values is not None else np.zeros(N)
+    ff_values = np.asarray(
+        ff_values if ff_values is not None else np.zeros(N)
+    )
     rare_common = cfg.impute_rare_common and prep.snp_is_common is not None
     if rare_common:
         # samples hold ALL-SNP reads; the seek loop runs on common SNPs
@@ -86,12 +88,40 @@ def quilt_impute(
     r2s: List[float] = []
     n_imputed = 0
 
+    # multi-sample device batching (production path): the Gibbs sweep cost
+    # is nearly flat in batch size, so samples x chains share one kernel call
+    use_batched = (
+        cfg.sample_batch > 1
+        and N > 1
+        and not rare_common
+        and not cfg.hla_run
+        and method == "diploid"
+    )
+    precomputed: Dict[int, SampleResult] = {}
+    if use_batched:
+        from .batch import impute_samples_batched
+        for s0 in range(0, N, cfg.sample_batch):
+            group = list(range(s0, min(s0 + cfg.sample_batch, N)))
+            print_message(
+                f"Imputing samples {group[0] + 1}-{group[-1] + 1}/{N} "
+                f"(batched)"
+            )
+            batch_res = impute_samples_batched(
+                ctx, [samples[i] for i in group], cfg, seed=cfg.seed + s0,
+                ff_values=ff_values[group],
+            )
+            for gi, i in enumerate(group):
+                precomputed[i] = batch_res[gi]
+
     for i, reads in enumerate(samples):
-        print_message(f"Imputing sample {i + 1}/{N}: {sample_names[i]}")
-        res = impute_one_sample(
-            ctx, reads, cfg, seed=cfg.seed + i, ff=ff_values[i],
-            reads_all=samples_all[i],
-        )
+        if i in precomputed:
+            res = precomputed[i]
+        else:
+            print_message(f"Imputing sample {i + 1}/{N}: {sample_names[i]}")
+            res = impute_one_sample(
+                ctx, reads, cfg, seed=cfg.seed + i, ff=ff_values[i],
+                reads_all=samples_all[i],
+            )
         results.append(res)
         if not res.imputed:
             print_message(

@@ -40,6 +40,33 @@ class PaddedReads:
     J: int
 
     @classmethod
+    def build_batched(
+        cls, reads_list, ref_error: float = 0.001, Jmax: int = 10000,
+        R_pad_to: int = 64,
+    ) -> "PaddedReads":
+        """Stack several samples' reads into [B, R, J] tensors (rows align
+        with GibbsInputs.build_batched)."""
+        from .common import pad_to_multiple
+
+        built = [cls.build(r, ref_error, Jmax) for r in reads_list]
+        R = pad_to_multiple(max(b.nReads for b in built), R_pad_to)
+        J = max(b.J for b in built)
+        n = len(built)
+        u = np.zeros((n, R, J), dtype=np.int32)
+        lr = np.zeros((n, R, J), dtype=np.float32)
+        la = np.zeros((n, R, J), dtype=np.float32)
+        mask = np.zeros((n, R, J), dtype=bool)
+        wif0 = np.zeros((n, R), dtype=np.int32)
+        for i, b in enumerate(built):
+            u[i, : b.nReads, : b.J] = b.u_pad
+            lr[i, : b.nReads, : b.J] = b.lr
+            la[i, : b.nReads, : b.J] = b.la
+            mask[i, : b.nReads, : b.J] = b.mask
+            wif0[i, : b.nReads] = b.wif0
+        return cls(u_pad=u, lr=lr, la=la, mask=mask, wif0=wif0,
+                   nReads=R, J=J)
+
+    @classmethod
     def build(
         cls, reads: SampleReads, ref_error: float = 0.001, Jmax: int = 10000
     ) -> "PaddedReads":
@@ -70,9 +97,9 @@ class PaddedReads:
 
 def emat_read_from_bits(
     bits: jnp.ndarray,          # [B, K, S] uint8 subset panel alleles
-    u_pad: jnp.ndarray,         # [R, J] int32
-    lr: jnp.ndarray,            # [R, J] f32
-    la: jnp.ndarray,            # [R, J] f32
+    u_pad: jnp.ndarray,         # [R, J] or [B, R, J] int32
+    lr: jnp.ndarray,            # same leading shape as u_pad, f32
+    la: jnp.ndarray,
     max_diff: float,
     read_chunk: int = 512,
 ) -> jnp.ndarray:
@@ -81,30 +108,52 @@ def emat_read_from_bits(
     log e[b,k,r] = sum_j lr[r,j] + bits[b,k,u[r,j]]*(la-lr)[r,j]; per read the
     column is rescaled to max 1 and floored at 1/max_diff (the reference's
     rescale_eMatRead_t + maxDifferenceBetweenReads clamp,
-    copied-from-stitch.cpp:190-226).
+    copied-from-stitch.cpp:190-226). With 3D inputs, each batch row carries
+    its own reads (multi-sample batching).
     """
     B, K, S = bits.shape
-    R, J = u_pad.shape
-    base = lr.sum(axis=1)                      # [R]
-    diff = (la - lr)                           # [R, J], 0 at pads
-
-    def chunk_fn(carry, idx):
-        u_c = jax.lax.dynamic_slice(u_pad, (idx, 0), (read_chunk, J))
-        d_c = jax.lax.dynamic_slice(diff, (idx, 0), (read_chunk, J))
-        b_c = jax.lax.dynamic_slice(base, (idx,), (read_chunk,))
-        # gather alleles at read bases: [B, K, Rc, J]
-        a = bits[:, :, u_c]                    # advanced indexing gather
-        logs = b_c[None, None, :] + jnp.einsum(
-            "bkrj,rj->bkr", a.astype(jnp.float32), d_c.astype(jnp.float32)
-        )
-        return carry, logs
+    per_row = u_pad.ndim == 3
+    R, J = u_pad.shape[-2], u_pad.shape[-1]
+    base = lr.sum(axis=-1)                     # [R] or [B, R]
+    diff = (la - lr)                           # [..., R, J], 0 at pads
 
     n_chunks = (R + read_chunk - 1) // read_chunk
     Rpad = n_chunks * read_chunk
     if Rpad != R:
-        u_pad = jnp.pad(u_pad, ((0, Rpad - R), (0, 0)))
-        diff = jnp.pad(diff, ((0, Rpad - R), (0, 0)))
-        base = jnp.pad(base, (0, Rpad - R))
+        padw = [(0, 0)] * (u_pad.ndim - 2) + [(0, Rpad - R), (0, 0)]
+        u_pad = jnp.pad(u_pad, padw)
+        diff = jnp.pad(diff, padw)
+        base = jnp.pad(base, padw[:-1])
+
+    if per_row:
+        def chunk_fn(carry, idx):
+            u_c = jax.lax.dynamic_slice(
+                u_pad, (0, idx, 0), (B, read_chunk, J)
+            )
+            d_c = jax.lax.dynamic_slice(
+                diff, (0, idx, 0), (B, read_chunk, J)
+            )
+            b_c = jax.lax.dynamic_slice(base, (0, idx), (B, read_chunk))
+            a = jnp.take_along_axis(
+                bits, u_c.reshape(B, 1, read_chunk * J), axis=2
+            ).reshape(B, K, read_chunk, J)
+            logs = b_c[:, None, :] + jnp.einsum(
+                "bkrj,brj->bkr", a.astype(jnp.float32),
+                d_c.astype(jnp.float32),
+            )
+            return carry, logs
+    else:
+        def chunk_fn(carry, idx):
+            u_c = jax.lax.dynamic_slice(u_pad, (idx, 0), (read_chunk, J))
+            d_c = jax.lax.dynamic_slice(diff, (idx, 0), (read_chunk, J))
+            b_c = jax.lax.dynamic_slice(base, (idx,), (read_chunk,))
+            a = bits[:, :, u_c]                # [B, K, Rc, J]
+            logs = b_c[None, None, :] + jnp.einsum(
+                "bkrj,rj->bkr", a.astype(jnp.float32),
+                d_c.astype(jnp.float32),
+            )
+            return carry, logs
+
     _, logs = jax.lax.scan(
         chunk_fn, None, jnp.arange(n_chunks) * read_chunk
     )

@@ -42,13 +42,20 @@ from .emissions import PaddedReads, emat_read_from_bits
 
 @dataclass
 class GibbsInputs:
-    """Per-sample static device inputs for the Gibbs sweep."""
+    """Static device inputs for the Gibbs sweep.
 
-    wif0: np.ndarray         # int32 [R]
-    read_start: np.ndarray   # int32 [G] first read index of each grid
-    read_count: np.ndarray   # int32 [G]
-    read_mask: np.ndarray    # bool [R] real (non-pad) reads
-    trans: np.ndarray        # f32 [G, 2] transition INTO grid g (row 0 unused)
+    Read structures are per batch row ([n_rows, ...]); rows of one sample
+    batch can carry DIFFERENT samples' reads — the per-step cost of the
+    sweep is nearly flat in the batch size, so batching samples x chains is
+    the main throughput lever on TPU. `build` creates a single-row input
+    (broadcast across chains); `build_batched` stacks several samples.
+    """
+
+    wif0: np.ndarray         # int32 [n_rows, R]
+    read_start: np.ndarray   # int32 [n_rows, G]
+    read_count: np.ndarray   # int32 [n_rows, G]
+    read_mask: np.ndarray    # bool [n_rows, R]
+    trans: np.ndarray        # f32 [G, 2] transition INTO grid g (row 0 = (1,0))
     G: int
     R: int
 
@@ -57,26 +64,47 @@ class GibbsInputs:
         cls, reads: SampleReads, trans: np.ndarray, nGrids: int,
         R_pad_to: int = 64,
     ) -> "GibbsInputs":
-        wif0 = reads.wif0.astype(np.int32)
-        assert (np.diff(wif0) >= 0).all(), "reads must be sorted by grid"
-        R = reads.nReads
-        Rp = pad_to_multiple(max(R, 1), R_pad_to)
-        read_start = np.searchsorted(wif0, np.arange(nGrids), side="left").astype(
-            np.int32
+        return cls.build_batched([reads], trans, nGrids, R_pad_to=R_pad_to)
+
+    @classmethod
+    def build_batched(
+        cls, reads_list, trans: np.ndarray, nGrids: int, R_pad_to: int = 64,
+    ) -> "GibbsInputs":
+        n = len(reads_list)
+        Rp = pad_to_multiple(
+            max(max(r.nReads for r in reads_list), 1), R_pad_to
         )
-        read_count = (
-            np.searchsorted(wif0, np.arange(nGrids), side="right") - read_start
-        ).astype(np.int32)
-        wif0_p = np.full(Rp, nGrids - 1, dtype=np.int32)
-        wif0_p[:R] = wif0
-        mask = np.zeros(Rp, dtype=bool)
-        mask[:R] = True
+        wif0 = np.full((n, Rp), nGrids - 1, dtype=np.int32)
+        mask = np.zeros((n, Rp), dtype=bool)
+        read_start = np.zeros((n, nGrids), dtype=np.int32)
+        read_count = np.zeros((n, nGrids), dtype=np.int32)
+        for i, reads in enumerate(reads_list):
+            w = reads.wif0.astype(np.int32)
+            assert (np.diff(w) >= 0).all(), "reads must be sorted by grid"
+            R = reads.nReads
+            wif0[i, :R] = w
+            mask[i, :R] = True
+            read_start[i] = np.searchsorted(w, np.arange(nGrids), side="left")
+            read_count[i] = (
+                np.searchsorted(w, np.arange(nGrids), side="right")
+                - read_start[i]
+            )
         trans_full = np.zeros((nGrids, 2), dtype=np.float32)
         trans_full[0] = (1.0, 0.0)
         trans_full[1:] = np.asarray(trans, dtype=np.float32).T
         return cls(
-            wif0=wif0_p, read_start=read_start, read_count=read_count,
+            wif0=wif0, read_start=read_start, read_count=read_count,
             read_mask=mask, trans=trans_full, G=nGrids, R=Rp,
+        )
+
+    def repeat_rows(self, n_chains: int) -> "GibbsInputs":
+        """Each sample row repeated n_chains times (chain batching)."""
+        return GibbsInputs(
+            wif0=np.repeat(self.wif0, n_chains, axis=0),
+            read_start=np.repeat(self.read_start, n_chains, axis=0),
+            read_count=np.repeat(self.read_count, n_chains, axis=0),
+            read_mask=np.repeat(self.read_mask, n_chains, axis=0),
+            trans=self.trans, G=self.G, R=self.R,
         )
 
 
@@ -84,18 +112,19 @@ def _build_log_emat_grid(log_em, H, wif0, read_mask, G, nl):
     """log eMatGrid [G, B, nl, K] from current labels (non-iterative init).
 
     Equivalent of rcpp_make_eMatGrid_t (copied-from-stitch.cpp:234-310).
+    wif0/read_mask are per batch row [B, R].
     """
     B, K, R = log_em.shape
+    rows = jnp.arange(B)
 
     def body(emg, r):
-        g = wif0[r]
+        g = wif0[:, r]                           # [B]
         h = H[:, r]
-        col = jax.lax.dynamic_index_in_dim(emg, g, 0, keepdims=False)
         em_r = log_em[:, :, r]
         onehot = jax.nn.one_hot(h, nl, dtype=em_r.dtype)
         add = onehot[:, :, None] * em_r[:, None, :]
-        add = jnp.where(read_mask[r], add, 0.0)
-        emg = jax.lax.dynamic_update_index_in_dim(emg, col + add, g, 0)
+        add = jnp.where(read_mask[:, r][:, None, None], add, 0.0)
+        emg = emg.at[g, rows].add(add)
         return emg, None
 
     emg0 = jnp.zeros((G, B, nl, K), dtype=jnp.float32)
@@ -107,10 +136,10 @@ def _build_log_emat_grid(log_em, H, wif0, read_mask, G, nl):
 def _gibbs_core(
     eMatRead: jnp.ndarray,     # [B, K, R] f32
     bits: jnp.ndarray,         # [B, K, S] uint8
-    read_start: jnp.ndarray,   # [G]
-    read_count: jnp.ndarray,   # [G]
-    wif0: jnp.ndarray,         # [R]
-    read_mask: jnp.ndarray,    # [R] bool
+    read_start: jnp.ndarray,   # [B, G]
+    read_count: jnp.ndarray,   # [B, G]
+    wif0: jnp.ndarray,         # [B, R]
+    read_mask: jnp.ndarray,    # [B, R] bool
     trans: jnp.ndarray,        # [G, 2]
     prior: jnp.ndarray,        # [nl] f32
     uniforms: jnp.ndarray,     # [n_its, B, R]
@@ -126,15 +155,16 @@ def _gibbs_core(
 ):
     B, K, R = eMatRead.shape
     S = bits.shape[2]
-    G = read_start.shape[0]
+    G = read_start.shape[1]
     n_its = uniforms.shape[0]
     eye_b = jnp.eye(nl, dtype=bool)
+    rows = jnp.arange(B)
 
     k_mask = jnp.arange(K) < K_real
     km = k_mask.astype(jnp.float32)
     log_em_all = jnp.log(eMatRead)                         # [B, K, R]
 
-    skip = (eMatRead > 1.0 - 1e-12).all(axis=1) | ~read_mask[None, :]  # [B,R]
+    skip = (eMatRead > 1.0 - 1e-12).all(axis=1) | ~read_mask  # [B, R]
 
     if iterative_init:
         lemg = jnp.zeros((G, B, nl, K), dtype=jnp.float32)
@@ -167,7 +197,7 @@ def _gibbs_core(
             valid = b > 0
             bb = jnp.maximum(b, 1)
             sfx_g = (jnp.arange(G) >= bb)[:, None]          # [G, 1]
-            sfx_r = wif0 >= bb                               # [R]
+            sfx_r = wif0 >= bb                               # [B, R]
             for pi, (i, j2) in enumerate(pairs):
                 # decision state: alpha through b-1 (prefix), beta at b-1
                 # (future from b on) — the swap applies to grids >= b
@@ -180,7 +210,7 @@ def _gibbs_core(
                 w_keep = cii * cjj
                 w_swap = cij * cji
                 if nl == 3:
-                    mr = (sfx_r & read_mask)[None, :]
+                    mr = sfx_r & read_mask
                     n_i = ((H == i) & mr).sum(axis=1)
                     n_j = ((H == j2) & mr).sum(axis=1)
                     logpr = jnp.clip(
@@ -210,7 +240,7 @@ def _gibbs_core(
                         beta = arr
                     else:
                         alphas = arr
-                cond_r = (sfx_r[None, :] & do_swap[:, None])
+                cond_r = sfx_r & do_swap[:, None]
                 H = jnp.where(cond_r & (H == i), nl + 7,
                               jnp.where(cond_r & (H == j2), i, H))
                 H = jnp.where(H == nl + 7, j2, H)
@@ -240,16 +270,22 @@ def _gibbs_core(
 
             def read_body(i, rs):
                 alpha_g, lemg_g, pC, H, logc, uf = rs
-                r = read_start[g] + i
-                em = jax.lax.dynamic_index_in_dim(eMatRead, r, 2, keepdims=False)
-                lem = jax.lax.dynamic_index_in_dim(log_em_all, r, 2, keepdims=False)
+                r = read_start[:, g] + i                     # [B] per-row read
+                in_grid = i < read_count[:, g]               # [B]
+                em = jnp.take_along_axis(
+                    eMatRead, r[:, None, None], axis=2
+                )[:, :, 0]                                    # [B, K]
+                lem = jnp.take_along_axis(
+                    log_em_all, r[:, None, None], axis=2
+                )[:, :, 0]
                 emk = jnp.where(k_mask[None, :], em, 1.0)
                 ab = alpha_g * beta_g                        # [B, nl, K]
                 gain = (ab * emk[:, None, :]).sum(axis=2)
                 lose = (ab / emk[:, None, :]).sum(axis=2)
-                h_rC = jax.lax.dynamic_index_in_dim(H, r, 1, keepdims=False)
+                h_rC = jnp.take_along_axis(H, r[:, None], axis=1)[:, 0]
                 oh_C = jax.nn.one_hot(h_rC, nl, dtype=jnp.float32)
-                skip_r = jax.lax.dynamic_index_in_dim(skip, r, 1, keepdims=False)
+                skip_r = jnp.take_along_axis(skip, r[:, None], axis=1)[:, 0]
+                skip_r = skip_r | ~in_grid
                 if iterative_init:
                     doing_pass = (it == 0) & (r < first_read)
                     doing_init = ((it == 0) & (r >= first_read)) | (
@@ -276,7 +312,7 @@ def _gibbs_core(
                     bad[:, None], 1.0 / nl, w / jnp.where(wsum > 0, wsum, 1.0)
                 )
                 cum = jnp.cumsum(probs, axis=1)
-                u = jax.lax.dynamic_index_in_dim(u_it, r, 1, keepdims=False)
+                u = jnp.take_along_axis(u_it, r[:, None], axis=1)[:, 0]
                 h_new = jnp.minimum(
                     (cum <= u[:, None]).sum(axis=1), nl - 1
                 ).astype(H.dtype)
@@ -296,9 +332,7 @@ def _gibbs_core(
                 ) * normal[:, None, None].astype(jnp.float32)
                 dlog = jnp.where(flip[:, None, None], dlog, 0.0)
                 lemg_g = lemg_g + dlog
-                H = jax.lax.dynamic_update_index_in_dim(
-                    H, jnp.where(flip, h_new, h_rC), r, 1
-                )
+                H = H.at[rows, r].set(jnp.where(flip, h_new, h_rC))
                 pC_new = jnp.take_along_axis(
                     p_opts, h_new[:, None, None], axis=1
                 )[:, 0, :]
@@ -312,7 +346,7 @@ def _gibbs_core(
 
             pC0 = (alpha_g * beta_g).sum(axis=2)
             alpha_g, lemg_g, pC, H, logc, uf = jax.lax.fori_loop(
-                0, read_count[g], read_body,
+                0, read_count[:, g].max(), read_body,
                 (alpha_g, lemg_g, pC0, H, logc, uf),
             )
             return (alpha_g, H, uf), (alpha_g, lemg_g, logc)
@@ -350,7 +384,7 @@ def _gibbs_core(
                 (lemg, beta, alphas, H),
             )
         p_O = logcs.sum(axis=0).sum(axis=1)                 # [B]
-        logprior = jnp.log(prior)[H] * read_mask[None, :]
+        logprior = jnp.log(prior)[H] * read_mask
         p_H = logprior.sum(axis=1)
         per_it_ll = per_it_ll.at[it].set(jnp.stack([p_O, p_H], axis=1))
         return (lemg, beta, alphas, H, underflow, per_it_ll)
@@ -446,13 +480,22 @@ def run_gibbs_chains(
         boundaries = np.zeros(0, dtype=np.int32)
         block_u = np.zeros((n_its, 0, 3, B), dtype=np.float32)
         do_block = np.zeros(n_its, dtype=bool)
+    # read structures are [n_rows, ...]; broadcast a single shared row to B
+    rs_np, rc_np, w_np, m_np = (
+        inputs.read_start, inputs.read_count, inputs.wif0, inputs.read_mask,
+    )
+    if rs_np.shape[0] == 1 and B > 1:
+        rs_np = np.broadcast_to(rs_np, (B, rs_np.shape[1]))
+        rc_np = np.broadcast_to(rc_np, (B, rc_np.shape[1]))
+        w_np = np.broadcast_to(w_np, (B, w_np.shape[1]))
+        m_np = np.broadcast_to(m_np, (B, m_np.shape[1]))
     gp, gpF, hap_dos, H, ll, uf = _gibbs_core(
         eMatRead,
         jnp.asarray(bits),
-        jnp.asarray(inputs.read_start),
-        jnp.asarray(inputs.read_count),
-        jnp.asarray(inputs.wif0),
-        jnp.asarray(inputs.read_mask),
+        jnp.asarray(rs_np),
+        jnp.asarray(rc_np),
+        jnp.asarray(w_np),
+        jnp.asarray(m_np),
         jnp.asarray(inputs.trans),
         jnp.asarray(prior),
         jnp.asarray(uniforms, dtype=np.float32),
