@@ -68,8 +68,11 @@ def cmd_prepare(args) -> int:
     import os
 
     cfg: PrepareConfig = _config_from_args(PrepareConfig, args)
-    if not cfg.reference_vcf_file:
-        print("--reference_vcf_file is required", file=sys.stderr)
+    if not cfg.reference_vcf_file and not cfg.reference_haplotype_file:
+        print(
+            "--reference_vcf_file or --reference_haplotype_file is required",
+            file=sys.stderr,
+        )
         return 1
     region_start = (
         None if cfg.regionStart is None else cfg.regionStart - cfg.buffer
@@ -87,23 +90,34 @@ def cmd_prepare(args) -> int:
         exclude = [
             l.split()[0] for l in open(cfg.reference_exclude_samplelist_file)
         ]
-    panel = read_panel_vcf(
-        cfg.reference_vcf_file,
-        region_chrom=cfg.chr or None,
-        region_start=region_start,
-        region_end=region_end,
-        keep_samples=keep,
-        exclude_samples=exclude,
-    )
+    if cfg.reference_vcf_file:
+        panel = read_panel_vcf(
+            cfg.reference_vcf_file,
+            region_chrom=cfg.chr or None,
+            region_start=region_start,
+            region_end=region_end,
+            keep_samples=keep,
+            exclude_samples=exclude,
+        )
+        p_chrom, p_pos = panel.chrom, panel.pos
+        p_ref, p_alt, p_haps = panel.ref_allele, panel.alt_allele, panel.haps
+    else:
+        from .io.vcf import read_hap_legend
+        p_pos, p_ref, p_alt, p_haps, _names = read_hap_legend(
+            cfg.reference_haplotype_file, cfg.reference_legend_file,
+            cfg.reference_sample_file,
+            region_start=region_start, region_end=region_end,
+        )
+        p_chrom = cfg.chr
     gmap_pos = gmap_cm = None
     if cfg.genetic_map_file:
         gmap_pos, gmap_cm = read_genetic_map(cfg.genetic_map_file)
     prep = prepare_panel(
-        chrom=panel.chrom,
-        pos=panel.pos,
-        ref_allele=panel.ref_allele,
-        alt_allele=panel.alt_allele,
-        haps=panel.haps,
+        chrom=p_chrom,
+        pos=p_pos,
+        ref_allele=p_ref,
+        alt_allele=p_alt,
+        haps=p_haps,
         gmap_pos=gmap_pos,
         gmap_cm=gmap_cm,
         nGen=cfg.nGen,
@@ -122,7 +136,7 @@ def cmd_prepare(args) -> int:
     )
     out = cfg.output_file
     if not out:
-        region_name = cfg.chr or panel.chrom
+        region_name = cfg.chr or p_chrom
         if cfg.regionStart is not None:
             region_name += f".{cfg.regionStart}.{cfg.regionEnd}"
         os.makedirs(os.path.join(cfg.outputdir, "RData"), exist_ok=True)

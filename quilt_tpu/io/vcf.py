@@ -258,3 +258,58 @@ def read_phasefile(path: str) -> Tuple[List[str], np.ndarray]:
                         for v in x.split("|")])
         rows.append(row)
     return names, np.asarray(rows, dtype=np.float64)
+
+
+def read_hap_legend(
+    hap_file: str,
+    legend_file: str,
+    sample_file: str = "",
+    region_start: Optional[int] = None,
+    region_end: Optional[int] = None,
+):
+    """IMPUTE-format reference panel: .hap(.gz) 0/1 matrix (rows = SNPs,
+    cols = haplotypes) + .legend(.gz) (id position a0 a1 header).
+
+    The reference's alternative panel input path
+    (quilt-prepare-reference.R:265-344 get_haplotypes_from_reference).
+    Returns (pos, ref, alt, haps [K, nSNPs], sample_names).
+    """
+    pos_l, ref_l, alt_l, keep_rows = [], [], [], []
+    for i, line in enumerate(bgzf_open(legend_file)):
+        if i == 0:
+            continue
+        p = line.split()
+        if len(p) < 4:
+            continue
+        position = int(p[1])
+        inside = (
+            (region_start is None or position >= region_start)
+            and (region_end is None or position <= region_end)
+        )
+        keep_rows.append(inside)
+        if inside:
+            pos_l.append(position)
+            ref_l.append(p[2])
+            alt_l.append(p[3])
+    rows = []
+    r = 0
+    for line in bgzf_open(hap_file):
+        vals = line.split()
+        if not vals:
+            continue
+        if r < len(keep_rows) and keep_rows[r]:
+            rows.append(np.array(vals, dtype=np.uint8))
+        r += 1
+    haps = np.stack(rows, axis=1) if rows else np.zeros((0, 0), np.uint8)
+    names: List[str] = []
+    if sample_file:
+        for i, line in enumerate(bgzf_open(sample_file)):
+            if i == 0:
+                continue
+            p = line.split()
+            if p:
+                names.append(p[0])
+    return (
+        np.asarray(pos_l, dtype=np.int64),
+        np.asarray(ref_l), np.asarray(alt_l), haps, names,
+    )
