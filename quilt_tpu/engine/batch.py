@@ -17,11 +17,25 @@ from typing import List, Optional, Sequence
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from ..config import ImputeConfig
 from ..io.reads import SampleReads
 from ..kernels import PaddedReads, fb_full_batched
-from ..kernels.common import pad_to_multiple
+from ..kernels.common import pad_to_multiple, unpack_bits_device
+from ..kernels.emissions import gls_from_labels_device
 from ..kernels.gibbs import GibbsInputs, run_gibbs_chains
+
+
+@jax.jit
+def _gather_unpack(rhb_dev, which):
+    """Device-side subset gather + bit unpack: only the [B, Ksub] index
+    array crosses the host link (the packed panel is uploaded once)."""
+    return unpack_bits_device(rhb_dev[which])
+
+
+def _device_uniforms(key, shape):
+    return jax.random.uniform(key, shape, dtype=jnp.float32)
 from ..utils import print_message
 from .sample import (
     RegionContext,
@@ -72,6 +86,8 @@ def impute_samples_batched(
         wif0=np.repeat(preads1.wif0, C, axis=0),
         nReads=preads1.nReads,
         J=preads1.J,
+        lpr=np.repeat(preads1.lpr, C, axis=0),
+        lpa=np.repeat(preads1.lpa, C, axis=0),
     )
     n_its = cfg.small_ref_panel_gibbs_iterations + 1
     if nl == 2:
@@ -99,24 +115,30 @@ def impute_samples_batched(
             do_block_np[bit - 1] = True
     bnd = ctx.boundaries if ctx.boundaries is not None else np.zeros(0, np.int32)
 
+    rhb_dev = ctx.rhb_dev()
+    Kp_sub = pad_to_multiple(ctx.Ksub, 128)
+
     def run_chains(which_b, H0_b, iterative, first_b, ginputs_b, preads_b,
                    max_diff):
         Bb = which_b.shape[0]
-        rhb_sub = prep.rhb_t[which_b]
-        Ksub = rhb_sub.shape[1]
-        Kp = pad_to_multiple(Ksub, 128)
-        if Kp != Ksub:
-            pad = np.repeat(rhb_sub[:, :1, :], Kp - Ksub, axis=1)
-            rhb_sub = np.concatenate([rhb_sub, pad], axis=1)
-        bits = _unpack_subset(jnp.asarray(rhb_sub))
-        uniforms = rng.random((n_its, Bb, ginputs_b.R)).astype(np.float32)
-        block_u = rng.random((n_its, len(bnd), 3, Bb)).astype(np.float32)
+        # pad hap-subset indices by repeating the first entry: pad rows carry
+        # zero weight in all kernel sums
+        which_p = np.concatenate(
+            [which_b] + [which_b[:, :1]] * (Kp_sub - which_b.shape[1]), axis=1
+        ) if Kp_sub != which_b.shape[1] else which_b
+        bits = _gather_unpack(rhb_dev, jnp.asarray(which_p))
+        key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+        k1, k2 = jax.random.split(key)
+        uniforms = _device_uniforms(k1, (n_its, Bb, ginputs_b.R))
+        block_u = _device_uniforms(k2, (n_its, max(len(bnd), 1), 3, Bb))
+        block_u = block_u[:, : len(bnd)]
         for attempt in range(11):
             gp, gpF, hap_dos, Hn, ll, uf = run_gibbs_chains(
                 bits=bits, preads=preads_b, inputs=ginputs_b,
                 uniforms=uniforms, H0=H0_b, first_read=first_b, n_latent=nl,
                 ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,
-                K_real=Ksub, max_diff=max_diff, ref_error=prep.ref_error,
+                K_real=which_b.shape[1], max_diff=max_diff,
+                ref_error=prep.ref_error,
                 boundaries=bnd, block_u=block_u, do_block=do_block_np,
             )
             if not uf.any():
@@ -128,15 +150,23 @@ def impute_samples_batched(
             )
         return gp, gpF, hap_dos, Hn, max_diff
 
+    S_pad = ctx.fb_inputs.S
+    preads_dev = {
+        "u": jnp.asarray(preads.u_pad), "pr": jnp.asarray(preads.lpr),
+        "pa": jnp.asarray(preads.lpa),
+    }
+    preads1_dev = {
+        "u": jnp.asarray(preads1.u_pad), "pr": jnp.asarray(preads1.lpr),
+        "pa": jnp.asarray(preads1.lpa),
+    }
+
     def run_fb_and_select(H_b, which_b, row_to_sample):
         Bb = H_b.shape[0]
-        gls = np.ones((Bb * nl, 2, nSNPs), dtype=np.float32)
-        for b in range(Bb):
-            rs = reads_sorted[row_to_sample[b]]
-            gl_c = gls_from_labels(
-                rs, H_b[b, : rs.nReads], nl, nSNPs, cfg.minGLValue
-            )
-            gls[b * nl:(b + 1) * nl] = gl_c
+        pd = preads_dev if Bb == B else preads1_dev
+        gls = gls_from_labels_device(
+            pd["u"], pd["pr"], pd["pa"], jnp.asarray(H_b), nl, S_pad,
+            minGLValue=cfg.minGLValue,
+        )
         res_fb = fb_full_batched(
             gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
             ref_error=prep.ref_error,

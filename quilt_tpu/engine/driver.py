@@ -51,6 +51,9 @@ def quilt_impute(
     region_name: str = "region",
 ) -> ImputeOutput:
     t0 = time.time()
+    from .validators import validate_impute_config, validate_region_consistency
+    validate_impute_config(cfg)
+    validate_region_consistency(prep, cfg)
     N = len(samples)
     ctx = RegionContext.build(prep, cfg)
     method = cfg.method

@@ -54,6 +54,14 @@ class RegionContext:
     nGrids_all: int = 0
     boundaries: Optional[np.ndarray] = None   # block-Gibbs suffix starts
     hla_capture: bool = False
+    _rhb_dev_cache: Optional[object] = None
+
+    def rhb_dev(self):
+        """Packed panel resident on device (uploaded once per region)."""
+        if self._rhb_dev_cache is None:
+            object.__setattr__(self, "_rhb_dev_cache",
+                               jnp.asarray(self.prep.rhb_t))
+        return self._rhb_dev_cache
 
     @classmethod
     def build(cls, prep: PreparedReference, cfg: ImputeConfig) -> "RegionContext":

@@ -38,6 +38,8 @@ class PaddedReads:
     wif0: np.ndarray        # int32 [R]
     nReads: int
     J: int
+    lpr: np.ndarray = None  # float32 [R, J] log pR (raw, for GL building)
+    lpa: np.ndarray = None  # float32 [R, J] log pA
 
     @classmethod
     def build_batched(
@@ -55,16 +57,20 @@ class PaddedReads:
         u = np.zeros((n, R, J), dtype=np.int32)
         lr = np.zeros((n, R, J), dtype=np.float32)
         la = np.zeros((n, R, J), dtype=np.float32)
+        lpr = np.zeros((n, R, J), dtype=np.float32)
+        lpa = np.zeros((n, R, J), dtype=np.float32)
         mask = np.zeros((n, R, J), dtype=bool)
         wif0 = np.zeros((n, R), dtype=np.int32)
         for i, b in enumerate(built):
             u[i, : b.nReads, : b.J] = b.u_pad
             lr[i, : b.nReads, : b.J] = b.lr
             la[i, : b.nReads, : b.J] = b.la
+            lpr[i, : b.nReads, : b.J] = b.lpr
+            lpa[i, : b.nReads, : b.J] = b.lpa
             mask[i, : b.nReads, : b.J] = b.mask
             wif0[i, : b.nReads] = b.wif0
         return cls(u_pad=u, lr=lr, la=la, mask=mask, wif0=wif0,
-                   nReads=R, J=J)
+                   nReads=R, J=J, lpr=lpr, lpa=lpa)
 
     @classmethod
     def build(
@@ -76,22 +82,34 @@ class PaddedReads:
         u_pad = np.zeros((nReads, J), dtype=np.int32)
         lr = np.zeros((nReads, J), dtype=np.float32)
         la = np.zeros((nReads, J), dtype=np.float32)
+        lpr = np.zeros((nReads, J), dtype=np.float32)
+        lpa = np.zeros((nReads, J), dtype=np.float32)
         mask = np.zeros((nReads, J), dtype=bool)
         probs = bq_to_probs(reads.bq)
         t_ref = probs[:, 0] * (1 - ref_error) + probs[:, 1] * ref_error
         t_alt = probs[:, 1] * (1 - ref_error) + probs[:, 0] * ref_error
         log_tr = np.log(t_ref)
         log_ta = np.log(t_alt)
+        log_pr = np.log(np.maximum(probs[:, 0], 1e-30))
+        log_pa = np.log(np.maximum(probs[:, 1], 1e-30))
+        # bases with bq == 0 are skipped in GL building (reference:
+        # impute_using_everything, functions.R:2018-2020)
+        zero = reads.bq == 0
+        log_pr = np.where(zero, 0.0, log_pr)
+        log_pa = np.where(zero, 0.0, log_pa)
         for r in range(nReads):
             s = reads.offsets[r]
             n = lens[r]
             u_pad[r, :n] = reads.u[s:s + n]
             lr[r, :n] = log_tr[s:s + n]
             la[r, :n] = log_ta[s:s + n]
+            lpr[r, :n] = log_pr[s:s + n]
+            lpa[r, :n] = log_pa[s:s + n]
             mask[r, :n] = True
         return cls(
             u_pad=u_pad, lr=lr, la=la, mask=mask,
             wif0=reads.wif0.astype(np.int32), nReads=nReads, J=J,
+            lpr=lpr, lpa=lpa,
         )
 
 
@@ -202,3 +220,52 @@ def emissions_for_words(
     e = bits * (1.0 - 2.0 * ref_error) + ref_error
     term = gl32[..., 0, :] * (1.0 - e) + gl32[..., 1, :] * e
     return jnp.exp(jnp.log(jnp.maximum(term, 1e-30)).sum(axis=-1))
+
+
+def gls_from_labels_device(
+    u_pad: jnp.ndarray,      # [B, R, J]
+    lpr: jnp.ndarray,
+    lpa: jnp.ndarray,
+    H: jnp.ndarray,          # [B, R]
+    n_latent: int,
+    S: int,
+    minGLValue: float = 1e-10,
+    chunk: int = 256,
+) -> jnp.ndarray:
+    """Chunked-scan implementation of the device GL builder."""
+    B, R, J = u_pad.shape
+    n_chunks = (R + chunk - 1) // chunk
+    Rp = n_chunks * chunk
+    if Rp != R:
+        pad = [(0, 0), (0, Rp - R), (0, 0)]
+        u_pad = jnp.pad(u_pad, pad)
+        lpr = jnp.pad(lpr, pad)
+        lpa = jnp.pad(lpa, pad)
+        H = jnp.pad(H, [(0, 0), (0, Rp - R)])
+    oh = jax.nn.one_hot(H, n_latent, dtype=jnp.float32)       # [B, Rp, nl]
+    bidx = jnp.arange(B)[:, None, None]
+
+    def body(logg, c):
+        sl = lambda x: jax.lax.dynamic_slice(
+            x, (0, c * chunk) + (0,) * (x.ndim - 2),
+            (B, chunk) + x.shape[2:],
+        )
+        u_c = sl(u_pad)                                       # [B, C, J]
+        pr_c = sl(lpr)
+        pa_c = sl(lpa)
+        oh_c = sl(oh)                                         # [B, C, nl]
+        wpr = oh_c[:, :, :, None] * pr_c[:, :, None, :]       # [B, C, nl, J]
+        wpa = oh_c[:, :, :, None] * pa_c[:, :, None, :]
+        u_b = jnp.broadcast_to(u_c[:, :, None, :], wpr.shape)
+        logg = logg.at[bidx[..., None], jnp.arange(n_latent)[None, None, :, None], 0, u_b].add(wpr)
+        logg = logg.at[bidx[..., None], jnp.arange(n_latent)[None, None, :, None], 1, u_b].add(wpa)
+        return logg, None
+
+    logg0 = jnp.zeros((B, n_latent, 2, S), dtype=jnp.float32)
+    logg, _ = jax.lax.scan(body, logg0, jnp.arange(n_chunks))
+    gl = jnp.exp(logg)
+    hi = gl.max(axis=2, keepdims=True)
+    fix = (gl < minGLValue).any(axis=2, keepdims=True)
+    scaled = jnp.maximum(gl / jnp.maximum(hi, 1e-30), minGLValue)
+    gl = jnp.where(fix, scaled, gl)
+    return gl.reshape(B * n_latent, 2, S)

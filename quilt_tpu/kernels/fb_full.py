@@ -372,8 +372,11 @@ def fb_full_batched(
     """
     B = gl.shape[0]
     S = inputs.S
-    gl_pad = np.ones((B, 2, S), dtype=np.float32)
-    gl_pad[:, :, : gl.shape[2]] = gl
+    if isinstance(gl, jnp.ndarray) and gl.shape[2] == S:
+        gl_pad = gl          # already padded, device-resident
+    else:
+        gl_pad = np.ones((B, 2, S), dtype=np.float32)
+        gl_pad[:, :, : gl.shape[2]] = np.asarray(gl)
     dev = inputs.device()
     dosage, log_like, tv, ti, gamma_cap = _fb_core(
         jnp.asarray(gl_pad),

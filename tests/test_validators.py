@@ -1,0 +1,48 @@
+import numpy as np
+import pytest
+
+from quilt_tpu.config import ImputeConfig
+from quilt_tpu.engine.validators import (
+    QuiltValidationError,
+    validate_impute_config,
+    validate_region_consistency,
+)
+from quilt_tpu.io import simulate_panel
+from quilt_tpu.panel import prepare_panel
+
+
+def test_config_validation():
+    validate_impute_config(ImputeConfig())
+    with pytest.raises(QuiltValidationError):
+        validate_impute_config(ImputeConfig(regionStart=100))
+    with pytest.raises(QuiltValidationError):
+        validate_impute_config(ImputeConfig(regionStart=200, regionEnd=100))
+    with pytest.raises(QuiltValidationError):
+        validate_impute_config(ImputeConfig(nGibbsSamples=0))
+    with pytest.raises(QuiltValidationError):
+        validate_impute_config(
+            ImputeConfig(small_ref_panel_gibbs_iterations=5,
+                         small_ref_panel_block_gibbs_iterations=[3, 9])
+        )
+    with pytest.raises(QuiltValidationError):
+        validate_impute_config(ImputeConfig(method="haploid"))
+    with pytest.raises(QuiltValidationError):
+        validate_impute_config(
+            ImputeConfig(n_seek_its=2, n_burn_in_seek_its=2)
+        )
+
+
+def test_region_consistency(rng):
+    haps, pos = simulate_panel(rng, K=10, nSNPs=64)
+    prep = prepare_panel(
+        chrom="1", pos=pos, ref_allele=np.array(["A"] * 64),
+        alt_allele=np.array(["G"] * 64), haps=haps,
+        regionStart=100, regionEnd=900000, buffer=500,
+    )
+    validate_region_consistency(
+        prep, ImputeConfig(regionStart=100, regionEnd=900000, buffer=500)
+    )
+    with pytest.raises(QuiltValidationError):
+        validate_region_consistency(
+            prep, ImputeConfig(regionStart=100, regionEnd=900001, buffer=500)
+        )
