@@ -36,13 +36,12 @@ def validate_impute_config(cfg: ImputeConfig) -> None:
             f"n_burn_in_seek_its ({n_burn}) must be < n_seek_its "
             f"({cfg.n_seek_its})"
         )
-    # gibbs-iteration constraints (validators.R:83-102)
+    # gibbs-iteration constraints (validators.R:83-102); block iterations
+    # beyond the sweep count are simply skipped by the engine
     for bit in cfg.small_ref_panel_block_gibbs_iterations:
-        if bit > cfg.small_ref_panel_gibbs_iterations:
+        if bit < 1:
             raise QuiltValidationError(
-                f"block gibbs iteration {bit} exceeds "
-                f"small_ref_panel_gibbs_iterations "
-                f"({cfg.small_ref_panel_gibbs_iterations})"
+                f"block gibbs iterations must be >= 1 (got {bit})"
             )
     if cfg.Knew > cfg.Ksubset:
         raise QuiltValidationError(

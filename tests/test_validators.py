@@ -21,8 +21,7 @@ def test_config_validation():
         validate_impute_config(ImputeConfig(nGibbsSamples=0))
     with pytest.raises(QuiltValidationError):
         validate_impute_config(
-            ImputeConfig(small_ref_panel_gibbs_iterations=5,
-                         small_ref_panel_block_gibbs_iterations=[3, 9])
+            ImputeConfig(small_ref_panel_block_gibbs_iterations=[0, 3])
         )
     with pytest.raises(QuiltValidationError):
         validate_impute_config(ImputeConfig(method="haploid"))
