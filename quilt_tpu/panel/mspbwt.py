@@ -61,7 +61,11 @@ def match_z(
 
     Returns (hap, end_t, length) tuples with length >= min_length (in index
     grids). At each position the query's insertion point is tracked through
-    the prefix arrays; neighbors above/below are extended backwards.
+    the prefix arrays; up to max_scan neighbors above/below the insertion
+    point are extended backwards — the reference's "approach B" up/down
+    scan (Rcpp_ms_MatchZ_Algorithm5), vectorized: per position the
+    candidate block's backward match lengths come from one cumulative
+    product instead of per-hap loops.
     """
     A, X = index.A, index.symbols
     T1, K = A.shape
@@ -75,31 +79,25 @@ def match_z(
         below = int((sym_in_order < zt).sum())
         rank = int((sym_in_order[: p[t]] == zt).sum())
         p[t + 1] = below + rank
-    # backward match length of hap k ending at t (inclusive)
-    def match_len(k: int, t: int) -> int:
-        L = 0
-        while t - L >= 0 and X[k, t - L] == z[t - L]:
-            L += 1
-        return L
-
     matches: Dict[Tuple[int, int], int] = {}
+    half = max_scan // 2
     for t in range(T - 1, -1, -1):
         a = A[t + 1]
         pos = int(p[t + 1])
-        for direction in (-1, +1):
-            i = pos if direction == +1 else pos - 1
-            scanned = 0
-            while 0 <= i < K and scanned < max_scan:
-                k = int(a[i])
-                L = match_len(k, t)
-                if L < min_length:
-                    break
-                key = (k, t - L + 1)
-                if key not in matches or matches[key] < L:
-                    # store by match start so extensions dedupe
-                    matches[key] = L
-                i += direction
-                scanned += 1
+        lo = max(pos - half, 0)
+        hi = min(pos + half, K)
+        cands = a[lo:hi]
+        if len(cands) == 0:
+            continue
+        # backward match lengths ending at t, vectorized
+        eq = X[cands, : t + 1] == z[: t + 1][None, :]       # [C, t+1]
+        run = np.cumprod(eq[:, ::-1], axis=1)               # suffix runs
+        lens = run.sum(axis=1)
+        keep = lens >= min_length
+        for k, L in zip(cands[keep].tolist(), lens[keep].tolist()):
+            key = (k, t - L + 1)
+            if key not in matches or matches[key] < L:
+                matches[key] = L
     out = []
     for (k, start), L in matches.items():
         out.append((k, start + L - 1, L))
@@ -132,16 +130,9 @@ def symbols_from_hap_dosage(
         | (byte_vals[:, 2].astype(np.uint32) << 16)
         | (byte_vals[:, 3].astype(np.uint32) << 24)
     )
-    z = np.zeros(nGrids, dtype=np.uint8)
-    for g in range(nGrids):
-        table = distinctHapsB[:, g]
-        hit = np.flatnonzero(table == words[g])
-        if len(hit):
-            z[g] = hit[0] + 1
-        else:
-            xor = table ^ words[g]
-            ham = np.array([bin(int(x)).count("1") for x in xor])
-            z[g] = int(ham.argmin()) + 1
+    # vectorized over grids: exact word match, else Hamming-nearest
+    ham = np.bitwise_count(distinctHapsB ^ words[None, :])   # [nMaxDH, G]
+    z = (ham.argmin(axis=0) + 1).astype(np.uint8)
     return z
 
 
