@@ -252,29 +252,36 @@ def impute_samples_batched(
             cons = consensus_read_labels(labels_all, conf_all)
         cons_list.append(cons)
 
-    # phasing pass: one chain per sample, batched (B = S)
-    H_p = np.zeros((S, R), dtype=np.int32)
+    # phasing pass: one chain per sample; rows are replicated x C so the
+    # main chains' compiled kernel shapes are reused (sweep cost is flat in
+    # batch size, and a second remote compile is far more expensive)
+    H_p = np.zeros((B, R), dtype=np.int32)
     for s in range(S):
-        H_p[s, : reads_sorted[s].nReads] = cons_list[s]
-    wh_p = which_haps[np.arange(S) * C + (C - 1)].copy()
+        for c in range(C):
+            H_p[s * C + c, : reads_sorted[s].nReads] = cons_list[s]
+    wh_p = np.repeat(
+        which_haps[np.arange(S) * C + (C - 1)], C, axis=0
+    ).copy()
     for i_it in range(1, ctx.n_seek_its + 1):
         gp_p, gpF_p, hap_dos_p, H_p, max_diff = run_chains(
-            wh_p, H_p, False, np.zeros(S, dtype=np.int32), ginputs1, preads1,
+            wh_p, H_p, False, np.zeros(B, dtype=np.int32), ginputs, preads,
             max_diff,
         )
         if cfg.use_mspbwt:
             from ..panel.mspbwt import select_new_haps_mspbwt
-            hap_dos_ph = hap_dos_p[:, :, :nSNPs]
-            for s in range(S):
+            hap_dos_ph_b = hap_dos_p[:, :, :nSNPs]
+            for b in range(B):
                 n_keep = ctx.Ksub - ctx.Knew
-                prev_sel = rng.choice(wh_p[s], size=n_keep, replace=False)
+                prev_sel = rng.choice(wh_p[b], size=n_keep, replace=False)
                 new = select_new_haps_mspbwt(
-                    prep.ms_indices, prep.panel, hap_dos_ph[s], ctx.Knew, K,
+                    prep.ms_indices, prep.panel, hap_dos_ph_b[b], ctx.Knew, K,
                     prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
                 )
-                wh_p[s] = np.sort(np.concatenate([prev_sel, new]))
+                wh_p[b] = np.sort(np.concatenate([prev_sel, new]))
+            hap_dos_ph = hap_dos_ph_b
         else:
-            hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, np.arange(S))
+            hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, row_to_sample)
+    hap_dos_ph = hap_dos_ph[np.arange(S) * C]      # row 0 of each sample
 
     results: List[SampleResult] = []
     for s in range(S):
