@@ -449,12 +449,15 @@ def impute_one_sample(
     # ------------------------------------------------------------------
     # phasing pass (reference: i_gibbs_sample == nGibbsSamples+1)
     # ------------------------------------------------------------------
-    H_p = np.zeros((1, R), dtype=np.int32)
-    H_p[0, : reads.nReads] = cons
-    wh_p = which_haps[C - 1:C].copy()
+    # phasing chain replicated x C to reuse the main chains' compiled
+    # kernel shapes (a second remote compile costs far more than the
+    # redundant rows; the sweep cost is flat in batch size)
+    H_p = np.zeros((C, R), dtype=np.int32)
+    H_p[:, : reads.nReads] = cons[None, :]
+    wh_p = np.repeat(which_haps[C - 1:C], C, axis=0).copy()
     for i_it in range(1, ctx.n_seek_its + 1):
         gp_p, gpF_p, hap_dos_p, H_p, max_diff = run_chains(
-            wh_p, H_p, False, np.zeros(1, dtype=np.int32), max_diff
+            wh_p, H_p, False, np.zeros(C, dtype=np.int32), max_diff
         )
         if cfg.use_mspbwt:
             from ..panel.mspbwt import select_new_haps_mspbwt
@@ -465,9 +468,10 @@ def impute_one_sample(
                 prep.ms_indices, prep.panel, hap_dos_ph[0], ctx.Knew, K,
                 prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
             )
-            wh_p[0] = np.sort(np.concatenate([prev_sel, new]))
+            wh_p[:] = np.sort(np.concatenate([prev_sel, new]))[None, :]
         else:
             hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, False)
+    hap_dos_ph = hap_dos_ph[:1]
 
     if rare_common:
         gp_ph, gpF_ph, hd_ph = run_all_snp_gibbs(
