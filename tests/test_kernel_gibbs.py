@@ -115,3 +115,56 @@ def test_gibbs_kernel_batched_chains(rng):
         assert r2 > 0.8, f"chain {b}: r2 {r2}"
     # chains with different uniforms should not be identical
     assert not np.array_equal(H[0], H[1])
+
+
+def test_gibbs_kernel_matches_oracle_nipt(rng):
+    """Triploid (NIPT) kernel vs oracle equivalence."""
+    K, nSNPs = 40, 256
+    ff = 0.25
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    truth = simulate_truth_mosaic(rng, haps, n_latent=3)
+    reads, sim = simulate_sample_reads(
+        rng, truth, pos, grid, coverage=4.0, read_length_bp=800, phred=28,
+        ff=ff,
+    )
+    sigma = np.full(nGrids - 1, 0.985)
+    trans = trans_rates(sigma)
+    n_its = 7
+    uniforms = rng.random((n_its, reads.nReads))
+    H_init = rng.choice(3, size=reads.nReads,
+                        p=[0.5, (1 - ff) / 2, ff / 2]).astype(np.int64)
+    oracle = gibbs_sample_one_chain(
+        reads=reads, hap_alleles=haps, grid=grid, trans=trans, n_latent=3,
+        ff=ff, uniforms=uniforms, H_init=H_init, nGrids=nGrids,
+        iterative_init=True, first_read_init=0,
+        n_burn_in_its=n_its - 1, n_sample_its=1,
+    )
+    inputs = GibbsInputs.build(reads, trans, nGrids)
+    R = inputs.R
+    u_pad = np.zeros((n_its, 1, R), dtype=np.float32)
+    u_pad[:, 0, : reads.nReads] = uniforms
+    H0 = np.zeros((1, R), dtype=np.int32)
+    H0[0, : reads.nReads] = H_init
+    preads = PaddedReads.build(reads, ref_error=0.001)
+    bits = pad_bits(haps, nGrids)[None]
+    gp, gpF, hap_dos, H, ll, uf = run_gibbs_chains(
+        bits=bits, preads=preads, inputs=inputs, uniforms=u_pad, H0=H0,
+        first_read=np.zeros(1, dtype=np.int32), n_latent=3, ff=ff,
+        n_burn_in=n_its - 1, iterative_init=True, K_real=K,
+    )
+    assert not uf[0]
+    em_o = oracle.eMatRead
+    informative = em_o.min(axis=0) < 0.5
+    agree = (H[0, : reads.nReads] == oracle.H)[informative].mean()
+    assert agree > 0.95, f"NIPT informative label agreement {agree}"
+    # maternal genProbs
+    dos_k = gp[0, 1, :nSNPs] + 2 * gp[0, 2, :nSNPs]
+    dos_o = oracle.genProbs[1] + 2 * oracle.genProbs[2]
+    r2 = np.corrcoef(dos_k, dos_o)[0, 1] ** 2
+    assert r2 > 0.99, f"NIPT maternal dosage r2 vs oracle {r2}"
+    # fetal genProbs
+    dosF_k = gpF[0, 1, :nSNPs] + 2 * gpF[0, 2, :nSNPs]
+    dosF_o = oracle.genProbsF[1] + 2 * oracle.genProbsF[2]
+    r2f = np.corrcoef(dosF_k, dosF_o)[0, 1] ** 2
+    assert r2f > 0.98, f"NIPT fetal dosage r2 vs oracle {r2f}"
