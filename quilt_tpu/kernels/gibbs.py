@@ -295,48 +295,109 @@ def _gibbs_core(
                     doing_pass = jnp.zeros((B,), dtype=bool)
                     doing_init = jnp.zeros((B,), dtype=bool)
                 normal = ~doing_init
-                base = jnp.broadcast_to(pC[:, None, :], (B, nl, nl))
-                p_init = jnp.where(eye_b[None], gain[:, :, None], base)
-                lose_C = (lose * oh_C).sum(axis=1)
-                col_C = oh_C[:, None, :].astype(bool)
-                row_C = oh_C[:, :, None].astype(bool)
-                p_norm = jnp.where(eye_b[None], gain[:, :, None], base)
-                p_norm = jnp.where(col_C & ~row_C, lose_C[:, None, None], p_norm)
-                p_norm = jnp.where(row_C, pC[:, None, :], p_norm)
-                p_opts = jnp.where(doing_init[:, None, None], p_init, p_norm)
-                w = jnp.prod(p_opts, axis=2) * prior[None, :]
-                wsum = w.sum(axis=1, keepdims=True)
-                bad = (~jnp.isfinite(wsum[:, 0])) | (wsum[:, 0] <= 0)
-                uf = uf | (bad & ~skip_r)
-                probs = jnp.where(
-                    bad[:, None], 1.0 / nl, w / jnp.where(wsum > 0, wsum, 1.0)
-                )
-                cum = jnp.cumsum(probs, axis=1)
                 u = jnp.take_along_axis(u_it, r[:, None], axis=1)[:, 0]
-                h_new = jnp.minimum(
-                    (cum <= u[:, None]).sum(axis=1), nl - 1
-                ).astype(H.dtype)
-                active = (~skip_r) & (~doing_pass) & (~bad)
-                flip = active & ((h_new != h_rC) | doing_init)
-                oh_N = jax.nn.one_hot(h_new, nl, dtype=jnp.float32)
-                fac = jnp.where(oh_N[:, :, None] > 0, emk[:, None, :], 1.0)
-                fac = fac * jnp.where(
-                    (oh_C[:, :, None] > 0) & normal[:, None, None],
-                    1.0 / emk[:, None, :],
-                    1.0,
-                )
-                fac = jnp.where(flip[:, None, None], fac, 1.0)
-                alpha_g = alpha_g * fac
-                dlog = oh_N[:, :, None] * lem[:, None, :] - (
-                    oh_C[:, :, None] * lem[:, None, :]
-                ) * normal[:, None, None].astype(jnp.float32)
-                dlog = jnp.where(flip[:, None, None], dlog, 0.0)
-                lemg_g = lemg_g + dlog
-                H = H.at[rows, r].set(jnp.where(flip, h_new, h_rC))
-                pC_new = jnp.take_along_axis(
-                    p_opts, h_new[:, None, None], axis=1
-                )[:, 0, :]
-                pC = jnp.where(flip[:, None], pC_new, pC)
+                if nl == 2:
+                    # specialized diploid math (halves the per-step op count)
+                    # candidate 0 / candidate 1 per-hap factors:
+                    # q_n[h]: n == h_rC -> pC; else gain at n, lose at h_rC
+                    c0 = h_rC == 0
+                    lose_C = jnp.where(c0, lose[:, 0], lose[:, 1])
+                    w0 = jnp.where(
+                        c0, pC[:, 0] * pC[:, 1], lose_C * gain[:, 0]
+                    )
+                    w1 = jnp.where(
+                        c0, lose_C * gain[:, 1], pC[:, 0] * pC[:, 1]
+                    )
+                    w0i = jnp.where(doing_init, gain[:, 0] * pC[:, 1], w0)
+                    w1i = jnp.where(doing_init, pC[:, 0] * gain[:, 1], w1)
+                    wsum = w0i + w1i
+                    bad = (~jnp.isfinite(wsum)) | (wsum <= 0)
+                    uf = uf | (bad & ~skip_r)
+                    p0 = jnp.where(bad, 0.5, w0i / jnp.where(wsum > 0, wsum, 1.0))
+                    h_new = (u >= p0).astype(H.dtype)
+                    active = (~skip_r) & (~doing_pass) & (~bad)
+                    flip = active & ((h_new != h_rC) | doing_init)
+                    n0 = h_new == 0
+                    fac0 = jnp.where(n0[:, None], emk, 1.0) * jnp.where(
+                        (c0 & normal)[:, None], 1.0 / emk, 1.0
+                    )
+                    fac1 = jnp.where((~n0)[:, None], emk, 1.0) * jnp.where(
+                        ((~c0) & normal)[:, None], 1.0 / emk, 1.0
+                    )
+                    fw = flip[:, None]
+                    fac = jnp.stack(
+                        [jnp.where(fw, fac0, 1.0), jnp.where(fw, fac1, 1.0)],
+                        axis=1,
+                    )
+                    alpha_g = alpha_g * fac
+                    d0 = (n0.astype(jnp.float32)
+                          - (c0 & normal).astype(jnp.float32))
+                    d1 = ((~n0).astype(jnp.float32)
+                          - ((~c0) & normal).astype(jnp.float32))
+                    dlog = jnp.stack(
+                        [d0[:, None] * lem, d1[:, None] * lem], axis=1
+                    )
+                    lemg_g = lemg_g + jnp.where(fw[:, :, None], dlog, 0.0)
+                    H = H.at[rows, r].set(jnp.where(flip, h_new, h_rC))
+                    # pC after the move (only applied where flip):
+                    # gainer hap gets gain, the loser gets lose (normal) or
+                    # keeps its base value (init adds without removing)
+                    pc0_new = jnp.where(
+                        n0, gain[:, 0], jnp.where(normal, lose_C, pC[:, 0])
+                    )
+                    pc1_new = jnp.where(
+                        ~n0, gain[:, 1], jnp.where(normal, lose_C, pC[:, 1])
+                    )
+                    pC = jnp.where(
+                        fw, jnp.stack([pc0_new, pc1_new], axis=1), pC
+                    )
+                else:
+                    base = jnp.broadcast_to(pC[:, None, :], (B, nl, nl))
+                    p_init = jnp.where(eye_b[None], gain[:, :, None], base)
+                    lose_C = (lose * oh_C).sum(axis=1)
+                    col_C = oh_C[:, None, :].astype(bool)
+                    row_C = oh_C[:, :, None].astype(bool)
+                    p_norm = jnp.where(eye_b[None], gain[:, :, None], base)
+                    p_norm = jnp.where(
+                        col_C & ~row_C, lose_C[:, None, None], p_norm
+                    )
+                    p_norm = jnp.where(row_C, pC[:, None, :], p_norm)
+                    p_opts = jnp.where(
+                        doing_init[:, None, None], p_init, p_norm
+                    )
+                    w = jnp.prod(p_opts, axis=2) * prior[None, :]
+                    wsum = w.sum(axis=1, keepdims=True)
+                    bad = (~jnp.isfinite(wsum[:, 0])) | (wsum[:, 0] <= 0)
+                    uf = uf | (bad & ~skip_r)
+                    probs = jnp.where(
+                        bad[:, None], 1.0 / nl,
+                        w / jnp.where(wsum > 0, wsum, 1.0),
+                    )
+                    cum = jnp.cumsum(probs, axis=1)
+                    h_new = jnp.minimum(
+                        (cum <= u[:, None]).sum(axis=1), nl - 1
+                    ).astype(H.dtype)
+                    active = (~skip_r) & (~doing_pass) & (~bad)
+                    flip = active & ((h_new != h_rC) | doing_init)
+                    oh_N = jax.nn.one_hot(h_new, nl, dtype=jnp.float32)
+                    fac = jnp.where(oh_N[:, :, None] > 0, emk[:, None, :], 1.0)
+                    fac = fac * jnp.where(
+                        (oh_C[:, :, None] > 0) & normal[:, None, None],
+                        1.0 / emk[:, None, :],
+                        1.0,
+                    )
+                    fac = jnp.where(flip[:, None, None], fac, 1.0)
+                    alpha_g = alpha_g * fac
+                    dlog = oh_N[:, :, None] * lem[:, None, :] - (
+                        oh_C[:, :, None] * lem[:, None, :]
+                    ) * normal[:, None, None].astype(jnp.float32)
+                    dlog = jnp.where(flip[:, None, None], dlog, 0.0)
+                    lemg_g = lemg_g + dlog
+                    H = H.at[rows, r].set(jnp.where(flip, h_new, h_rC))
+                    pC_new = jnp.take_along_axis(
+                        p_opts, h_new[:, None, None], axis=1
+                    )[:, 0, :]
+                    pC = jnp.where(flip[:, None], pC_new, pC)
                 s = (alpha_g * km[None, None, :]).sum(axis=2, keepdims=True)
                 s = jnp.where(s > 0, s, 1.0)
                 alpha_g = alpha_g / s
