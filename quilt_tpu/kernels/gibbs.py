@@ -162,9 +162,17 @@ def _gibbs_core(
 
     k_mask = jnp.arange(K) < K_real
     km = k_mask.astype(jnp.float32)
-    log_em_all = jnp.log(eMatRead)                         # [B, K, R]
-
-    skip = (eMatRead > 1.0 - 1e-12).all(axis=1) | ~read_mask  # [B, R]
+    # R-leading layouts: per-read gathers index the LEADING axis (cheap on
+    # TPU); lane-axis gathers force relayouts in the sequential loop
+    em_r = jnp.moveaxis(eMatRead, 2, 0)                    # [R, B, K]
+    lem_r = jnp.log(em_r)                                  # [R, B, K]
+    log_em_all = jnp.moveaxis(lem_r, 0, 2)                 # [B, K, R] (init)
+    u_r = jnp.moveaxis(uniforms, 2, 1)                     # [n_its, R, B]
+    skip_r_all = (
+        (eMatRead > 1.0 - 1e-12).all(axis=1) | ~read_mask
+    ).T                                                    # [R, B]
+    H_r0 = H0.T                                            # [R, B]
+    wif0_r = wif0.T                                        # [R, B]
 
     if iterative_init:
         lemg = jnp.zeros((G, B, nl, K), dtype=jnp.float32)
@@ -172,7 +180,7 @@ def _gibbs_core(
         lemg = _build_log_emat_grid(log_em_all, H0, wif0, read_mask, G, nl)
     beta = jnp.ones((G, B, nl, K), dtype=jnp.float32)
     alphas = jnp.zeros((G, B, nl, K), dtype=jnp.float32)
-    H = H0
+    H = H_r0
     underflow = jnp.zeros((B,), dtype=bool)
     per_it_ll = jnp.zeros((n_its, B, 2), dtype=jnp.float32)
 
@@ -197,7 +205,7 @@ def _gibbs_core(
             valid = b > 0
             bb = jnp.maximum(b, 1)
             sfx_g = (jnp.arange(G) >= bb)[:, None]          # [G, 1]
-            sfx_r = wif0 >= bb                               # [B, R]
+            sfx_r = wif0_r >= bb                             # [R, B]
             for pi, (i, j2) in enumerate(pairs):
                 # decision state: alpha through b-1 (prefix), beta at b-1
                 # (future from b on) — the swap applies to grids >= b
@@ -210,9 +218,9 @@ def _gibbs_core(
                 w_keep = cii * cjj
                 w_swap = cij * cji
                 if nl == 3:
-                    mr = sfx_r & read_mask
-                    n_i = ((H == i) & mr).sum(axis=1)
-                    n_j = ((H == j2) & mr).sum(axis=1)
+                    mr = sfx_r & read_mask.T
+                    n_i = ((H == i) & mr).sum(axis=0)
+                    n_j = ((H == j2) & mr).sum(axis=0)
                     logpr = jnp.clip(
                         (n_j - n_i).astype(jnp.float32)
                         * (log_prior[i] - log_prior[j2]),
@@ -240,7 +248,7 @@ def _gibbs_core(
                         beta = arr
                     else:
                         alphas = arr
-                cond_r = sfx_r & do_swap[:, None]
+                cond_r = sfx_r & do_swap[None, :]
                 H = jnp.where(cond_r & (H == i), nl + 7,
                               jnp.where(cond_r & (H == j2), i, H))
                 H = jnp.where(H == nl + 7, j2, H)
@@ -250,7 +258,7 @@ def _gibbs_core(
 
     def one_iteration(it, state):
         lemg, beta, alphas, H, underflow, per_it_ll = state
-        u_it = uniforms[it]
+        u_it = u_r[it]                                      # [R, B]
 
         def fwd_step(carry, g):
             alpha, H, uf = carry
@@ -272,20 +280,15 @@ def _gibbs_core(
                 alpha_g, lemg_g, pC, H, logc, uf = rs
                 r = read_start[:, g] + i                     # [B] per-row read
                 in_grid = i < read_count[:, g]               # [B]
-                em = jnp.take_along_axis(
-                    eMatRead, r[:, None, None], axis=2
-                )[:, :, 0]                                    # [B, K]
-                lem = jnp.take_along_axis(
-                    log_em_all, r[:, None, None], axis=2
-                )[:, :, 0]
+                em = em_r[r, rows]                           # [B, K]
+                lem = lem_r[r, rows]
                 emk = jnp.where(k_mask[None, :], em, 1.0)
                 ab = alpha_g * beta_g                        # [B, nl, K]
                 gain = (ab * emk[:, None, :]).sum(axis=2)
                 lose = (ab / emk[:, None, :]).sum(axis=2)
-                h_rC = jnp.take_along_axis(H, r[:, None], axis=1)[:, 0]
+                h_rC = H[r, rows]
                 oh_C = jax.nn.one_hot(h_rC, nl, dtype=jnp.float32)
-                skip_r = jnp.take_along_axis(skip, r[:, None], axis=1)[:, 0]
-                skip_r = skip_r | ~in_grid
+                skip_r = skip_r_all[r, rows] | ~in_grid
                 if iterative_init:
                     doing_pass = (it == 0) & (r < first_read)
                     doing_init = ((it == 0) & (r >= first_read)) | (
@@ -295,7 +298,7 @@ def _gibbs_core(
                     doing_pass = jnp.zeros((B,), dtype=bool)
                     doing_init = jnp.zeros((B,), dtype=bool)
                 normal = ~doing_init
-                u = jnp.take_along_axis(u_it, r[:, None], axis=1)[:, 0]
+                u = u_it[r, rows]
                 if nl == 2:
                     # specialized diploid math (halves the per-step op count)
                     # candidate 0 / candidate 1 per-hap factors:
@@ -338,7 +341,7 @@ def _gibbs_core(
                         [d0[:, None] * lem, d1[:, None] * lem], axis=1
                     )
                     lemg_g = lemg_g + jnp.where(fw[:, :, None], dlog, 0.0)
-                    H = H.at[rows, r].set(jnp.where(flip, h_new, h_rC))
+                    H = H.at[r, rows].set(jnp.where(flip, h_new, h_rC))
                     # pC after the move (only applied where flip):
                     # gainer hap gets gain, the loser gets lose (normal) or
                     # keeps its base value (init adds without removing)
@@ -393,7 +396,7 @@ def _gibbs_core(
                     ) * normal[:, None, None].astype(jnp.float32)
                     dlog = jnp.where(flip[:, None, None], dlog, 0.0)
                     lemg_g = lemg_g + dlog
-                    H = H.at[rows, r].set(jnp.where(flip, h_new, h_rC))
+                    H = H.at[r, rows].set(jnp.where(flip, h_new, h_rC))
                     pC_new = jnp.take_along_axis(
                         p_opts, h_new[:, None, None], axis=1
                     )[:, 0, :]
@@ -445,14 +448,15 @@ def _gibbs_core(
                 (lemg, beta, alphas, H),
             )
         p_O = logcs.sum(axis=0).sum(axis=1)                 # [B]
-        logprior = jnp.log(prior)[H] * read_mask
-        p_H = logprior.sum(axis=1)
+        logprior = jnp.log(prior)[H] * read_mask.T
+        p_H = logprior.sum(axis=0)
         per_it_ll = per_it_ll.at[it].set(jnp.stack([p_O, p_H], axis=1))
         return (lemg, beta, alphas, H, underflow, per_it_ll)
 
     state = (lemg, beta, alphas, H, underflow, per_it_ll)
     state = jax.lax.fori_loop(0, n_its, one_iteration, state)
     lemg, beta, alphas, H, underflow, per_it_ll = state
+    H = H.T                                                 # back to [B, R]
 
     # genProbs / hapProbs from the final iteration's gammas
     # (rcpp_calculate_gn_genProbs_and_hapProbs, gibbs-nipt.cpp)
