@@ -475,7 +475,7 @@ def impute_one_sample(
 
     if rare_common:
         gp_ph, gpF_ph, hd_ph = run_all_snp_gibbs(
-            wh_p, hap_dos_ph[:, :, :nSNPs], max_diff
+            wh_p[:1], hap_dos_ph[:1, :, :nSNPs], max_diff
         )
         hap_dos_ph = hd_ph          # phased hap dosages over ALL SNPs
         gp_all = gp_all_acc / max(n_all_acc, 1)
