@@ -171,6 +171,16 @@ def quilt_impute(
             r2 = r2_simple(truth_gen[:, i], res.dosage)
             r2s.append(r2)
             msg = f"  r2 vs truth: {r2:.4f}"
+            # common/rare split, as the reference prints per seek iteration
+            # (calculate_pse_and_r2_master, pse_and_r2.R:3-77)
+            af_here = prep.af_all if rare_common else prep.af
+            if af_here is not None:
+                maf = np.minimum(af_here, 1 - af_here)
+                com = maf >= 0.05
+                if com.any() and (~com).any():
+                    r2c = r2_simple(truth_gen[com, i], res.dosage[com])
+                    r2r = r2_simple(truth_gen[~com, i], res.dosage[~com])
+                    msg += f" (common {r2c:.4f}, rare {r2r:.4f})"
             if truth_haps is not None and res.phased_haps is not None:
                 pse = calculate_pse(res.phased_haps[:2].T, truth_haps[:, i])
                 msg += f", PSE: {pse['pse']:.4f} ({pse.get('phase_sites', 0)} het sites)"
