@@ -41,9 +41,7 @@ from .sample import (
     RegionContext,
     SampleResult,
     _gather_topk_lists,
-    _unpack_subset,
     emat_read_vs_dosages,
-    gls_from_labels,
     sample_allele_count,
 )
 from .selection import (

@@ -220,7 +220,6 @@ def impute_one_sample(
     ginputs = GibbsInputs.build(reads, ctx.trans, nGrids)
     R = ginputs.R
     preads = PaddedReads.build(reads, ref_error=prep.ref_error)
-    S = nGrids * 32
 
     if nl == 2:
         label_prior = np.array([0.5, 0.5])
