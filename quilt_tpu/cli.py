@@ -139,11 +139,11 @@ def cmd_prepare(args) -> int:
         region_name = cfg.chr or p_chrom
         if cfg.regionStart is not None:
             region_name += f".{cfg.regionStart}.{cfg.regionEnd}"
-        os.makedirs(os.path.join(cfg.outputdir, "RData"), exist_ok=True)
         out = os.path.join(
             cfg.outputdir, "RData",
             f"QUILT_prepared_reference.{region_name}.npz",
         )
+    os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     prep.save(out)
     print_message(f"Saved prepared reference to {out}")
     return 0

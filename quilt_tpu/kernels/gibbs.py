@@ -519,7 +519,27 @@ def run_gibbs_chains(
     Pad rows of `bits` (beyond K_real) must duplicate a real haplotype so
     the per-read emission rescale is unaffected; they carry zero weight in
     all sums.
+
+    On TPU the sweep dispatches to the fused Pallas kernels
+    (kernels/gibbs_pallas.py) unless QUILT_TPU_GIBBS=xla or the grid-padded
+    read layout would exceed the kernel's VMEM budget.
     """
+    import os
+
+    backend = os.environ.get("QUILT_TPU_GIBBS", "auto")
+    if backend != "xla":
+        from .gibbs_pallas import padded_layout_ok, run_gibbs_chains_pallas
+
+        on_tpu = jax.default_backend() == "tpu"
+        if (backend == "pallas" or on_tpu) and padded_layout_ok(inputs):
+            return run_gibbs_chains_pallas(
+                bits=bits, preads=preads, inputs=inputs, uniforms=uniforms,
+                H0=H0, first_read=first_read, n_latent=n_latent, ff=ff,
+                n_burn_in=n_burn_in, iterative_init=iterative_init,
+                K_real=K_real, max_diff=max_diff, ref_error=ref_error,
+                eMatRead=eMatRead, boundaries=boundaries, block_u=block_u,
+                do_block=do_block,
+            )
     if n_latent == 2:
         prior = np.array([0.5, 0.5], dtype=np.float32)
     else:

@@ -1,0 +1,700 @@
+"""Fused Pallas TPU kernels for the per-read Gibbs sweep.
+
+Same math as kernels/gibbs.py:_gibbs_core (the functional equivalent of
+rcpp_forwardBackwardGibbsNIPT, reference QUILT/src/gibbs-nipt.cpp:2395-3318),
+but the whole forward grid-sweep — alpha advance + sequential in-grid read
+resampling — runs as ONE Pallas kernel per Gibbs iteration, with:
+
+- alpha / pC / logc carried in VMEM scratch across the pipelined per-grid
+  blocks (the XLA scan version pays a fixed per-fused-op dispatch latency at
+  every one of G x reads sequential micro-steps; here a grid step is a single
+  kernel step whose HBM traffic is double-buffered by the Pallas pipeline);
+- a GRID-PADDED read layout [G, W, B(, K)]: slot (g, i, b) holds batch row
+  b's i-th read in grid g (W = max reads per grid over rows). This replaces
+  the per-row dynamic gathers of the XLA path with contiguous block DMA —
+  every per-read tensor the kernel touches is a plain VMEM row;
+- per-read log emissions streamed as float16 [G, W, B, K] (values are
+  rescaled per read to [log(1/maxDifferenceBetweenReads), 0], well inside
+  fp16 range); all arithmetic is float32;
+- the backward (beta) recursion as a second, read-free Pallas kernel scanned
+  in reverse grid order.
+
+Block-Gibbs escape moves, per-iteration likelihoods and the final dosage
+pass stay in XLA (they are infrequent / bandwidth-trivial); see
+run_gibbs_chains_pallas. Layouts here are nl-major: state rows h*B+b.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MAX_W = 64                      # VMEM budget cap for the read-slot axis
+_NEG = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# forward sweep kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
+    """it_mode: 0 = first iterative-init iteration (pass reads < first_read,
+    init reads >= first_read), 1 = second (init reads < first_read),
+    2 = normal sweep. prior: tuple of nl floats."""
+    log_prior = tuple(float(np.log(p)) for p in prior)
+
+    def kernel(
+        lemg_in, beta_in, lem_blk, u_blk, h_in, skip_blk, r_blk, first_rd,
+        trans_s, cnt_s,
+        lemg_out, alpha_out, h_out, logc_out, uf_out,
+        alpha_s, pc_s, logc_s, uf_s,
+    ):
+        g = pl.program_id(0)
+        f32 = jnp.float32
+        km = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) < K_real
+        ).astype(f32)
+
+        lemg = lemg_in[0]                                  # (BN, K) f32
+        lemg_out[0] = lemg
+        h_out[0] = h_in[0]
+        col = lambda x: jnp.transpose(x, (1, 0))           # (1,B) -> (B,1)
+
+        @pl.when(g == 0)
+        def _():
+            alpha_s[...] = jnp.zeros_like(alpha_s)
+            logc_s[...] = jnp.zeros_like(logc_s)
+            uf_s[...] = jnp.zeros_like(uf_s)
+
+        # ---- alpha advance into grid g ----
+        lm = jnp.where(km > 0, lemg, _NEG)
+        mx = jnp.max(lm, axis=1, keepdims=True)            # (BN, 1)
+        e_g = jnp.exp(lemg - mx) * km
+        t0 = trans_s[0, g]
+        t1 = trans_s[1, g]
+        is_first = (g == 0).astype(f32)
+        a_raw = e_g * (
+            t0 * alpha_s[...] + (t1 + is_first) * (1.0 / K_real)
+        )
+        s = jnp.sum(a_raw, axis=1, keepdims=True)          # (BN, 1)
+        ufv = uf_s[...]
+        for h in range(nl):
+            sh = s[h * B:(h + 1) * B]
+            ufv = jnp.maximum(
+                ufv, ((~jnp.isfinite(sh)) | (sh <= 0)).astype(f32)
+            )
+        uf_s[...] = ufv
+        s_safe = jnp.where(s > 0, s, 1.0)
+        alpha_s[...] = a_raw / s_safe
+        logc_s[...] = logc_s[...] + jnp.log(s_safe) + mx
+        beta_g = beta_in[0]
+        pc_s[...] = jnp.sum(alpha_s[...] * beta_g, axis=1, keepdims=True)
+
+        first_col = first_rd[...]                          # (B, 1) int32
+
+        def read_body(i, _):
+            lem_i = lem_blk[0, i].astype(f32)              # (B, K)
+            emk = jnp.exp(lem_i)
+            inv = jnp.exp(-lem_i)
+            u = col(u_blk[0, pl.ds(i, 1), :])              # (B, 1)
+            h_rC = col(h_out[0, pl.ds(i, 1), :])           # (B, 1) int32
+            skip = col(skip_blk[0, pl.ds(i, 1), :]) > 0
+            rg = col(r_blk[0, pl.ds(i, 1), :])
+            alpha = alpha_s[...]
+            pc = pc_s[...]
+            gain = []
+            lose = []
+            pcs = []
+            for h in range(nl):
+                ab = alpha[h * B:(h + 1) * B] * beta_g[h * B:(h + 1) * B]
+                gain.append(jnp.sum(ab * emk, axis=1, keepdims=True))
+                lose.append(jnp.sum(ab * inv, axis=1, keepdims=True))
+                pcs.append(pc[h * B:(h + 1) * B])
+            if it_mode == 0:
+                doing_pass = rg < first_col
+                doing_init = rg >= first_col
+            elif it_mode == 1:
+                doing_pass = jnp.zeros_like(skip)
+                doing_init = rg < first_col
+            else:
+                doing_pass = jnp.zeros_like(skip)
+                doing_init = jnp.zeros_like(skip)
+            normal = ~doing_init
+
+            oh_C = [h_rC == h for h in range(nl)]
+            lose_C = lose[0]
+            for h in range(1, nl):
+                lose_C = jnp.where(oh_C[h], lose[h], lose_C)
+
+            # candidate weights: w[n] = prior[n] * prod_m term(n, m)
+            # term(n,m): doing_init -> gain[n] if m==n else pc[m]
+            #            normal    -> pc[m] everywhere if n==h_rC;
+            #                         else gain[n] at m==n, lose_C at m==h_rC,
+            #                         pc[m] otherwise
+            # (reference: sample_reads_in_grid, gibbs-nipt.cpp:733-1341)
+            w = []
+            for n in range(nl):
+                prod = None
+                for m in range(nl):
+                    if m == n:
+                        t_norm = jnp.where(oh_C[n], pcs[m], gain[n])
+                        t_init = gain[n]
+                    else:
+                        t_norm = jnp.where(
+                            oh_C[n], pcs[m],
+                            jnp.where(oh_C[m], lose_C, pcs[m]),
+                        )
+                        t_init = pcs[m]
+                    term = jnp.where(doing_init, t_init, t_norm)
+                    prod = term if prod is None else prod * term
+                w.append(prod * float(prior[n]))
+            wsum = w[0]
+            for n in range(1, nl):
+                wsum = wsum + w[n]
+            badv = (~jnp.isfinite(wsum)) | (wsum <= 0)
+            uf_s[...] = jnp.maximum(
+                uf_s[...], (badv & ~skip).astype(f32)
+            )
+            wsum_safe = jnp.where(wsum > 0, wsum, 1.0)
+            # h_new = number of candidates whose cumulative prob <= u
+            cum = jnp.zeros_like(wsum)
+            h_new = jnp.zeros_like(h_rC)
+            for n in range(nl - 1):
+                cum = cum + jnp.where(badv, 1.0 / nl, w[n] / wsum_safe)
+                h_new = h_new + (cum <= u).astype(jnp.int32)
+            active = (~skip) & (~doing_pass) & (~badv)
+            oh_N = [h_new == h for h in range(nl)]
+            flip = active & ((h_new != h_rC) | doing_init)
+
+            new_alpha = []
+            s_new = []
+            for h in range(nl):
+                fac = jnp.where(oh_N[h], emk, 1.0) * jnp.where(
+                    oh_C[h] & normal, inv, 1.0
+                )
+                a_h = alpha[h * B:(h + 1) * B] * jnp.where(flip, fac, 1.0)
+                new_alpha.append(a_h)
+                s_new.append(
+                    jnp.sum(a_h * km, axis=1, keepdims=True)
+                )
+            flip_f = flip.astype(f32)
+            for h in range(nl):
+                d_h = (
+                    oh_N[h].astype(f32)
+                    - oh_C[h].astype(f32) * normal.astype(f32)
+                ) * flip_f
+                lemg_out[0, h * B:(h + 1) * B] = (
+                    lemg_out[0, h * B:(h + 1) * B] + d_h * lem_i
+                )
+            h_out[0, pl.ds(i, 1), :] = jnp.transpose(
+                jnp.where(flip, h_new, h_rC), (1, 0)
+            )
+            # pC after the move: the winning hap gets gain; (normal) the
+            # previous hap gets lose_C; others keep their value
+            for h in range(nl):
+                pc_h = pcs[h]
+                pc_new = jnp.where(
+                    oh_N[h], gain[h],
+                    jnp.where(oh_C[h] & normal, lose_C, pc_h),
+                )
+                pc_h = jnp.where(flip, pc_new, pc_h)
+                sh = s_new[h]
+                sh_safe = jnp.where(sh > 0, sh, 1.0)
+                alpha_s[h * B:(h + 1) * B] = new_alpha[h] / sh_safe
+                logc_s[h * B:(h + 1) * B] = (
+                    logc_s[h * B:(h + 1) * B] + jnp.log(sh_safe)
+                )
+                pc_s[h * B:(h + 1) * B] = pc_h / sh_safe
+            return 0
+
+        jax.lax.fori_loop(0, cnt_s[0, g], read_body, 0)
+        alpha_out[0] = alpha_s[...]
+        logc_out[...] = logc_s[...]
+        uf_out[...] = uf_s[...]
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("nl", "K_real", "it_mode", "prior"),
+)
+def _fwd_sweep(
+    lemg, beta, lem_pad, u_it, H_pad, skip_pad, r_pad, first_read, trans,
+    cnt_max, nl, K_real, it_mode, prior,
+):
+    """One forward Gibbs sweep. Shapes:
+    lemg/beta [G, BN, K] f32; lem_pad [G, W, B, K] f16/f32;
+    u_it [G, W, B] f32; H_pad/skip_pad/r_pad [G, W, B] i32;
+    first_read [B, 1] i32; trans [2, G] f32 (SMEM); cnt_max [1, G] i32.
+    Returns (lemg', alphas, H_pad', logc [BN,1], uf [B,1])."""
+    G, BN, K = lemg.shape
+    W = lem_pad.shape[1]
+    B = BN // nl
+    kernel = _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior)
+    big = lambda: pl.BlockSpec((1, BN, K), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM)
+    slot = lambda: pl.BlockSpec((1, W, B), lambda g: (g, 0, 0),
+                                memory_space=pltpu.VMEM)
+    const2 = lambda a, b: pl.BlockSpec((a, b), lambda g: (0, 0),
+                                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            big(),                                         # lemg_in
+            big(),                                         # beta_in
+            pl.BlockSpec((1, W, B, K), lambda g: (g, 0, 0, 0),
+                         memory_space=pltpu.VMEM),         # lem_blk
+            slot(),                                        # u_blk
+            slot(),                                        # h_in
+            slot(),                                        # skip_blk
+            slot(),                                        # r_blk
+            const2(B, 1),                                  # first_read
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # trans (whole)
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # cnt_max (whole)
+        ],
+        out_specs=[
+            big(),                                         # lemg_out
+            big(),                                         # alpha_out
+            slot(),                                        # h_out
+            const2(BN, 1),                                 # logc_out
+            const2(B, 1),                                  # uf_out
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, BN, K), jnp.float32),
+            jax.ShapeDtypeStruct((G, BN, K), jnp.float32),
+            jax.ShapeDtypeStruct((G, W, B), jnp.int32),
+            jax.ShapeDtypeStruct((BN, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((BN, K), jnp.float32),              # alpha_s
+            pltpu.VMEM((BN, 1), jnp.float32),              # pc_s
+            pltpu.VMEM((BN, 1), jnp.float32),              # logc_s
+            pltpu.VMEM((B, 1), jnp.float32),               # uf_s
+        ],
+        input_output_aliases={0: 0, 4: 2},                 # lemg, H in-place
+        interpret=_interpret(),
+    )(lemg, beta, lem_pad, u_it, H_pad, skip_pad, r_pad, first_read, trans,
+      cnt_max)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# backward sweep kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_bwd_kernel(nl, B, K, K_real, G):
+    def kernel(lemg_n, trans_n, beta_out, beta_s):
+        st = pl.program_id(0)
+        f32 = jnp.float32
+        km = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) < K_real
+        ).astype(f32)
+
+        @pl.when(st == 0)
+        def _():
+            beta_s[...] = jnp.ones_like(beta_s)
+            beta_out[0] = beta_s[...]
+
+        @pl.when(st > 0)
+        def _():
+            lemg = lemg_n[0]                               # lemg at g+1
+            lm = jnp.where(km > 0, lemg, _NEG)
+            mx = jnp.max(lm, axis=1, keepdims=True)
+            e = jnp.exp(lemg - mx) * km
+            etb = e * beta_s[...]
+            gn = G - st                                    # = g + 1
+            t0 = trans_n[0, gn]
+            t1 = trans_n[1, gn]
+            parts = []
+            for h in range(nl):
+                etb_h = etb[h * B:(h + 1) * B]
+                sm = jnp.sum(etb_h, axis=1, keepdims=True)
+                parts.append(t0 * etb_h + t1 * sm * (1.0 / K_real))
+            bn = jnp.concatenate(parts, axis=0)
+            mxb = jnp.max(bn, axis=1, keepdims=True)
+            bn = bn / jnp.where(mxb > 0, mxb, 1.0)
+            beta_s[...] = bn
+            beta_out[0] = bn
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("nl", "K_real"))
+def _bwd_sweep(lemg, trans, nl, K_real):
+    G, BN, K = lemg.shape
+    B = BN // nl
+    kernel = _make_bwd_kernel(nl, B, K, K_real, G)
+    beta = pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, BN, K),
+                lambda s: (jnp.minimum(G - s, G - 1), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.SMEM),         # trans (whole)
+        ],
+        out_specs=pl.BlockSpec(
+            (1, BN, K), lambda s: (G - 1 - s, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((G, BN, K), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((BN, K), jnp.float32)],
+        interpret=_interpret(),
+    )(lemg, trans)
+    return beta
+
+
+# ---------------------------------------------------------------------------
+# XLA-side pieces (block moves, likelihoods, dosage, layout builders)
+# ---------------------------------------------------------------------------
+
+
+def _block_moves_padded(
+    lemg, beta, alphas, H_pad, valid, boundaries, block_u_it, nl, B, K_real,
+    log_prior,
+):
+    """Suffix-relabel escape moves on the nl-major [G, BN, K] layout.
+
+    Same proposals/acceptance as kernels/gibbs.py:block_moves (functional
+    equivalent of Rcpp_(shard_)block_gibbs_resampler,
+    QUILT/src/gibbs-nipt-block.cpp:1636-2355)."""
+    G, BN, K = lemg.shape
+    km = (jnp.arange(K) < K_real).astype(jnp.float32)
+    NB = boundaries.shape[0]
+    pairs = [(0, 1)] if nl == 2 else [(0, 1), (0, 2), (1, 2)]
+    grid_ids = jnp.arange(G)
+
+    def bound_body(j, st):
+        lemg, beta, alphas, H_pad = st
+        b = boundaries[j]
+        isvalid = b > 0
+        bb = jnp.maximum(b, 1)
+        sfx_g = grid_ids >= bb                             # [G]
+        for pi, (i, j2) in enumerate(pairs):
+            alpha_b = jax.lax.dynamic_index_in_dim(alphas, bb - 1, 0, False)
+            beta_b = jax.lax.dynamic_index_in_dim(beta, bb - 1, 0, False)
+            ai, aj = alpha_b[i * B:(i + 1) * B], alpha_b[j2 * B:(j2 + 1) * B]
+            bi, bj = beta_b[i * B:(i + 1) * B], beta_b[j2 * B:(j2 + 1) * B]
+            cii = (ai * bi * km).sum(axis=1)
+            cjj = (aj * bj * km).sum(axis=1)
+            cij = (ai * bj * km).sum(axis=1)
+            cji = (aj * bi * km).sum(axis=1)
+            w_keep = cii * cjj
+            w_swap = cij * cji
+            if nl == 3:
+                mr = sfx_g[:, None, None] & valid          # [G, W, B]
+                n_i = ((H_pad == i) & mr).sum(axis=(0, 1))
+                n_j = ((H_pad == j2) & mr).sum(axis=(0, 1))
+                logpr = jnp.clip(
+                    (n_j - n_i).astype(jnp.float32)
+                    * (log_prior[i] - log_prior[j2]),
+                    -80.0, 80.0,
+                )
+                w_swap = w_swap * jnp.exp(logpr)
+            tot = w_keep + w_swap
+            ok = jnp.isfinite(tot) & (tot > 0)
+            p_swap = jnp.where(ok, w_swap / jnp.where(tot > 0, tot, 1.0), 0.0)
+            u = block_u_it[j, pi]                          # [B]
+            do_swap = isvalid & ok & (u < p_swap)          # [B]
+            cg = (sfx_g[:, None] & do_swap[None, :])[:, :, None]  # [G,B,1]
+            for idx in range(3):
+                arr = (lemg, beta, alphas)[idx]
+                xi = arr[:, i * B:(i + 1) * B]
+                xj = arr[:, j2 * B:(j2 + 1) * B]
+                new_i = jnp.where(cg, xj, xi)
+                new_j = jnp.where(cg, xi, xj)
+                arr = arr.at[:, i * B:(i + 1) * B].set(new_i)
+                arr = arr.at[:, j2 * B:(j2 + 1) * B].set(new_j)
+                if idx == 0:
+                    lemg = arr
+                elif idx == 1:
+                    beta = arr
+                else:
+                    alphas = arr
+            cr = sfx_g[:, None, None] & do_swap[None, None, :]
+            H_pad = jnp.where(cr & (H_pad == i), nl + 7,
+                              jnp.where(cr & (H_pad == j2), i, H_pad))
+            H_pad = jnp.where(H_pad == nl + 7, j2, H_pad)
+        return (lemg, beta, alphas, H_pad)
+
+    return jax.lax.fori_loop(
+        0, NB, bound_body, (lemg, beta, alphas, H_pad)
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "nl", "iterative_init", "K_real", "n_its", "do_block", "prior_t",
+        "ref_error",
+    ),
+)
+def _gibbs_core_pallas(
+    lem_all,          # [B, K, R] f32 log eMatRead
+    bits,             # [B, K, S] uint8
+    skip_r,           # [B, R] bool
+    r_pad,            # [G, W, B] int32 (-1 = empty slot)
+    cnt_max,          # [G, 1] int32
+    idx_bGW,          # [B, G*W] int32 (clipped gather index into R)
+    idx_back,         # [B, R] int32 (flat G*W slot of each read)
+    trans,            # [G, 2] f32
+    uniforms,         # [n_its, B, R] f32
+    H0,               # [B, R] int32
+    first_read,       # [B] int32
+    boundaries,       # [NB] int32
+    block_u,          # [n_its, NB, 3, B] f32
+    valid_r,          # [B, R] bool (read_mask)
+    nl, iterative_init, K_real, n_its, do_block, prior_t, ref_error,
+):
+    B, K, R = lem_all.shape
+    G, W = r_pad.shape[0], r_pad.shape[1]
+    BN = nl * B
+    S = bits.shape[2]
+    prior = jnp.asarray(prior_t, dtype=jnp.float32)
+    log_prior = jnp.log(prior)
+    trans_t = jnp.transpose(trans)                          # (2, G) for SMEM
+    cnt_t = jnp.transpose(cnt_max)                          # (1, G)
+    km = (jnp.arange(K) < K_real).astype(jnp.float32)
+
+    # ---- grid-padded layouts ----
+    valid = r_pad >= 0                                      # [G, W, B]
+    lem_bRK = jnp.transpose(lem_all, (0, 2, 1))             # [B, R, K]
+    gath = jnp.take_along_axis(lem_bRK, idx_bGW[:, :, None], axis=1)
+    lem_pad = jnp.transpose(
+        gath.reshape(B, G, W, K), (1, 2, 0, 3)
+    )                                                       # [G, W, B, K]
+    lem_pad = jnp.where(valid[..., None], lem_pad, 0.0)
+    lem_dtype = jnp.bfloat16 if not _interpret() else jnp.float32
+    lem_pad = lem_pad.astype(lem_dtype)
+
+    def to_slots(x, fill):
+        g = jnp.take_along_axis(x, idx_bGW, axis=1)         # [B, G*W]
+        g = jnp.transpose(g).reshape(G, W, B)
+        return jnp.where(valid, g, fill)
+
+    u_pad = jnp.stack([
+        to_slots(uniforms[it].astype(jnp.float32), 0.0) for it in range(n_its)
+    ])
+    H_pad = to_slots(H0, 0)
+    skip_pad = to_slots(
+        skip_r.astype(jnp.int32), 1
+    )                                                       # empty slots skip
+    first_col = first_read[:, None].astype(jnp.int32)
+
+    # ---- initial state ----
+    if iterative_init:
+        lemg = jnp.zeros((G, BN, K), dtype=jnp.float32)
+    else:
+        oh = jax.nn.one_hot(H_pad, nl, dtype=jnp.float32)
+        oh = oh * valid.astype(jnp.float32)[..., None]
+        lemg = jnp.einsum(
+            "gwbn,gwbk->gnbk", oh, lem_pad.astype(jnp.float32)
+        ).reshape(G, BN, K)
+    beta = jnp.ones((G, BN, K), dtype=jnp.float32)
+    alphas = jnp.zeros((G, BN, K), dtype=jnp.float32)
+    uf = jnp.zeros((B, 1), dtype=jnp.float32)
+    per_it_ll = jnp.zeros((n_its, B, 2), dtype=jnp.float32)
+    NB = boundaries.shape[0]
+
+    for it in range(n_its):
+        if iterative_init and it <= 1:
+            it_mode = it
+        else:
+            it_mode = 2
+        lemg, alphas, H_pad, logc, uf_it = _fwd_sweep(
+            lemg, beta, lem_pad, u_pad[it], H_pad, skip_pad, r_pad,
+            first_col, trans_t, cnt_t,
+            nl=nl, K_real=K_real, it_mode=it_mode, prior=prior_t,
+        )
+        uf = jnp.maximum(uf, uf_it)
+        beta = _bwd_sweep(lemg, trans_t, nl=nl, K_real=K_real)
+        if do_block[it] and NB > 0:
+            lemg, beta, alphas, H_pad = _block_moves_padded(
+                lemg, beta, alphas, H_pad, valid, boundaries, block_u[it],
+                nl, B, K_real, log_prior,
+            )
+        p_O = logc.reshape(nl, B).sum(axis=0)
+        p_H = (
+            log_prior[H_pad] * valid.astype(jnp.float32)
+        ).sum(axis=(0, 1))
+        per_it_ll = per_it_ll.at[it].set(jnp.stack([p_O, p_H], axis=1))
+
+    # ---- outputs ----
+    H_flat = jnp.transpose(H_pad.reshape(G * W, B))         # [B, G*W]
+    H_out = jnp.take_along_axis(H_flat, idx_back, axis=1)
+    H_out = jnp.where(valid_r, H_out, 0).astype(jnp.int32)
+
+    def dos_step(_, g):
+        a = jax.lax.dynamic_index_in_dim(alphas, g, 0, False)
+        bt = jax.lax.dynamic_index_in_dim(beta, g, 0, False)
+        gam = (a * bt * km[None, :]).reshape(nl, B, K)
+        gam = jnp.transpose(gam, (1, 0, 2))
+        gam = gam / jnp.maximum(gam.sum(axis=2, keepdims=True), 1e-30)
+        bits_g = jax.lax.dynamic_slice(bits, (0, 0, g * 32), (B, K, 32))
+        e_g = bits_g.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
+        hd = jnp.einsum("bhk,bks->bhs", gam, e_g)
+        return None, hd
+
+    _, hd = jax.lax.scan(dos_step, None, jnp.arange(G))
+    hap_dos = hd.transpose(1, 2, 0, 3).reshape(B, nl, S)
+    gp = jnp.stack(
+        [
+            (1 - hap_dos[:, 0]) * (1 - hap_dos[:, 1]),
+            hap_dos[:, 0] * (1 - hap_dos[:, 1])
+            + (1 - hap_dos[:, 0]) * hap_dos[:, 1],
+            hap_dos[:, 0] * hap_dos[:, 1],
+        ],
+        axis=1,
+    )
+    if nl == 3:
+        gpF = jnp.stack(
+            [
+                (1 - hap_dos[:, 0]) * (1 - hap_dos[:, 2]),
+                hap_dos[:, 0] * (1 - hap_dos[:, 2])
+                + (1 - hap_dos[:, 0]) * hap_dos[:, 2],
+                hap_dos[:, 0] * hap_dos[:, 2],
+            ],
+            axis=1,
+        )
+    else:
+        gpF = gp
+    return gp, gpF, hap_dos, H_out, per_it_ll, uf[:, 0] > 0
+
+
+def padded_layout_ok(inputs) -> bool:
+    """True when the grid-padded layout fits the Pallas kernel's budget."""
+    W = int(inputs.read_count.max()) if inputs.read_count.size else 0
+    return 0 < W <= _MAX_W
+
+
+def run_gibbs_chains_pallas(
+    bits: np.ndarray,
+    preads,
+    inputs,
+    uniforms,
+    H0: np.ndarray,
+    first_read: np.ndarray,
+    n_latent: int,
+    ff: float,
+    n_burn_in: int,
+    iterative_init: bool,
+    K_real: int,
+    max_diff: float = 1e10,
+    ref_error: float = 0.001,
+    eMatRead=None,
+    boundaries=None,
+    block_u=None,
+    do_block=None,
+):
+    """Drop-in replacement for kernels.gibbs.run_gibbs_chains on TPU."""
+    from .emissions import emat_read_from_bits
+
+    B, K, Sb = np.shape(bits)
+    n_its = uniforms.shape[0]
+    if n_latent == 2:
+        prior_t = (0.5, 0.5)
+    else:
+        prior_t = (0.5, (1 - ff) / 2, ff / 2)
+    if eMatRead is None:
+        eMatRead = emat_read_from_bits(
+            jnp.asarray(bits),
+            jnp.asarray(preads.u_pad),
+            jnp.asarray(preads.lr),
+            jnp.asarray(preads.la),
+            max_diff,
+        )
+        R = inputs.R
+        if eMatRead.shape[2] < R:
+            eMatRead = jnp.pad(
+                eMatRead,
+                ((0, 0), (0, 0), (0, R - eMatRead.shape[2])),
+                constant_values=1.0,
+            )
+    R = inputs.R
+    G = inputs.G
+
+    rs_np, rc_np, w_np, m_np = (
+        inputs.read_start, inputs.read_count, inputs.wif0, inputs.read_mask,
+    )
+    if rs_np.shape[0] == 1 and B > 1:
+        rs_np = np.broadcast_to(rs_np, (B, G))
+        rc_np = np.broadcast_to(rc_np, (B, G))
+        w_np = np.broadcast_to(w_np, (B, R))
+        m_np = np.broadcast_to(m_np, (B, R))
+
+    W = max(int(rc_np.max()), 1)
+    # slot index arrays (host, tiny)
+    ar_w = np.arange(W, dtype=np.int32)
+    idx = rs_np[:, :, None] + ar_w[None, None, :]            # [B, G, W]
+    in_cnt = ar_w[None, None, :] < rc_np[:, :, None]
+    r_pad = np.where(in_cnt, idx, -1).astype(np.int32)
+    r_pad = np.transpose(r_pad, (1, 2, 0))                   # [G, W, B]
+    idx_bGW = np.clip(
+        np.transpose(r_pad, (2, 0, 1)).reshape(B, G * W), 0, R - 1
+    ).astype(np.int32)
+    cnt_max = rc_np.max(axis=0).astype(np.int32)[:, None]    # [G, 1]
+    # inverse map read -> slot
+    g_of_r = np.clip(w_np, 0, G - 1).astype(np.int64)
+    i_of_r = np.arange(R)[None, :] - np.take_along_axis(
+        rs_np.astype(np.int64), g_of_r, axis=1
+    )
+    i_of_r = np.clip(i_of_r, 0, W - 1)
+    idx_back = (g_of_r * W + i_of_r).astype(np.int32)        # [B, R]
+
+    skip_r = np.asarray(
+        (np.asarray(eMatRead) > 1.0 - 1e-12).all(axis=1) | ~m_np
+    )
+
+    if boundaries is None or len(boundaries) == 0:
+        boundaries = np.zeros(0, dtype=np.int32)
+        block_u = np.zeros((n_its, 0, 3, B), dtype=np.float32)
+        do_block = np.zeros(n_its, dtype=bool)
+    do_block_t = tuple(bool(x) for x in np.asarray(do_block))
+
+    gp, gpF, hap_dos, H, ll, uf = _gibbs_core_pallas(
+        jnp.log(jnp.asarray(eMatRead)),
+        jnp.asarray(bits),
+        jnp.asarray(skip_r),
+        jnp.asarray(r_pad),
+        jnp.asarray(cnt_max),
+        jnp.asarray(idx_bGW),
+        jnp.asarray(idx_back),
+        jnp.asarray(inputs.trans),
+        jnp.asarray(uniforms, dtype=jnp.float32),
+        jnp.asarray(H0, dtype=jnp.int32),
+        jnp.asarray(first_read, dtype=jnp.int32),
+        jnp.asarray(boundaries, dtype=jnp.int32),
+        jnp.asarray(block_u, dtype=jnp.float32),
+        jnp.asarray(m_np),
+        nl=n_latent,
+        iterative_init=iterative_init,
+        K_real=K_real,
+        n_its=n_its,
+        do_block=do_block_t,
+        prior_t=prior_t,
+        ref_error=float(ref_error),
+    )
+    return (
+        np.asarray(gp),
+        np.asarray(gpF),
+        np.asarray(hap_dos),
+        np.asarray(H),
+        np.asarray(ll),
+        np.asarray(uf),
+    )

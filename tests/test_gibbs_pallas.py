@@ -1,0 +1,91 @@
+"""Pallas Gibbs sweep (kernels/gibbs_pallas.py) vs the XLA reference path.
+
+Runs in Pallas interpret mode on the CPU test mesh; on TPU the same code
+compiles via Mosaic (exercised by bench/engine runs). The two paths share
+all semantics — uniforms are consumed by read index — so labels and
+genotype posteriors must agree to fp32 noise.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from quilt_tpu.io import simulate_panel, simulate_sample_reads
+from quilt_tpu.io.simulate import simulate_truth_mosaic
+from quilt_tpu.panel import assign_positions_to_grid, trans_rates
+from quilt_tpu.kernels import PaddedReads
+from quilt_tpu.kernels.gibbs import GibbsInputs, run_gibbs_chains
+
+
+def _run_both(nl, ff, with_block, B, seed, iterative=True):
+    rng = np.random.default_rng(seed)
+    K, nSNPs = 24, 128
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    truth = simulate_truth_mosaic(rng, haps, n_latent=nl)
+    reads, sim = simulate_sample_reads(
+        rng, truth, pos, grid, coverage=3.0, read_length_bp=600, phred=25,
+        ff=ff,
+    )
+    trans = trans_rates(np.full(nGrids - 1, 0.985))
+    n_its = 6
+    inputs = GibbsInputs.build(reads, trans, nGrids)
+    R = inputs.R
+    uniforms = rng.random((n_its, B, R)).astype(np.float32)
+    p = [0.5, 0.5] if nl == 2 else [0.5, (1 - ff) / 2, ff / 2]
+    H0 = rng.choice(nl, size=(B, R), p=p).astype(np.int32)
+    preads = PaddedReads.build(reads, ref_error=0.001)
+    S = nGrids * 32
+    bits1 = np.zeros((K, S), dtype=np.uint8)
+    bits1[:, :nSNPs] = haps
+    bits = np.broadcast_to(bits1[None], (B, K, S)).copy()
+    first = rng.integers(0, reads.nReads, B).astype(np.int32)
+    kw = {}
+    if with_block:
+        kw["boundaries"] = np.array(
+            [nGrids // 3, 2 * nGrids // 3], dtype=np.int32
+        )
+        kw["block_u"] = rng.random((n_its, 2, 3, B)).astype(np.float32)
+        db = np.zeros(n_its, bool)
+        db[[2, 4]] = True
+        kw["do_block"] = db
+    res = {}
+    for backend in ["xla", "pallas"]:
+        os.environ["QUILT_TPU_GIBBS"] = backend
+        try:
+            res[backend] = run_gibbs_chains(
+                bits=bits, preads=preads, inputs=inputs, uniforms=uniforms,
+                H0=H0, first_read=first, n_latent=nl, ff=ff,
+                n_burn_in=n_its - 1, iterative_init=iterative, K_real=K,
+                **kw,
+            )
+        finally:
+            os.environ.pop("QUILT_TPU_GIBBS", None)
+    return res, reads.nReads, nSNPs
+
+
+@pytest.mark.parametrize(
+    "nl,ff,with_block,iterative",
+    [
+        (2, 0.0, False, True),
+        (2, 0.0, True, True),
+        (2, 0.0, False, False),
+        (3, 0.2, True, True),
+    ],
+)
+def test_pallas_matches_xla(nl, ff, with_block, iterative):
+    res, nr, nSNPs = _run_both(
+        nl, ff, with_block, B=2, seed=11 + nl, iterative=iterative
+    )
+    gx, gp = res["xla"], res["pallas"]
+    assert not gp[5].any()
+    agree = (gx[3][:, :nr] == gp[3][:, :nr]).mean()
+    assert agree > 0.995, f"label agreement {agree}"
+    dx = gx[0][:, 1, :nSNPs] + 2 * gx[0][:, 2, :nSNPs]
+    dp = gp[0][:, 1, :nSNPs] + 2 * gp[0][:, 2, :nSNPs]
+    np.testing.assert_allclose(dp, dx, atol=5e-3)
+    np.testing.assert_allclose(gp[4], gx[4], rtol=1e-4, atol=1e-3)
+    if nl == 3:
+        fx = gx[1][:, 1, :nSNPs] + 2 * gx[1][:, 2, :nSNPs]
+        fp = gp[1][:, 1, :nSNPs] + 2 * gp[1][:, 2, :nSNPs]
+        np.testing.assert_allclose(fp, fx, atol=5e-3)
