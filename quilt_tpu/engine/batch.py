@@ -131,7 +131,7 @@ def impute_samples_batched(
         block_u = _device_uniforms(k2, (n_its, max(len(bnd), 1), 3, Bb))
         block_u = block_u[:, : len(bnd)]
         for attempt in range(11):
-            gp, gpF, hap_dos, Hn, ll, uf = run_gibbs_chains(
+            gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
                 bits=bits, preads=preads_b, inputs=ginputs_b,
                 uniforms=uniforms, H0=H0_b, first_read=first_b, n_latent=nl,
                 ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,

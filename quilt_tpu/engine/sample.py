@@ -267,7 +267,7 @@ def impute_one_sample(
         uniforms = rng.random((n_its, B, R)).astype(np.float32)
         block_u = rng.random((n_its, len(bnd), 3, B)).astype(np.float32)
         for attempt in range(11):
-            gp, gpF, hap_dos, Hn, ll, uf = run_gibbs_chains(
+            gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
                 bits=bits, preads=preads, inputs=ginputs, uniforms=uniforms,
                 H0=H0_b, first_read=first_read_b, n_latent=nl, ff=ff,
                 n_burn_in=n_its - 1, iterative_init=iterative, K_real=Ksub,
@@ -355,7 +355,7 @@ def impute_one_sample(
             )
         uniforms = rng.random((n_its, B, ginputs_all.R)).astype(np.float32)
         for attempt in range(11):
-            gp_a, gpF_a, hd_a, Hn, ll, uf = run_gibbs_chains(
+            gp_a, gpF_a, hd_a, Hn, ll, uf, Hcls = run_gibbs_chains(
                 bits=bits_np, preads=preads_all, inputs=ginputs_all,
                 uniforms=uniforms, H0=H0_all,
                 first_read=np.zeros(B, dtype=np.int32), n_latent=nl, ff=ff,

@@ -24,6 +24,12 @@ Deviations from the reference (documented):
   "Gibbs samples" are outer chains, which map to the batch axis here).
 - The reference's read-category 2/3 CPU shortcuts are not distinguished;
   category-1 (uninformative) reads are skipped identically.
+- H_class (NIPT read classes, kernels/nipt.py) is evaluated from the
+  end-of-iteration alpha/beta state, batched, instead of mid-sweep.
+
+Per-iteration likelihood matrix columns (add_to_per_it_likelihoods,
+QUILT/R/gibbs-nipt.R:1441-1471; the s/i_samp/i_it bookkeeping columns are
+host-side): see PER_IT_COLS.
 """
 from __future__ import annotations
 
@@ -34,10 +40,98 @@ from typing import Optional, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.scipy.special import gammaln
 
 from ..io.reads import SampleReads
+from . import nipt as nipt_tables
 from .common import pad_to_multiple
 from .emissions import PaddedReads, emat_read_from_bits
+
+PER_IT_COLS = (
+    "p_O1_given_H1_L", "p_O2_given_H2_L", "p_O3_given_H3_L",
+    "p_O_given_H_L", "p_H_given_L", "p_H_given_O_L_up_to_C",
+    "p_set_H_given_L", "relabel",
+)
+
+
+def _classify3(gain, lose_C, pC, h_cur, prior, rlc,
+               cutoff=nipt_tables.CLASS_SUM_CUTOFF):
+    """Batched NIPT read classification (see kernels/nipt.py docstring).
+    gain [..., 3], lose_C [...], pC [..., 3], h_cur [...] int -> class
+    [...] int32 in 0..7."""
+    oh = jax.nn.one_hot(h_cur, 3, dtype=gain.dtype)
+    stay = pC.prod(axis=-1)
+    ws = []
+    for n in range(3):
+        e_n = jnp.zeros(3, dtype=gain.dtype).at[n].set(1.0)
+        m_mask = (1.0 - oh) * (1.0 - e_n)
+        pC_m = (pC * m_mask).sum(axis=-1)
+        w_n = jnp.where(h_cur == n, stay, lose_C * gain[..., n] * pC_m)
+        ws.append(w_n * prior[n])
+    w = jnp.stack(ws, axis=-1)
+    s = w.sum(axis=-1, keepdims=True)
+    ok = jnp.isfinite(s[..., 0]) & (s[..., 0] > 0)
+    x = w / jnp.where(s > 0, s, 1.0)
+    y = jnp.abs(x[..., None, :] - rlc).sum(axis=-1)         # [..., 7]
+    cls = jnp.argmin(y, axis=-1).astype(jnp.int32)
+    ymin = jnp.min(y, axis=-1)
+    return jnp.where(ok & (ymin < cutoff), cls + 1, 0)
+
+
+def _perm_block_probs(cmat, ns, clp, perm_mask):
+    """[..., 6] suffix-relabel choice probabilities from the FB junction
+    cross terms cmat [..., 3, 3] (cmat[i,j] = sum_k alpha_i beta_j) and
+    H_class counts ns [..., 8] (Rcpp_consider_block_relabelling,
+    QUILT/src/gibbs-nipt-block.cpp:590-760, block_approach=6)."""
+    logc = jnp.log(jnp.maximum(cmat, 1e-30))
+    fb = jnp.stack(
+        [
+            sum(logc[..., i, int(nipt_tables.INVS[r, i])] for i in range(3))
+            for r in range(6)
+        ],
+        axis=-1,
+    )
+    cls_t = clp[jnp.asarray(nipt_tables.CLASS_PERM)]          # [6, 8]
+    ht = jnp.einsum("...c,rc->...r", ns, cls_t)
+    lw = fb + ht
+    lw = lw - lw.max(axis=-1, keepdims=True)
+    w = jnp.exp(jnp.clip(lw, -100.0, None)) * perm_mask
+    return w / w.sum(axis=-1, keepdims=True)
+
+
+def _entire_probs(rc, log_p):
+    """[..., 6] entire-relabelling probabilities from label counts rc
+    [..., 3] (get_weights_for_entire_relabelling, gibbs-nipt.R:1336-1352)."""
+    lw = jnp.stack(
+        [
+            sum(rc[..., int(nipt_tables.INVS[r, i])] * log_p[i]
+                for i in range(3))
+            for r in range(6)
+        ],
+        axis=-1,
+    )
+    lw = lw - lw.max(axis=-1, keepdims=True)
+    w = jnp.exp(jnp.clip(lw, -100.0, None))
+    return w / w.sum(axis=-1, keepdims=True)
+
+
+def _sample_idx(probs, u):
+    """Inverse-CDF choice along the last axis; u [...] in [0,1)."""
+    cum = jnp.cumsum(probs, axis=-1)
+    return jnp.minimum(
+        (cum <= u[..., None]).sum(axis=-1), probs.shape[-1] - 1
+    ).astype(jnp.int32)
+
+
+def _log_dmultinom(rc, p):
+    """log multinomial pmf, batched over leading axes of rc [..., C]
+    (calc_prob_of_set_of_reads, gibbs-nipt.R:1308-1312)."""
+    n = rc.sum(axis=-1)
+    logp = jnp.log(jnp.maximum(p, 1e-300))
+    return (
+        gammaln(n + 1.0) - gammaln(rc + 1.0).sum(axis=-1)
+        + jnp.where(rc > 0, rc * logp, 0.0).sum(axis=-1)
+    )
 
 
 @dataclass
@@ -132,7 +226,10 @@ def _build_log_emat_grid(log_em, H, wif0, read_mask, G, nl):
     return emg
 
 
-@partial(jax.jit, static_argnames=("nl", "iterative_init", "K_real"))
+@partial(
+    jax.jit,
+    static_argnames=("nl", "iterative_init", "K_real", "W", "do_entire"),
+)
 def _gibbs_core(
     eMatRead: jnp.ndarray,     # [B, K, R] f32
     bits: jnp.ndarray,         # [B, K, S] uint8
@@ -148,9 +245,15 @@ def _gibbs_core(
     boundaries: jnp.ndarray,   # [NB] int32 (block-Gibbs suffix starts; -1 pad)
     block_u: jnp.ndarray,      # [n_its, NB, 3, B] uniforms for block moves
     do_block: jnp.ndarray,     # [n_its] bool
+    relabel_u: jnp.ndarray,    # [n_its, B] uniforms for entire relabelling
+    rlc: jnp.ndarray,          # [7, 3] f32 read-class probability rows
+    clp: jnp.ndarray,          # [8] f32 per-class log label probability
+    perm_mask: jnp.ndarray,    # [6] f32 allowed-relabelling mask (ff==0)
     nl: int,
     iterative_init: bool,
     K_real: int,
+    W: int,                    # max reads per grid (H_class scan width)
+    do_entire: bool,
     ref_error: float = 0.001,
 ):
     B, K, R = eMatRead.shape
@@ -181,8 +284,9 @@ def _gibbs_core(
     beta = jnp.ones((G, B, nl, K), dtype=jnp.float32)
     alphas = jnp.zeros((G, B, nl, K), dtype=jnp.float32)
     H = H_r0
+    Hc0 = jnp.zeros((R, B), dtype=jnp.int32)
     underflow = jnp.zeros((B,), dtype=bool)
-    per_it_ll = jnp.zeros((n_its, B, 2), dtype=jnp.float32)
+    per_it_ll = jnp.zeros((n_its, B, len(PER_IT_COLS)), dtype=jnp.float32)
 
     def emg_to_e(lemg_g):
         """exp(log eMatGrid) with per-(b,h) max subtraction; pads -> 0."""
@@ -191,13 +295,69 @@ def _gibbs_core(
         return jnp.exp(lm - mx) * km[None, None, :], mx[:, :, 0]
 
     NB = boundaries.shape[0]
-    pairs = [(0, 1)] if nl == 2 else [(0, 1), (0, 2), (1, 2)]
     log_prior = jnp.log(prior)
+    em_bRK = jnp.transpose(eMatRead, (0, 2, 1))            # [B, R, K]
+    skip_T = skip_r_all.T                                   # [B, R]
+    perms_t = jnp.asarray(nipt_tables.PERMS)
+    invs_t = jnp.asarray(nipt_tables.INVS)
+    clsperm_t = jnp.asarray(nipt_tables.CLASS_PERM)
 
-    def block_moves(it, lemg, beta, alphas, H):
-        """Suffix-relabel escape moves at recombination-hot boundaries.
-        Functional equivalent of Rcpp_(shard_)block_gibbs_resampler
-        (gibbs-nipt-block.cpp:1636-2355); see oracle/block_gibbs.py."""
+    def compute_Hclass(alphas, beta, H, Hc):
+        """Batched NIPT read classification from the end-of-iteration state
+        (see kernels/nipt.py for semantics/deviation notes)."""
+        H_T = H.T                                            # [B, R]
+        aw = jnp.arange(W)
+
+        def body(Hc_T, g):
+            ab = alphas[g] * beta[g]                         # [B, nl, K]
+            r_idx = read_start[:, g][:, None] + aw[None, :]  # [B, W]
+            in_g = aw[None, :] < read_count[:, g][:, None]
+            r_c = jnp.clip(r_idx, 0, R - 1)
+            em_g = jnp.take_along_axis(em_bRK, r_c[:, :, None], axis=1)
+            gain = jnp.einsum("bwk,bhk->bwh", em_g, ab)
+            lose = jnp.einsum("bwk,bhk->bwh", 1.0 / em_g, ab)
+            h_cur = jnp.take_along_axis(H_T, r_c, axis=1)    # [B, W]
+            lose_C = jnp.take_along_axis(
+                lose, h_cur[:, :, None], axis=2
+            )[:, :, 0]
+            pC = ab.sum(axis=2)[:, None, :]                  # [B, 1, 3]
+            cls = _classify3(gain, lose_C, pC, h_cur, prior, rlc)
+            live = in_g & ~jnp.take_along_axis(skip_T, r_c, axis=1)
+            upd = jnp.where(
+                live, cls, jnp.take_along_axis(Hc_T, r_c, axis=1)
+            )
+            return Hc_T.at[rows[:, None], r_c].set(upd), None
+
+        Hc_T, _ = jax.lax.scan(body, Hc.T, jnp.arange(G))
+        return Hc_T.T                                        # [R, B]
+
+    def apply_perm3(chosen, cond_g, cond_r, lemg, beta, alphas, H, Hc):
+        """Apply per-row relabelling `chosen` [B] in 0..5 to the state
+        planes (new_plane[i] = old_plane[INVS[chosen, i]]), the read labels
+        (PERMS) and read classes (CLASS_PERM), where cond_g [G, B] /
+        cond_r [R, B] hold."""
+        idx = invs_t[chosen]                                 # [B, 3]
+        cg = cond_g[:, :, None, None]
+        out = []
+        for arr in (lemg, beta, alphas):
+            permuted = jnp.take_along_axis(
+                arr, idx[None, :, :, None], axis=2
+            )
+            out.append(jnp.where(cg, permuted, arr))
+        lemg, beta, alphas = out
+        perm_rows = perms_t[chosen]                          # [B, 3]
+        H_new = perm_rows[rows[None, :], jnp.clip(H, 0, 2)]
+        H = jnp.where(cond_r, H_new, H)
+        cp_rows = clsperm_t[chosen]                          # [B, 8]
+        Hc_new = cp_rows[rows[None, :], Hc]
+        Hc = jnp.where(cond_r, Hc_new, Hc)
+        return lemg, beta, alphas, H, Hc
+
+    def block_moves_pair(it, lemg, beta, alphas, H):
+        """Diploid suffix-swap escape moves at recombination-hot
+        boundaries. Functional equivalent of the pairwise shard checks
+        (Rcpp_shard_block_gibbs_resampler, gibbs-nipt-block.cpp:1975-2355);
+        see oracle/block_gibbs.py."""
 
         def bound_body(j, st):
             lemg, beta, alphas, H = st
@@ -206,58 +366,94 @@ def _gibbs_core(
             bb = jnp.maximum(b, 1)
             sfx_g = (jnp.arange(G) >= bb)[:, None]          # [G, 1]
             sfx_r = wif0_r >= bb                             # [R, B]
-            for pi, (i, j2) in enumerate(pairs):
-                # decision state: alpha through b-1 (prefix), beta at b-1
-                # (future from b on) — the swap applies to grids >= b
-                alpha_b = alphas[bb - 1]                     # [B, nl, K]
-                beta_b = beta[bb - 1]
-                cii = (alpha_b[:, i] * beta_b[:, i]).sum(axis=1)
-                cjj = (alpha_b[:, j2] * beta_b[:, j2]).sum(axis=1)
-                cij = (alpha_b[:, i] * beta_b[:, j2]).sum(axis=1)
-                cji = (alpha_b[:, j2] * beta_b[:, i]).sum(axis=1)
-                w_keep = cii * cjj
-                w_swap = cij * cji
-                if nl == 3:
-                    mr = sfx_r & read_mask.T
-                    n_i = ((H == i) & mr).sum(axis=0)
-                    n_j = ((H == j2) & mr).sum(axis=0)
-                    logpr = jnp.clip(
-                        (n_j - n_i).astype(jnp.float32)
-                        * (log_prior[i] - log_prior[j2]),
-                        -80.0, 80.0,
-                    )
-                    w_swap = w_swap * jnp.exp(logpr)
-                tot = w_keep + w_swap
-                ok = jnp.isfinite(tot) & (tot > 0)
-                p_swap = jnp.where(ok, w_swap / jnp.where(tot > 0, tot, 1.0), 0.0)
-                u = block_u[it, j, pi]                       # [B]
-                do_swap = valid & ok & (u < p_swap)          # [B]
-                cond_g = sfx_g & do_swap[None, :]            # [G, B]
-                cg = cond_g[:, :, None]
-                for arr_name in range(3):
-                    arr = (lemg, beta, alphas)[arr_name]
-                    ai = arr[:, :, i, :]
-                    aj = arr[:, :, j2, :]
-                    new_i = jnp.where(cg, aj, ai)
-                    new_j = jnp.where(cg, ai, aj)
-                    arr = arr.at[:, :, i, :].set(new_i)
-                    arr = arr.at[:, :, j2, :].set(new_j)
-                    if arr_name == 0:
-                        lemg = arr
-                    elif arr_name == 1:
-                        beta = arr
-                    else:
-                        alphas = arr
-                cond_r = sfx_r & do_swap[None, :]
-                H = jnp.where(cond_r & (H == i), nl + 7,
-                              jnp.where(cond_r & (H == j2), i, H))
-                H = jnp.where(H == nl + 7, j2, H)
+            i, j2 = 0, 1
+            alpha_b = alphas[bb - 1]                         # [B, nl, K]
+            beta_b = beta[bb - 1]
+            cii = (alpha_b[:, i] * beta_b[:, i]).sum(axis=1)
+            cjj = (alpha_b[:, j2] * beta_b[:, j2]).sum(axis=1)
+            cij = (alpha_b[:, i] * beta_b[:, j2]).sum(axis=1)
+            cji = (alpha_b[:, j2] * beta_b[:, i]).sum(axis=1)
+            w_keep = cii * cjj
+            w_swap = cij * cji
+            tot = w_keep + w_swap
+            ok = jnp.isfinite(tot) & (tot > 0)
+            p_swap = jnp.where(ok, w_swap / jnp.where(tot > 0, tot, 1.0), 0.0)
+            u = block_u[it, j, 0]                            # [B]
+            do_swap = valid & ok & (u < p_swap)              # [B]
+            cond_g = sfx_g & do_swap[None, :]                # [G, B]
+            cg = cond_g[:, :, None]
+            for arr_name in range(3):
+                arr = (lemg, beta, alphas)[arr_name]
+                ai = arr[:, :, i, :]
+                aj = arr[:, :, j2, :]
+                new_i = jnp.where(cg, aj, ai)
+                new_j = jnp.where(cg, ai, aj)
+                arr = arr.at[:, :, i, :].set(new_i)
+                arr = arr.at[:, :, j2, :].set(new_j)
+                if arr_name == 0:
+                    lemg = arr
+                elif arr_name == 1:
+                    beta = arr
+                else:
+                    alphas = arr
+            cond_r = sfx_r & do_swap[None, :]
+            H = jnp.where(cond_r & (H == i), nl + 7,
+                          jnp.where(cond_r & (H == j2), i, H))
+            H = jnp.where(H == nl + 7, j2, H)
             return (lemg, beta, alphas, H)
 
         return jax.lax.fori_loop(0, NB, bound_body, (lemg, beta, alphas, H))
 
+    def block_moves_nipt(it, lemg, beta, alphas, H, Hc):
+        """NIPT 6-permutation suffix relabelling at recombination-hot
+        boundaries: FB junction cross terms x H_class count likelihood
+        (functional equivalent of Rcpp_block_gibbs_resampler with
+        block_approach=6, gibbs-nipt-block.cpp:590-954,1636-1974; suffix
+        formulation rather than within-block, documented in SURVEY §7)."""
+
+        def bound_body(j, st):
+            lemg, beta, alphas, H, Hc = st
+            b = boundaries[j]
+            valid = b > 0
+            bb = jnp.maximum(b, 1)
+            sfx_g = (jnp.arange(G) >= bb)[:, None] & valid   # [G, 1]->[G,B]
+            sfx_g = jnp.broadcast_to(sfx_g, (G, B))
+            sfx_r = (wif0_r >= bb) & valid                   # [R, B]
+            alpha_b = alphas[bb - 1]                         # [B, 3, K]
+            beta_b = beta[bb - 1]
+            cmat = jnp.einsum(
+                "bik,bjk->bij", alpha_b, beta_b * km[None, None, :]
+            )
+            mr = sfx_r & read_mask.T                         # [R, B]
+            oh_c = jax.nn.one_hot(Hc, 8, dtype=jnp.float32)  # [R, B, 8]
+            ns = (oh_c * mr[:, :, None]).sum(axis=0)         # [B, 8]
+            probs = _perm_block_probs(cmat, ns, clp, perm_mask)
+            chosen = _sample_idx(probs, block_u[it, j, 0])   # [B]
+            return apply_perm3(chosen, sfx_g, sfx_r, lemg, beta, alphas,
+                               H, Hc)
+
+        return jax.lax.fori_loop(
+            0, NB, bound_body, (lemg, beta, alphas, H, Hc)
+        )
+
+    def entire_move(it, lemg, beta, alphas, H, Hc):
+        """Entire relabelling of all reads (functional equivalent of
+        rcpp_consider_and_try_entire_relabelling, gibbs-nipt.cpp:1553-1577,
+        enabled by do_block_resampling)."""
+        mask_T = read_mask.T                                 # [R, B]
+        oh = jax.nn.one_hot(jnp.clip(H, 0, 2), 3, dtype=jnp.float32)
+        rc = (oh * mask_T[:, :, None]).sum(axis=0)           # [B, 3]
+        probs = _entire_probs(rc, log_prior)
+        chosen = _sample_idx(probs, relabel_u[it])           # [B]
+        all_g = jnp.ones((G, B), dtype=bool)
+        all_r = jnp.ones((R, B), dtype=bool)
+        lemg, beta, alphas, H, Hc = apply_perm3(
+            chosen, all_g, all_r, lemg, beta, alphas, H, Hc
+        )
+        return lemg, beta, alphas, H, Hc, chosen + 1
+
     def one_iteration(it, state):
-        lemg, beta, alphas, H, underflow, per_it_ll = state
+        lemg, beta, alphas, H, Hc, underflow, per_it_ll = state
         u_it = u_r[it]                                      # [R, B]
 
         def fwd_step(carry, g):
@@ -440,23 +636,62 @@ def _gibbs_core(
             jnp.arange(G - 1, -1, -1),
         )
         beta = betas_rev[::-1]
-        if NB > 0:
-            lemg, beta, alphas, H = jax.lax.cond(
-                do_block[it],
-                lambda args: block_moves(it, *args),
-                lambda args: args,
-                (lemg, beta, alphas, H),
+        relabel = jnp.ones((B,), dtype=jnp.int32)
+        if nl == 3 and W > 0:
+            # H_class from the end-of-iteration state, whenever it feeds the
+            # block moves or the final outputs
+            need_hc = do_block[it] | (it == n_its - 1) | bool(do_entire)
+            Hc = jax.lax.cond(
+                need_hc,
+                lambda a: compute_Hclass(a[0], a[1], a[2], a[3]),
+                lambda a: a[3],
+                (alphas, beta, H, Hc),
             )
-        p_O = logcs.sum(axis=0).sum(axis=1)                 # [B]
+        if NB > 0:
+            if nl == 3:
+                lemg, beta, alphas, H, Hc = jax.lax.cond(
+                    do_block[it],
+                    lambda args: block_moves_nipt(it, *args),
+                    lambda args: args,
+                    (lemg, beta, alphas, H, Hc),
+                )
+            else:
+                lemg, beta, alphas, H = jax.lax.cond(
+                    do_block[it],
+                    lambda args: block_moves_pair(it, *args),
+                    lambda args: args,
+                    (lemg, beta, alphas, H),
+                )
+        if do_entire and nl == 3:
+            lemg, beta, alphas, H, Hc, relabel = entire_move(
+                it, lemg, beta, alphas, H, Hc
+            )
+        p_O_h = logcs.sum(axis=0)                           # [B, nl]
+        p_O = p_O_h.sum(axis=1)
         logprior = jnp.log(prior)[H] * read_mask.T
         p_H = logprior.sum(axis=0)
-        per_it_ll = per_it_ll.at[it].set(jnp.stack([p_O, p_H], axis=1))
-        return (lemg, beta, alphas, H, underflow, per_it_ll)
+        mask_T = read_mask.T
+        oh_l = jax.nn.one_hot(
+            jnp.clip(H, 0, nl - 1), nl, dtype=jnp.float32
+        )
+        rc = (oh_l * mask_T[:, :, None]).sum(axis=0)        # [B, nl]
+        p_set = _log_dmultinom(rc, prior)
+        p_O3 = p_O_h[:, 2] if nl == 3 else jnp.zeros_like(p_O)
+        row = jnp.stack(
+            [
+                p_O_h[:, 0], p_O_h[:, 1], p_O3, p_O, p_H, p_O + p_H,
+                p_set, relabel.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        per_it_ll = per_it_ll.at[it].set(row)
+        return (lemg, beta, alphas, H, Hc, underflow, per_it_ll)
 
-    state = (lemg, beta, alphas, H, underflow, per_it_ll)
+    state = (lemg, beta, alphas, H, Hc0, underflow, per_it_ll)
     state = jax.lax.fori_loop(0, n_its, one_iteration, state)
-    lemg, beta, alphas, H, underflow, per_it_ll = state
+    lemg, beta, alphas, H, Hc, underflow, per_it_ll = state
     H = H.T                                                 # back to [B, R]
+    H_class = Hc.T                                          # [B, R]
 
     # genProbs / hapProbs from the final iteration's gammas
     # (rcpp_calculate_gn_genProbs_and_hapProbs, gibbs-nipt.cpp)
@@ -491,7 +726,7 @@ def _gibbs_core(
         )
     else:
         gpF = gp
-    return gp, gpF, hap_dos, H, per_it_ll, underflow
+    return gp, gpF, hap_dos, H, per_it_ll, underflow, H_class
 
 
 def run_gibbs_chains(
@@ -512,8 +747,11 @@ def run_gibbs_chains(
     boundaries: Optional[np.ndarray] = None,
     block_u: Optional[np.ndarray] = None,
     do_block: Optional[np.ndarray] = None,
+    relabel_u: Optional[np.ndarray] = None,
+    do_entire: bool = False,
 ):
-    """Run B independent Gibbs chains; returns numpy outputs.
+    """Run B independent Gibbs chains; returns numpy outputs
+    (gp, gpF, hap_dos, H, per_it_ll, underflow, H_class).
 
     genProbs/hapProbs cover the padded SNP axis S; slice to nSNPs outside.
     Pad rows of `bits` (beyond K_real) must duplicate a real haplotype so
@@ -538,7 +776,7 @@ def run_gibbs_chains(
                 n_burn_in=n_burn_in, iterative_init=iterative_init,
                 K_real=K_real, max_diff=max_diff, ref_error=ref_error,
                 eMatRead=eMatRead, boundaries=boundaries, block_u=block_u,
-                do_block=do_block,
+                do_block=do_block, relabel_u=relabel_u, do_entire=do_entire,
             )
     if n_latent == 2:
         prior = np.array([0.5, 0.5], dtype=np.float32)
@@ -574,7 +812,21 @@ def run_gibbs_chains(
         rc_np = np.broadcast_to(rc_np, (B, rc_np.shape[1]))
         w_np = np.broadcast_to(w_np, (B, w_np.shape[1]))
         m_np = np.broadcast_to(m_np, (B, m_np.shape[1]))
-    gp, gpF, hap_dos, H, ll, uf = _gibbs_core(
+    if relabel_u is None:
+        relabel_u = np.zeros((n_its, B), dtype=np.float32)
+    if n_latent == 3:
+        rlc = nipt_tables.make_rlc(ff).astype(np.float32)
+        clp = nipt_tables.class_log_p(ff).astype(np.float32)
+        perm_mask = np.ones(6, dtype=np.float32)
+        if ff <= 0.0:
+            perm_mask[[1, 3, 4, 5]] = 0.0
+        W = int(rc_np.max()) if rc_np.size else 0
+    else:
+        rlc = np.zeros((7, 3), dtype=np.float32)
+        clp = np.zeros(8, dtype=np.float32)
+        perm_mask = np.ones(6, dtype=np.float32)
+        W = 0
+    gp, gpF, hap_dos, H, ll, uf, H_class = _gibbs_core(
         eMatRead,
         jnp.asarray(bits),
         jnp.asarray(rs_np),
@@ -589,9 +841,15 @@ def run_gibbs_chains(
         jnp.asarray(boundaries, dtype=np.int32),
         jnp.asarray(block_u, dtype=np.float32),
         jnp.asarray(do_block),
+        jnp.asarray(relabel_u, dtype=np.float32),
+        jnp.asarray(rlc),
+        jnp.asarray(clp),
+        jnp.asarray(perm_mask),
         nl=n_latent,
         iterative_init=iterative_init,
         K_real=K_real,
+        W=W,
+        do_entire=bool(do_entire),
         ref_error=ref_error,
     )
     return (
@@ -601,4 +859,5 @@ def run_gibbs_chains(
         np.asarray(H),
         np.asarray(ll),
         np.asarray(uf),
+        np.asarray(H_class),
     )

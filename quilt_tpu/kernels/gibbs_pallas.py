@@ -369,15 +369,14 @@ def _block_moves_padded(
     lemg, beta, alphas, H_pad, valid, boundaries, block_u_it, nl, B, K_real,
     log_prior,
 ):
-    """Suffix-relabel escape moves on the nl-major [G, BN, K] layout.
+    """Diploid suffix-swap escape moves on the nl-major [G, BN, K] layout.
 
-    Same proposals/acceptance as kernels/gibbs.py:block_moves (functional
-    equivalent of Rcpp_(shard_)block_gibbs_resampler,
-    QUILT/src/gibbs-nipt-block.cpp:1636-2355)."""
+    Same proposals/acceptance as kernels/gibbs.py:block_moves_pair
+    (functional equivalent of Rcpp_shard_block_gibbs_resampler,
+    QUILT/src/gibbs-nipt-block.cpp:1975-2355)."""
     G, BN, K = lemg.shape
     km = (jnp.arange(K) < K_real).astype(jnp.float32)
     NB = boundaries.shape[0]
-    pairs = [(0, 1)] if nl == 2 else [(0, 1), (0, 2), (1, 2)]
     grid_ids = jnp.arange(G)
 
     def bound_body(j, st):
@@ -386,51 +385,41 @@ def _block_moves_padded(
         isvalid = b > 0
         bb = jnp.maximum(b, 1)
         sfx_g = grid_ids >= bb                             # [G]
-        for pi, (i, j2) in enumerate(pairs):
-            alpha_b = jax.lax.dynamic_index_in_dim(alphas, bb - 1, 0, False)
-            beta_b = jax.lax.dynamic_index_in_dim(beta, bb - 1, 0, False)
-            ai, aj = alpha_b[i * B:(i + 1) * B], alpha_b[j2 * B:(j2 + 1) * B]
-            bi, bj = beta_b[i * B:(i + 1) * B], beta_b[j2 * B:(j2 + 1) * B]
-            cii = (ai * bi * km).sum(axis=1)
-            cjj = (aj * bj * km).sum(axis=1)
-            cij = (ai * bj * km).sum(axis=1)
-            cji = (aj * bi * km).sum(axis=1)
-            w_keep = cii * cjj
-            w_swap = cij * cji
-            if nl == 3:
-                mr = sfx_g[:, None, None] & valid          # [G, W, B]
-                n_i = ((H_pad == i) & mr).sum(axis=(0, 1))
-                n_j = ((H_pad == j2) & mr).sum(axis=(0, 1))
-                logpr = jnp.clip(
-                    (n_j - n_i).astype(jnp.float32)
-                    * (log_prior[i] - log_prior[j2]),
-                    -80.0, 80.0,
-                )
-                w_swap = w_swap * jnp.exp(logpr)
-            tot = w_keep + w_swap
-            ok = jnp.isfinite(tot) & (tot > 0)
-            p_swap = jnp.where(ok, w_swap / jnp.where(tot > 0, tot, 1.0), 0.0)
-            u = block_u_it[j, pi]                          # [B]
-            do_swap = isvalid & ok & (u < p_swap)          # [B]
-            cg = (sfx_g[:, None] & do_swap[None, :])[:, :, None]  # [G,B,1]
-            for idx in range(3):
-                arr = (lemg, beta, alphas)[idx]
-                xi = arr[:, i * B:(i + 1) * B]
-                xj = arr[:, j2 * B:(j2 + 1) * B]
-                new_i = jnp.where(cg, xj, xi)
-                new_j = jnp.where(cg, xi, xj)
-                arr = arr.at[:, i * B:(i + 1) * B].set(new_i)
-                arr = arr.at[:, j2 * B:(j2 + 1) * B].set(new_j)
-                if idx == 0:
-                    lemg = arr
-                elif idx == 1:
-                    beta = arr
-                else:
-                    alphas = arr
-            cr = sfx_g[:, None, None] & do_swap[None, None, :]
-            H_pad = jnp.where(cr & (H_pad == i), nl + 7,
-                              jnp.where(cr & (H_pad == j2), i, H_pad))
-            H_pad = jnp.where(H_pad == nl + 7, j2, H_pad)
+        i, j2 = 0, 1
+        alpha_b = jax.lax.dynamic_index_in_dim(alphas, bb - 1, 0, False)
+        beta_b = jax.lax.dynamic_index_in_dim(beta, bb - 1, 0, False)
+        ai, aj = alpha_b[i * B:(i + 1) * B], alpha_b[j2 * B:(j2 + 1) * B]
+        bi, bj = beta_b[i * B:(i + 1) * B], beta_b[j2 * B:(j2 + 1) * B]
+        cii = (ai * bi * km).sum(axis=1)
+        cjj = (aj * bj * km).sum(axis=1)
+        cij = (ai * bj * km).sum(axis=1)
+        cji = (aj * bi * km).sum(axis=1)
+        w_keep = cii * cjj
+        w_swap = cij * cji
+        tot = w_keep + w_swap
+        ok = jnp.isfinite(tot) & (tot > 0)
+        p_swap = jnp.where(ok, w_swap / jnp.where(tot > 0, tot, 1.0), 0.0)
+        u = block_u_it[j, 0]                               # [B]
+        do_swap = isvalid & ok & (u < p_swap)              # [B]
+        cg = (sfx_g[:, None] & do_swap[None, :])[:, :, None]  # [G,B,1]
+        for idx in range(3):
+            arr = (lemg, beta, alphas)[idx]
+            xi = arr[:, i * B:(i + 1) * B]
+            xj = arr[:, j2 * B:(j2 + 1) * B]
+            new_i = jnp.where(cg, xj, xi)
+            new_j = jnp.where(cg, xi, xj)
+            arr = arr.at[:, i * B:(i + 1) * B].set(new_i)
+            arr = arr.at[:, j2 * B:(j2 + 1) * B].set(new_j)
+            if idx == 0:
+                lemg = arr
+            elif idx == 1:
+                beta = arr
+            else:
+                alphas = arr
+        cr = sfx_g[:, None, None] & do_swap[None, None, :]
+        H_pad = jnp.where(cr & (H_pad == i), nl + 7,
+                          jnp.where(cr & (H_pad == j2), i, H_pad))
+        H_pad = jnp.where(H_pad == nl + 7, j2, H_pad)
         return (lemg, beta, alphas, H_pad)
 
     return jax.lax.fori_loop(
@@ -438,11 +427,117 @@ def _block_moves_padded(
     )
 
 
+def _compute_Hclass_padded(alphas, beta, lem_pad, H_pad, live, prior, rlc):
+    """Batched NIPT read classification on the grid-padded layout (see
+    kernels/nipt.py for the semantics and the mid-sweep-vs-end-of-iteration
+    deviation note). alphas/beta [G, 3B, K]; lem_pad [G, W, B, K];
+    H_pad/live [G, W, B]. Returns H_class_pad [G, W, B] int32."""
+    from .gibbs import _classify3
+
+    G, BN, K = alphas.shape
+    W, B = lem_pad.shape[1], lem_pad.shape[2]
+
+    def body(_, xs):
+        a_g, b_g, lem_g, h_g, live_g = xs
+        ab = (a_g * b_g).reshape(3, B, K)
+        em = jnp.exp(lem_g.astype(jnp.float32))            # [W, B, K]
+        gain = jnp.einsum("wbk,hbk->wbh", em, ab)
+        lose = jnp.einsum("wbk,hbk->wbh", 1.0 / em, ab)
+        h_cur = jnp.clip(h_g, 0, 2)
+        lose_C = jnp.take_along_axis(lose, h_cur[:, :, None], axis=2)[..., 0]
+        pC = jnp.transpose(ab.sum(axis=2))[None, :, :]     # [1, B, 3]
+        cls = _classify3(gain, lose_C, pC, h_cur, prior, rlc)
+        return None, jnp.where(live_g, cls, 0)
+
+    _, hc = jax.lax.scan(body, None, (alphas, beta, lem_pad, H_pad, live))
+    return hc
+
+
+def _apply_perm3_padded(chosen, cond_g, cond_rw, lemg, beta, alphas,
+                        H_pad, Hc_pad):
+    """Apply per-row relabelling `chosen` [B] in 0..5 (see kernels/nipt.py
+    tables) to the nl-major planes, padded read labels and classes, where
+    cond_g [G, B] / cond_rw [G, W, B] hold."""
+    from . import nipt as nipt_tables
+
+    G, BN, K = lemg.shape
+    B = chosen.shape[0]
+    arr4 = lambda a: a.reshape(G, 3, B, K)
+    invs_t = jnp.asarray(nipt_tables.INVS)
+    perms_t = jnp.asarray(nipt_tables.PERMS)
+    clsperm_t = jnp.asarray(nipt_tables.CLASS_PERM)
+    idx = jnp.transpose(invs_t[chosen])                    # [3, B]
+    cg = cond_g[:, None, :, None]                          # [G, 1, B, 1]
+    out = []
+    for a in (lemg, beta, alphas):
+        a4 = arr4(a)
+        permuted = jnp.take_along_axis(a4, idx[None, :, :, None], axis=1)
+        out.append(jnp.where(cg, permuted, a4).reshape(G, BN, K))
+    lemg, beta, alphas = out
+    rows = jnp.arange(B)
+    perm_rows = perms_t[chosen]                            # [B, 3]
+    H_new = perm_rows[rows[None, None, :], jnp.clip(H_pad, 0, 2)]
+    H_pad = jnp.where(cond_rw, H_new, H_pad)
+    cp_rows = clsperm_t[chosen]                            # [B, 8]
+    Hc_new = cp_rows[rows[None, None, :], Hc_pad]
+    Hc_pad = jnp.where(cond_rw, Hc_new, Hc_pad)
+    return lemg, beta, alphas, H_pad, Hc_pad
+
+
+def _block_moves_nipt_padded(
+    lemg, beta, alphas, H_pad, Hc_pad, valid, boundaries, block_u_it,
+    B, K_real, clp, perm_mask,
+):
+    """NIPT 6-permutation suffix relabelling on the nl-major layout; same
+    proposals/acceptance as kernels/gibbs.py:block_moves_nipt (functional
+    equivalent of Rcpp_block_gibbs_resampler with block_approach=6,
+    QUILT/src/gibbs-nipt-block.cpp:590-954,1636-1974)."""
+    from .gibbs import _perm_block_probs, _sample_idx
+
+    G, BN, K = lemg.shape
+    km = (jnp.arange(K) < K_real).astype(jnp.float32)
+    NB = boundaries.shape[0]
+    grid_ids = jnp.arange(G)
+
+    def bound_body(j, st):
+        lemg, beta, alphas, H_pad, Hc_pad = st
+        b = boundaries[j]
+        isvalid = b > 0
+        bb = jnp.maximum(b, 1)
+        sfx_g = (grid_ids >= bb) & isvalid                 # [G]
+        alpha_b = jax.lax.dynamic_index_in_dim(
+            alphas, bb - 1, 0, False
+        ).reshape(3, B, K)
+        beta_b = jax.lax.dynamic_index_in_dim(
+            beta, bb - 1, 0, False
+        ).reshape(3, B, K)
+        cmat = jnp.einsum(
+            "ibk,jbk->bij", alpha_b, beta_b * km[None, None, :]
+        )
+        mr = sfx_g[:, None, None] & valid                  # [G, W, B]
+        ns = jnp.stack(
+            [((Hc_pad == c) & mr).sum(axis=(0, 1)).astype(jnp.float32)
+             for c in range(8)],
+            axis=-1,
+        )                                                  # [B, 8]
+        probs = _perm_block_probs(cmat, ns, clp, perm_mask)
+        chosen = _sample_idx(probs, block_u_it[j, 0])      # [B]
+        cond_g = jnp.broadcast_to(sfx_g[:, None], (G, B))
+        cond_rw = mr
+        return _apply_perm3_padded(
+            chosen, cond_g, cond_rw, lemg, beta, alphas, H_pad, Hc_pad
+        )
+
+    return jax.lax.fori_loop(
+        0, NB, bound_body, (lemg, beta, alphas, H_pad, Hc_pad)
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nl", "iterative_init", "K_real", "n_its", "do_block", "prior_t",
-        "ref_error",
+        "ref_error", "do_entire",
     ),
 )
 def _gibbs_core_pallas(
@@ -460,7 +555,12 @@ def _gibbs_core_pallas(
     boundaries,       # [NB] int32
     block_u,          # [n_its, NB, 3, B] f32
     valid_r,          # [B, R] bool (read_mask)
+    relabel_u,        # [n_its, B] f32
+    rlc,              # [7, 3] f32
+    clp,              # [8] f32
+    perm_mask,        # [6] f32
     nl, iterative_init, K_real, n_its, do_block, prior_t, ref_error,
+    do_entire,
 ):
     B, K, R = lem_all.shape
     G, W = r_pad.shape[0], r_pad.shape[1]
@@ -509,8 +609,12 @@ def _gibbs_core_pallas(
     beta = jnp.ones((G, BN, K), dtype=jnp.float32)
     alphas = jnp.zeros((G, BN, K), dtype=jnp.float32)
     uf = jnp.zeros((B, 1), dtype=jnp.float32)
-    per_it_ll = jnp.zeros((n_its, B, 2), dtype=jnp.float32)
+    from .gibbs import PER_IT_COLS, _entire_probs, _log_dmultinom, _sample_idx
+    per_it_ll = jnp.zeros((n_its, B, len(PER_IT_COLS)), dtype=jnp.float32)
     NB = boundaries.shape[0]
+    Hc_pad = jnp.zeros((G, W, B), dtype=jnp.int32)
+    live = valid & ~(skip_pad > 0)                          # [G, W, B]
+    prior = jnp.asarray(prior_t, dtype=jnp.float32)
 
     for it in range(n_its):
         if iterative_init and it <= 1:
@@ -524,21 +628,61 @@ def _gibbs_core_pallas(
         )
         uf = jnp.maximum(uf, uf_it)
         beta = _bwd_sweep(lemg, trans_t, nl=nl, K_real=K_real)
-        if do_block[it] and NB > 0:
-            lemg, beta, alphas, H_pad = _block_moves_padded(
-                lemg, beta, alphas, H_pad, valid, boundaries, block_u[it],
-                nl, B, K_real, log_prior,
+        relabel = jnp.ones((B,), dtype=jnp.int32)
+        if nl == 3 and (do_block[it] or it == n_its - 1 or do_entire):
+            Hc_pad = _compute_Hclass_padded(
+                alphas, beta, lem_pad, H_pad, live, prior, rlc
             )
-        p_O = logc.reshape(nl, B).sum(axis=0)
+        if do_block[it] and NB > 0:
+            if nl == 3:
+                lemg, beta, alphas, H_pad, Hc_pad = _block_moves_nipt_padded(
+                    lemg, beta, alphas, H_pad, Hc_pad, valid, boundaries,
+                    block_u[it], B, K_real, clp, perm_mask,
+                )
+            else:
+                lemg, beta, alphas, H_pad = _block_moves_padded(
+                    lemg, beta, alphas, H_pad, valid, boundaries,
+                    block_u[it], nl, B, K_real, log_prior,
+                )
+        if do_entire and nl == 3:
+            # entire relabelling (rcpp_consider_and_try_entire_relabelling,
+            # gibbs-nipt.cpp:1553-1577)
+            oh = jax.nn.one_hot(jnp.clip(H_pad, 0, 2), 3, dtype=jnp.float32)
+            rc = (oh * valid[..., None]).sum(axis=(0, 1))   # [B, 3]
+            probs = _entire_probs(rc, log_prior)
+            chosen = _sample_idx(probs, relabel_u[it])
+            all_g = jnp.ones((G, B), dtype=bool)
+            lemg, beta, alphas, H_pad, Hc_pad = _apply_perm3_padded(
+                chosen, all_g, valid, lemg, beta, alphas, H_pad, Hc_pad
+            )
+            relabel = chosen + 1
+        p_O_h = jnp.transpose(logc.reshape(nl, B))          # [B, nl]
+        p_O = p_O_h.sum(axis=1)
         p_H = (
             log_prior[H_pad] * valid.astype(jnp.float32)
         ).sum(axis=(0, 1))
-        per_it_ll = per_it_ll.at[it].set(jnp.stack([p_O, p_H], axis=1))
+        oh_l = jax.nn.one_hot(
+            jnp.clip(H_pad, 0, nl - 1), nl, dtype=jnp.float32
+        )
+        rc_l = (oh_l * valid[..., None].astype(jnp.float32)).sum(axis=(0, 1))
+        p_set = _log_dmultinom(rc_l, prior)
+        p_O3 = p_O_h[:, 2] if nl == 3 else jnp.zeros_like(p_O)
+        row = jnp.stack(
+            [
+                p_O_h[:, 0], p_O_h[:, 1], p_O3, p_O, p_H, p_O + p_H,
+                p_set, relabel.astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        per_it_ll = per_it_ll.at[it].set(row)
 
     # ---- outputs ----
     H_flat = jnp.transpose(H_pad.reshape(G * W, B))         # [B, G*W]
     H_out = jnp.take_along_axis(H_flat, idx_back, axis=1)
     H_out = jnp.where(valid_r, H_out, 0).astype(jnp.int32)
+    Hc_flat = jnp.transpose(Hc_pad.reshape(G * W, B))
+    Hc_out = jnp.take_along_axis(Hc_flat, idx_back, axis=1)
+    Hc_out = jnp.where(valid_r, Hc_out, 0).astype(jnp.int32)
 
     def dos_step(_, g):
         a = jax.lax.dynamic_index_in_dim(alphas, g, 0, False)
@@ -574,7 +718,7 @@ def _gibbs_core_pallas(
         )
     else:
         gpF = gp
-    return gp, gpF, hap_dos, H_out, per_it_ll, uf[:, 0] > 0
+    return gp, gpF, hap_dos, H_out, per_it_ll, uf[:, 0] > 0, Hc_out
 
 
 def padded_layout_ok(inputs) -> bool:
@@ -601,8 +745,11 @@ def run_gibbs_chains_pallas(
     boundaries=None,
     block_u=None,
     do_block=None,
+    relabel_u=None,
+    do_entire=False,
 ):
     """Drop-in replacement for kernels.gibbs.run_gibbs_chains on TPU."""
+    from . import nipt as nipt_tables
     from .emissions import emat_read_from_bits
 
     B, K, Sb = np.shape(bits)
@@ -666,8 +813,20 @@ def run_gibbs_chains_pallas(
         block_u = np.zeros((n_its, 0, 3, B), dtype=np.float32)
         do_block = np.zeros(n_its, dtype=bool)
     do_block_t = tuple(bool(x) for x in np.asarray(do_block))
+    if relabel_u is None:
+        relabel_u = np.zeros((n_its, B), dtype=np.float32)
+    if n_latent == 3:
+        rlc = nipt_tables.make_rlc(ff).astype(np.float32)
+        clp = nipt_tables.class_log_p(ff).astype(np.float32)
+        perm_mask = np.ones(6, dtype=np.float32)
+        if ff <= 0.0:
+            perm_mask[[1, 3, 4, 5]] = 0.0
+    else:
+        rlc = np.zeros((7, 3), dtype=np.float32)
+        clp = np.zeros(8, dtype=np.float32)
+        perm_mask = np.ones(6, dtype=np.float32)
 
-    gp, gpF, hap_dos, H, ll, uf = _gibbs_core_pallas(
+    gp, gpF, hap_dos, H, ll, uf, H_class = _gibbs_core_pallas(
         jnp.log(jnp.asarray(eMatRead)),
         jnp.asarray(bits),
         jnp.asarray(skip_r),
@@ -682,6 +841,10 @@ def run_gibbs_chains_pallas(
         jnp.asarray(boundaries, dtype=jnp.int32),
         jnp.asarray(block_u, dtype=jnp.float32),
         jnp.asarray(m_np),
+        jnp.asarray(relabel_u, dtype=jnp.float32),
+        jnp.asarray(rlc),
+        jnp.asarray(clp),
+        jnp.asarray(perm_mask),
         nl=n_latent,
         iterative_init=iterative_init,
         K_real=K_real,
@@ -689,6 +852,7 @@ def run_gibbs_chains_pallas(
         do_block=do_block_t,
         prior_t=prior_t,
         ref_error=float(ref_error),
+        do_entire=bool(do_entire),
     )
     return (
         np.asarray(gp),
@@ -697,4 +861,5 @@ def run_gibbs_chains_pallas(
         np.asarray(H),
         np.asarray(ll),
         np.asarray(uf),
+        np.asarray(H_class),
     )

@@ -10,17 +10,25 @@ with probability proportional to the alpha x beta cross-likelihoods (plus
 the label-count prior for NIPT). This escapes phase-switch errors that
 single-read moves cannot fix.
 
+For NIPT (n_latent == 3) each boundary proposes among all 6 label
+permutations of the suffix, weighted by the forward-backward junction cross
+terms times the H_class count likelihood — the block_approach=6 semantics of
+Rcpp_consider_block_relabelling (gibbs-nipt-block.cpp:590-954) in suffix
+formulation. Diploid keeps the single pairwise swap.
+
 Simplifications vs the reference (documented):
 - boundaries come from the smoothed recombination rate quantile only (the
   reference also requires local gamma uncertainty);
-- NIPT uses sequential pairwise swaps with a multinomial label-count prior
-  instead of the 6-permutation H_class machinery.
+- relabelling applies to the whole suffix rather than within-block (two
+  suffix relabels compose to a block relabel).
 """
 from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
 import numpy as np
+
+from ..kernels import nipt
 
 
 def detect_boundaries(
@@ -62,19 +70,45 @@ def block_gibbs_resample(
     uniforms: Optional[np.ndarray],
     quantile_prob: float = 0.9,
     boundaries: Optional[np.ndarray] = None,
-) -> np.ndarray:
+    H_class: Optional[np.ndarray] = None,
+    ff: float = 0.0,
+) -> Tuple[np.ndarray, Optional[np.ndarray]]:
     G = eMatGrid.shape[2]
     if boundaries is None:
         if smooth_cm is None:
-            return H
+            return H, H_class
         boundaries = detect_boundaries(smooth_cm, quantile_prob)
     pairs = _pairs(n_latent)
     if uniforms is None:
         uniforms = np.full((len(boundaries), len(pairs)), 0.5)
     wif0 = reads.wif0
     H = H.copy()
+    if H_class is not None:
+        H_class = H_class.copy()
     for jb, b in enumerate(boundaries):
         if b <= 0 or b >= G:
+            continue
+        if n_latent == 3:
+            # 6-permutation suffix relabelling with H_class count term
+            # (block_approach=6 of Rcpp_consider_block_relabelling)
+            cmat = np.einsum(
+                "ik,jk->ij", alpha[:, :, b - 1], beta[:, :, b - 1]
+            )
+            sfx_r = wif0[: len(H)] >= b
+            ns = np.zeros(8, dtype=np.float64)
+            if H_class is not None:
+                for cc in range(8):
+                    ns[cc] = ((H_class == cc) & sfx_r).sum()
+            probs = nipt.perm_choice_probs_np(cmat, ns, ff)
+            r_idx = nipt.sample_index_np(probs, uniforms[jb, 0])
+            if r_idx > 0:
+                H[sfx_r] = nipt.PERMS[r_idx][H[sfx_r]]
+                if H_class is not None:
+                    H_class[sfx_r] = nipt.CLASS_PERM[r_idx][H_class[sfx_r]]
+                inv = nipt.INVS[r_idx]
+                for arr in (alpha, beta, eMatGrid):
+                    arr[:, :, b:] = arr[inv][:, :, b:]
+                c[:, b:] = c[inv][:, b:]
             continue
         for pi, (i, j) in enumerate(pairs):
             # decision state: alpha/beta at b-1 (prefix vs future-from-b)
@@ -84,15 +118,6 @@ def block_gibbs_resample(
             cross_ji = (alpha[j, :, b - 1] * beta[i, :, b - 1]).sum()
             w_keep = cross_ii * cross_jj
             w_swap = cross_ij * cross_ji
-            if n_latent == 3:
-                sfx = wif0 >= b
-                n_i = int(((H == i) & sfx[: len(H)]).sum())
-                n_j = int(((H == j) & sfx[: len(H)]).sum())
-                logpr = (n_j - n_i) * (
-                    np.log(prior_probs[i]) - np.log(prior_probs[j])
-                )
-                logpr = np.clip(logpr, -80, 80)
-                w_swap = w_swap * np.exp(logpr)
             tot = w_keep + w_swap
             if not np.isfinite(tot) or tot <= 0:
                 continue
@@ -109,4 +134,4 @@ def block_gibbs_resample(
                 tmp = c[i, b:].copy()
                 c[i, b:] = c[j, b:]
                 c[j, b:] = tmp
-    return H
+    return H, H_class

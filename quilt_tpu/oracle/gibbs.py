@@ -21,6 +21,7 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 from ..io.reads import SampleReads
+from ..kernels import nipt
 from .emissions import make_emat_read
 
 READ_CAT_NORMAL = 0
@@ -33,10 +34,11 @@ class GibbsResult:
     genProbsF: Optional[np.ndarray]  # [3, nSNPs] fetal (nipt only)
     hapProbs: np.ndarray        # [n_latent, nSNPs]
     H: np.ndarray               # [nReads] final labels
-    per_it_likelihoods: np.ndarray   # [n_its, 3] (p_O_given_H, p_H, total)
+    per_it_likelihoods: np.ndarray   # [n_its, 8] (kernels.gibbs.PER_IT_COLS)
     eMatRead: np.ndarray        # [K, nReads]
     underflow: bool
     gammas: Optional[List[np.ndarray]] = None  # per latent hap [K, nGrids]
+    H_class: Optional[np.ndarray] = None       # [nReads] NIPT read classes
 
 
 def classify_reads(eMatRead: np.ndarray) -> np.ndarray:
@@ -73,6 +75,8 @@ def gibbs_sample_one_chain(
     block_gibbs_quantile_prob: float = 0.9,
     return_gammas: bool = False,
     eMatRead: Optional[np.ndarray] = None,
+    relabel_uniforms: Optional[np.ndarray] = None,   # [n_its] entire-relabel
+    do_entire_relabelling: bool = False,
 ) -> GibbsResult:
     K, nSNPs = hap_alleles.shape
     nReads = reads.nReads
@@ -134,10 +138,31 @@ def gibbs_sample_one_chain(
     read_starts = np.searchsorted(reads.wif0, np.arange(nGrids), side="left")
     read_ends = np.searchsorted(reads.wif0, np.arange(nGrids), side="right")
 
-    per_it_ll = np.zeros((n_its, 3), dtype=np.float64)
+    per_it_ll = np.zeros((n_its, 8), dtype=np.float64)
     underflow = False
     genProbs_acc = None
     result = None
+    H_class = np.zeros(nReads, dtype=np.int32)
+    rlc = nipt.make_rlc(ff) if n_latent == 3 else None
+
+    def compute_H_class() -> np.ndarray:
+        """Batched NIPT read classification from the end-of-iteration state
+        (mirrors kernels/gibbs.py compute_Hclass; see kernels/nipt.py for
+        the mid-sweep-vs-end-of-iteration deviation note)."""
+        hc = np.zeros(nReads, dtype=np.int32)
+        for r in range(nReads):
+            if read_cat[r] == READ_CAT_SKIP:
+                continue
+            g = reads.wif0[r]
+            am, bm = alpha[:, :, g], beta[:, :, g]
+            em = eMatRead[:, r]
+            gain = np.array([(am[h] * bm[h] * em).sum() for h in range(3)])
+            pC = (am * bm).sum(axis=1)
+            C = int(H[r])
+            lose_C = (am[C] * bm[C] / em).sum()
+            hc[r] = nipt.classify_read_np(gain, lose_C, pC, C, prior_probs,
+                                          rlc)
+        return hc
 
     for it in range(n_its):
         for g in range(nGrids):
@@ -229,12 +254,21 @@ def gibbs_sample_one_chain(
         # backward pass with updated emissions
         for h in range(n_latent):
             backward_full(h)
+        # H_class from the end-of-iteration state (kernel-mirroring
+        # schedule: block iterations, final iteration, entire-relabelling)
+        is_block_it = bool(
+            block_gibbs_iterations and (it + 1) in block_gibbs_iterations
+        )
+        if n_latent == 3 and (
+            is_block_it or it == n_its - 1 or do_entire_relabelling
+        ):
+            H_class = compute_H_class()
         # optional block-Gibbs escape moves
-        if block_gibbs_iterations and (it + 1) in block_gibbs_iterations:
+        if is_block_it:
             from .block_gibbs import block_gibbs_resample
             i_block = list(block_gibbs_iterations).index(it + 1)
             bu = block_uniforms[i_block] if block_uniforms is not None else None
-            H = block_gibbs_resample(
+            H, H_class = block_gibbs_resample(
                 H=H,
                 reads=reads,
                 eMatRead=eMatRead,
@@ -250,11 +284,38 @@ def gibbs_sample_one_chain(
                 read_ends=read_ends,
                 uniforms=bu,
                 quantile_prob=block_gibbs_quantile_prob,
+                H_class=H_class,
+                ff=ff,
             )
-        # likelihood logging (reference: gibbs-nipt.R:1441-1471)
-        p_O = -np.log(c[:n_latent]).sum()
+        relabel = 1
+        if do_entire_relabelling and n_latent == 3:
+            # entire relabelling (rcpp_consider_and_try_entire_relabelling,
+            # gibbs-nipt.cpp:1553-1577)
+            rc = np.array([(H == i).sum() for i in range(3)])
+            probs = nipt.entire_relabel_probs_np(rc, ff)
+            u_rel = (
+                relabel_uniforms[it] if relabel_uniforms is not None else 0.0
+            )
+            r_idx = nipt.sample_index_np(probs, u_rel)
+            if r_idx > 0:
+                H = nipt.PERMS[r_idx][H]
+                H_class = nipt.CLASS_PERM[r_idx][H_class]
+                inv = nipt.INVS[r_idx]
+                for arr in (alpha, beta, eMatGrid):
+                    arr[...] = arr[inv]
+                c[...] = c[inv]
+            relabel = r_idx + 1
+        # likelihood logging (reference: gibbs-nipt.R:1441-1471; columns
+        # match kernels.gibbs.PER_IT_COLS)
+        p_O_h = -np.log(c[:n_latent]).sum(axis=1)
+        p_O = p_O_h.sum()
         p_H = np.log(prior_probs[H]).sum()
-        per_it_ll[it] = (p_O, p_H, p_O + p_H)
+        rc_l = np.array([(H == i).sum() for i in range(n_latent)])
+        p_set = nipt.log_dmultinom_np(rc_l, prior_probs)
+        p_O3 = p_O_h[2] if n_latent == 3 else 0.0
+        per_it_ll[it] = (
+            p_O_h[0], p_O_h[1], p_O3, p_O, p_H, p_O + p_H, p_set, relabel,
+        )
         if it >= n_burn_in_its:
             gammas = [
                 alpha[h] * beta[h] / c[h][None, :] for h in range(n_latent)
@@ -300,5 +361,6 @@ def gibbs_sample_one_chain(
         gammas=[alpha[h] * beta[h] / c[h][None, :] for h in range(n_latent)]
         if return_gammas
         else None,
+        H_class=H_class,
     )
     return result

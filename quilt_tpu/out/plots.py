@@ -71,8 +71,11 @@ def plot_sample_diagnostics(
     if per_it_likelihoods is not None:
         ax = axes[2]
         ll = np.asarray(per_it_likelihoods)
+        # column 3 = p_O_given_H_L when the full kernels.gibbs.PER_IT_COLS
+        # matrix is passed; 2-column inputs keep column 0
+        col = 3 if ll.shape[2] > 3 else 0
         for b in range(ll.shape[1]):
-            ax.plot(ll[:, b, 0], alpha=0.6)
+            ax.plot(ll[:, b, col], alpha=0.6)
         ax.set_ylabel("log P(O|H)")
         ax.set_xlabel("Gibbs iteration")
     fig.tight_layout()

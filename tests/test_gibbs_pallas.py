@@ -89,3 +89,5 @@ def test_pallas_matches_xla(nl, ff, with_block, iterative):
         fx = gx[1][:, 1, :nSNPs] + 2 * gx[1][:, 2, :nSNPs]
         fp = gp[1][:, 1, :nSNPs] + 2 * gp[1][:, 2, :nSNPs]
         np.testing.assert_allclose(fp, fx, atol=5e-3)
+        cls_agree = (gx[6][:, :nr] == gp[6][:, :nr]).mean()
+        assert cls_agree > 0.98, f"H_class agreement {cls_agree}"

@@ -67,7 +67,7 @@ def test_gibbs_kernel_matches_oracle(rng):
     H0[0, : reads.nReads] = H_init
     preads = PaddedReads.build(reads, ref_error=0.001)
     bits = pad_bits(haps, nGrids)[None]
-    gp, gpF, hap_dos, H, ll, uf = run_gibbs_chains(
+    gp, gpF, hap_dos, H, ll, uf, Hcls = run_gibbs_chains(
         bits=bits, preads=preads, inputs=inputs, uniforms=u_pad, H0=H0,
         first_read=np.zeros(1, dtype=np.int32), n_latent=2, ff=0.0,
         n_burn_in=n_its - 1, iterative_init=True, K_real=haps.shape[0],
@@ -101,7 +101,7 @@ def test_gibbs_kernel_batched_chains(rng):
     bits = np.broadcast_to(
         pad_bits(haps, nGrids)[None], (B, haps.shape[0], nGrids * 32)
     ).copy()
-    gp, gpF, hap_dos, H, ll, uf = run_gibbs_chains(
+    gp, gpF, hap_dos, H, ll, uf, Hcls = run_gibbs_chains(
         bits=bits, preads=preads, inputs=inputs, uniforms=uniforms, H0=H0,
         first_read=np.zeros(B, dtype=np.int32), n_latent=2, ff=0.0,
         n_burn_in=n_its - 1, iterative_init=True, K_real=haps.shape[0],
@@ -148,7 +148,7 @@ def test_gibbs_kernel_matches_oracle_nipt(rng):
     H0[0, : reads.nReads] = H_init
     preads = PaddedReads.build(reads, ref_error=0.001)
     bits = pad_bits(haps, nGrids)[None]
-    gp, gpF, hap_dos, H, ll, uf = run_gibbs_chains(
+    gp, gpF, hap_dos, H, ll, uf, Hcls = run_gibbs_chains(
         bits=bits, preads=preads, inputs=inputs, uniforms=u_pad, H0=H0,
         first_read=np.zeros(1, dtype=np.int32), n_latent=3, ff=ff,
         n_burn_in=n_its - 1, iterative_init=True, K_real=K,
