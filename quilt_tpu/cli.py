@@ -174,19 +174,18 @@ def cmd_impute(args, quilt2: bool = False) -> int:
             return rc
     prep = PreparedReference.load(prep_file)
 
-    if cfg.cramlist:
-        print(
-            "CRAM input is not supported yet in quilt-tpu (requires "
-            "reference-based decoding); please convert to BAM "
-            "(samtools view -b) or use --bamlist",
-            file=sys.stderr,
-        )
-        return 1
     bam_files: List[str] = []
     if cfg.bamlist:
         bam_files = [l.strip() for l in open(cfg.bamlist) if l.strip()]
+    if cfg.cramlist:
+        # native CRAM decoding (io/cram.py); --reference supplies the FASTA
+        # for reference-based slices (QUILT/R/quilt.R:14)
+        bam_files += [l.strip() for l in open(cfg.cramlist) if l.strip()]
     if not bam_files:
-        print("--bamlist with at least one BAM is required", file=sys.stderr)
+        print(
+            "--bamlist or --cramlist with at least one file is required",
+            file=sys.stderr,
+        )
         return 1
     if cfg.sampleNames_file:
         names = [l.strip() for l in open(cfg.sampleNames_file) if l.strip()]
@@ -207,7 +206,7 @@ def cmd_impute(args, quilt2: bool = False) -> int:
             iSizeUpperLimit=cfg.iSizeUpperLimit,
             downsampleToCov=cfg.downsampleToCov,
             use_bx_tag=cfg.use_bx_tag, bxTagUpperLimit=cfg.bxTagUpperLimit,
-            seed=cfg.seed,
+            seed=cfg.seed, cram_fasta=cfg.reference or None,
         )
         for b in bam_files
     ]

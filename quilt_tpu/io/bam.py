@@ -101,9 +101,36 @@ def _read_bam_stream(path: str):
             del data[:4 + block_size]
 
 
+def _iter_alignments(path: str, cram_fasta: Optional[str] = None):
+    """Yield (header_text, refs, parsed_record) for BAM or CRAM input;
+    parsed_record matches _parse_record's tuple shape. CRAM decoding is
+    native (io/cram.py); `cram_fasta` supplies the reference FASTA for
+    reference-based CRAM slices (the reference's `reference` parameter,
+    QUILT/R/quilt.R:14)."""
+    if path.endswith(".cram"):
+        from .cram import read_cram
+
+        header_text, refs, records = read_cram(path, fasta=cram_fasta or None)
+        for r in records:
+            yield header_text, refs, (
+                r.ref_id, r.pos0, r.mapq, r.flag, r.l_seq, r.tlen, r.qname,
+                r.cigar, r.seq_packed, r.qual, r.tags,
+            )
+    else:
+        for header_text, refs, rec in _read_bam_stream(path):
+            yield header_text, refs, _parse_record(rec)
+
+
 def bam_sample_name(path: str) -> Optional[str]:
     """SM tag from the first @RG line (reference: get_sample_names)."""
-    for header_text, refs, _rec in _read_bam_stream(path):
+    if path.endswith(".cram"):
+        from .cram import read_cram
+
+        header_text, _refs, _recs = read_cram(path, header_only=True)
+        headers = [header_text]
+    else:
+        headers = (h for h, _refs, _rec in _read_bam_stream(path))
+    for header_text in headers:
         for line in header_text.splitlines():
             if line.startswith("@RG"):
                 for fieldx in line.split("\t"):
@@ -175,6 +202,7 @@ def load_bam_reads(
     use_bx_tag: bool = True,
     bxTagUpperLimit: int = 50000,
     seed: int = 1,
+    cram_fasta: Optional[str] = None,
 ) -> SampleReads:
     nSNPs = len(snp_pos)
     ref_code = np.array([SEQ_DECODE.index(a) for a in ref_allele], dtype=np.uint8)
@@ -182,13 +210,13 @@ def load_bam_reads(
     groups: Dict[str, BamRead] = {}
     target_tid = None
     n_rec = 0
-    for header_text, refs, rec in _read_bam_stream(path):
+    for header_text, refs, parsed in _iter_alignments(path, cram_fasta):
         if target_tid is None:
             target_tid = next(
                 (i for i, (name, _l) in enumerate(refs) if name == chrom), -1
             )
         (refID, pos0, mapq, flag, l_seq, tlen, qname, cigar, seq_bytes,
-         qual, tags) = _parse_record(rec)
+         qual, tags) = parsed
         n_rec += 1
         if refID != target_tid or flag & (
             FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_QCFAIL | FLAG_DUP | FLAG_SUPP
@@ -286,13 +314,13 @@ def load_bam_sequences(
     decode_code = {1: 0, 2: 1, 4: 2, 8: 3}
     out = []
     target_tid = None
-    for header_text, refs, rec in _read_bam_stream(path):
+    for header_text, refs, parsed in _iter_alignments(path):
         if target_tid is None:
             target_tid = next(
                 (i for i, (name, _l) in enumerate(refs) if name == chrom), -1
             )
         (refID, pos0, mapq, flag, l_seq, tlen, qname, cigar, seq_bytes,
-         qual, tags) = _parse_record(rec)
+         qual, tags) = parsed
         if refID != target_tid or flag & (
             FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_QCFAIL | FLAG_DUP | FLAG_SUPP
         ):
