@@ -264,7 +264,28 @@ def cmd_hla_prepare(args) -> int:
     from .hla.prepare import prepare_hla_reference, save_hla_prepared
     from .panel.prepare import PreparedReference
 
-    db = load_hla_db(args.hla_db)
+    if args.ipd_igmt_alignments_zip_file:
+        from .hla.db import HLAGene
+        from .hla.imgt import load_imgt_zip
+
+        if not (args.region and args.region_end):
+            print("--region/--region_start/--region_end are required with "
+                  "--ipd_igmt_alignments_zip_file", file=sys.stderr)
+            return 1
+        gene = HLAGene(name=args.region, chrom=args.region_chrom,
+                       start=args.region_start, end=args.region_end)
+        db = load_imgt_zip(args.ipd_igmt_alignments_zip_file, gene,
+                           strand=args.region_strand)
+        print_message(
+            f"Parsed IPD-IMGT alignment for {gene.name}: "
+            f"{db.n_alleles} four-digit alleles x {db.gene.length} bp"
+        )
+    elif args.hla_db:
+        db = load_hla_db(args.hla_db)
+    else:
+        print("one of --hla_db / --ipd_igmt_alignments_zip_file is required",
+              file=sys.stderr)
+        return 1
     prep = PreparedReference.load(args.prepared_reference_filename)
     hla = prepare_hla_reference(db, prep, k=args.kmer_size)
     save_hla_prepared(hla, args.output_file)
@@ -331,7 +352,17 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_imp2 = sub.add_parser("impute2", help="impute (QUILT2 defaults)")
     _add_dataclass_args(p_imp2, ImputeConfig)
     p_hp = sub.add_parser("hla-prepare", help="prepare HLA reference")
-    p_hp.add_argument("--hla_db", required=True)
+    p_hp.add_argument("--hla_db", default="",
+                      help="prebuilt allele DB (.npz)")
+    p_hp.add_argument("--ipd_igmt_alignments_zip_file", default="",
+                      help="IPD-IMGT/HLA release zip with alignments/"
+                           "<gene>_gen.txt (reference's flag spelling)")
+    p_hp.add_argument("--region", default="",
+                      help="HLA gene name for --ipd_igmt_... (e.g. A)")
+    p_hp.add_argument("--region_chrom", default="chr6")
+    p_hp.add_argument("--region_start", type=int, default=0)
+    p_hp.add_argument("--region_end", type=int, default=0)
+    p_hp.add_argument("--region_strand", type=int, default=1)
     p_hp.add_argument("--prepared_reference_filename", required=True)
     p_hp.add_argument("--output_file", required=True)
     p_hp.add_argument("--kmer_size", type=int, default=10)
