@@ -166,6 +166,7 @@ def quilt_impute(
                 pos=out_pos, dosage=res.dosage, gp=gp,
                 af=prep.af_all if rare_common else prep.af,
                 truth_gen=truth_gen[:, i] if truth_gen is not None else None,
+                per_it_likelihoods=res.per_it_likelihoods,
             )
         if truth_gen is not None:
             r2 = r2_simple(truth_gen[:, i], res.dosage)
@@ -220,6 +221,12 @@ def quilt_impute(
         for i, res in enumerate(results):
             if res.imputed and res.read_labels is not None:
                 dump[f"read_labels_{sample_names[i]}"] = res.read_labels
+            if res.imputed and res.per_it_likelihoods is not None:
+                dump[f"per_it_likelihoods_{sample_names[i]}"] = (
+                    res.per_it_likelihoods
+                )
+            if res.imputed and res.H_class is not None:
+                dump[f"H_class_{sample_names[i]}"] = res.H_class
         np.savez_compressed(
             os.path.join(
                 cfg.outputdir, "RData", f"quilt.output.{region_name}.npz"

@@ -133,6 +133,10 @@ class SampleResult:
     # HLA extras (hla_run): per-chain full-panel gamma at the gene grid
     hla_gammas: Optional[np.ndarray] = None    # [C, n_latent, K]
     hla_gamma_total: Optional[np.ndarray] = None   # [K]
+    # diagnostics of the final Gibbs call (kernels.gibbs.PER_IT_COLS;
+    # reference: per_it_likelihoods / H_class in RData_objects_to_save)
+    per_it_likelihoods: Optional[np.ndarray] = None  # [n_its, C, 8]
+    H_class: Optional[np.ndarray] = None             # [C, R] (NIPT)
 
 
 def gls_from_labels(
@@ -237,6 +241,7 @@ def impute_one_sample(
     max_diff = cfg.maxDifferenceBetweenReads
 
     hla_gammas = None
+    diag = {}
     dosage_acc = np.zeros(nSNPs)
     gp_acc = np.zeros((3, nSNPs))
     fet_dosage_acc = np.zeros(nSNPs)
@@ -280,6 +285,10 @@ def impute_one_sample(
             print_message(
                 f"Underflow; retrying with maxDifferenceBetweenReads={max_diff}"
             )
+        # diagnostics of the most recent Gibbs call (per-iteration
+        # likelihood matrix + NIPT H_class), exported on the SampleResult
+        diag["per_it_ll"] = ll
+        diag["H_class"] = Hcls if nl == 3 else None
         return gp, gpF, hap_dos, Hn, max_diff
 
     def run_fb_and_select(H_b, which_haps_b, accumulate):
@@ -490,6 +499,8 @@ def impute_one_sample(
                 allele_count=sample_allele_count(
                     reads_all, nSNPs_all
                 ),
+                per_it_likelihoods=diag.get("per_it_ll"),
+                H_class=diag.get("H_class"),
             )
         fet_gp_all = fet_gp_all_acc / max(n_all_acc, 1)
         fet_dosage_all = fet_dosage_all_acc / max(n_all_acc, 1)
@@ -508,6 +519,8 @@ def impute_one_sample(
             fet_gp=fet_gp_all,
             mat_dosage=dosage_all,
             fet_dosage=fet_dosage_all,
+            per_it_likelihoods=diag.get("per_it_ll"),
+            H_class=diag.get("H_class"),
         )
 
     # ------------------------------------------------------------------
@@ -531,6 +544,8 @@ def impute_one_sample(
             hla_gamma_total=(
                 hla_gammas.sum(axis=(0, 1)) if hla_gammas is not None else None
             ),
+            per_it_likelihoods=diag.get("per_it_ll"),
+            H_class=diag.get("H_class"),
         )
     else:
         fet_gp = fet_gp_acc / max(n_acc, 1)
@@ -549,6 +564,8 @@ def impute_one_sample(
             fet_gp=fet_gp,
             mat_dosage=dosage,
             fet_dosage=fet_dosage,
+            per_it_likelihoods=diag.get("per_it_ll"),
+            H_class=diag.get("H_class"),
         )
     return result
 

@@ -83,3 +83,51 @@ def test_burn_in_seek_semantics(rng):
     res = out.results[0]
     gp_sum = res.gp.sum(axis=0)
     np.testing.assert_allclose(gp_sum, 1.0, atol=0.02)
+
+
+def test_output_diagnostics_dump(rng, tmp_path):
+    """output_read_label_prob dumps read labels, the per-iteration
+    likelihood matrix and (NIPT) H_class to the output npz (stand-in for
+    the reference's RData_objects_to_save, quilt.R:1029-1068)."""
+    import os
+
+    from quilt_tpu.config import ImputeConfig
+    from quilt_tpu.engine import quilt_impute
+    from quilt_tpu.io import simulate_panel, simulate_sample_reads
+    from quilt_tpu.io.simulate import simulate_truth_mosaic
+    from quilt_tpu.panel import prepare_panel
+
+    K, nSNPs = 60, 256
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    prep = prepare_panel(
+        chrom="chr22", pos=pos, ref_allele=np.array(["A"] * nSNPs),
+        alt_allele=np.array(["C"] * nSNPs), haps=haps, nMaxDH=32,
+    )
+    ff = 0.25
+    truth = simulate_truth_mosaic(rng, haps, n_latent=3)
+    reads, sim = simulate_sample_reads(
+        rng, truth, pos, prep.grid, coverage=3.0, read_length_bp=500,
+        phred=25, ff=ff,
+    )
+    cfg = ImputeConfig(
+        method="nipt", nGibbsSamples=2, n_seek_its=2, Ksubset=32, Knew=32,
+        small_ref_panel_gibbs_iterations=6, seed=5,
+        outputdir=str(tmp_path), output_read_label_prob=True,
+    )
+    out = quilt_impute(
+        prep, [reads], ["S0"], cfg,
+        output_filename=str(tmp_path / "o.vcf.gz"),
+        ff_values=np.array([ff]),
+    )
+    res = out.results[0]
+    assert res.per_it_likelihoods is not None
+    assert res.per_it_likelihoods.shape[2] == 8
+    assert res.H_class is not None
+    assert (res.H_class >= 0).all() and (res.H_class <= 7).all()
+    assert (res.H_class > 0).any()
+    dumps = [f for f in os.listdir(tmp_path / "RData")
+             if f.startswith("quilt.output")]
+    assert len(dumps) == 1
+    z = np.load(tmp_path / "RData" / dumps[0])
+    assert "read_labels_S0" in z and "per_it_likelihoods_S0" in z
+    assert "H_class_S0" in z
