@@ -23,11 +23,36 @@ REFERENCE_CELLS_PER_S = 5e8  # assumed QUILT C++/Eigen single-core throughput
 CACHE = "/tmp/quilt_tpu_bench_panel.npz"
 
 
+def fast_packed_panel(rng, K, nGrids, n_founders=32, switch=0.02,
+                      mutation_per_bit=0.008):
+    """Founder-mosaic panel generated directly in 32-SNP packed form.
+
+    Same statistical structure simulate_panel produces (founder mosaics +
+    sparse mutations -> a few hundred distinct haps per grid) but built
+    from [K, nGrids] arrays only: this host's page-fault rate makes the
+    per-SNP [K, nSNPs] temporaries of the generic simulator pathologically
+    slow at benchmark scale (~10 GB of fresh allocations)."""
+    founders = rng.integers(0, 1 << 32, size=(n_founders, nGrids),
+                            dtype=np.uint32)
+    jumps = rng.integers(0, 1 << 16, size=(K, nGrids), dtype=np.uint16) \
+        < int(switch * (1 << 16))
+    jumps[:, 0] = True
+    choice = rng.integers(0, n_founders, size=(K, nGrids), dtype=np.int8)
+    idx = np.where(jumps, np.arange(nGrids, dtype=np.int32)[None, :], 0)
+    np.maximum.accumulate(idx, axis=1, out=idx)
+    founder_of = choice[np.arange(K)[:, None], idx]
+    rhb_t = founders[founder_of, np.arange(nGrids)[None, :]]
+    n_mut = int(K * nGrids * 32 * mutation_per_bit)
+    mk = rng.integers(0, K, n_mut)
+    mg = rng.integers(0, nGrids, n_mut)
+    mb = rng.integers(0, 32, n_mut).astype(np.uint32)
+    np.bitwise_xor.at(rhb_t, (mk, mg), np.uint32(1) << mb)
+    return rhb_t
+
+
 def main():
     import jax
-    from quilt_tpu.io import simulate_panel
     from quilt_tpu.panel import compress_panel, trans_rates
-    from quilt_tpu.utils import pack_bits_32
     from quilt_tpu.kernels import FBInputs, fb_full_batched
 
     rng = np.random.default_rng(0)
@@ -35,11 +60,7 @@ def main():
     if os.path.exists(CACHE):
         rhb_t = np.load(CACHE)["rhb_t"]
     else:
-        haps, pos = simulate_panel(
-            rng, K=K, nSNPs=nSNPs, n_founders=32, region_span=4_000_000,
-            mutation=0.0003,
-        )
-        rhb_t = pack_bits_32(haps)
+        rhb_t = fast_packed_panel(rng, K, nSNPs // 32)
         np.savez(CACHE, rhb_t=rhb_t)
     nGrids = nSNPs // 32
     panel = compress_panel(rhb_t, nSNPs, nMaxDH=255)
@@ -47,6 +68,13 @@ def main():
     thinned = np.arange(0, nGrids, 10)
     inputs = FBInputs.build(panel, trans, thinned_grids=thinned)
     gl = rng.uniform(0.05, 1.0, (B, 2, nSNPs)).astype(np.float32)
+    # device-resident GLs, as in the engine (the batched engine builds GLs
+    # on device; inputs are uploaded once per region and reused across the
+    # seek loop) — over the tunnel a per-call host upload would time the
+    # link, not the kernel
+    import jax.numpy as jnp
+    gl = jnp.asarray(gl)
+    jax.block_until_ready(gl)
 
     # warm-up (compile + panel upload)
     out = fb_full_batched(gl, inputs, K_top=8, return_arrays=False)

@@ -98,6 +98,7 @@ def quilt_impute(
         and N > 1
         and not rare_common
         and not cfg.hla_run
+        and not cfg.make_heuristic_plot
         and method == "diploid"
     )
     precomputed: Dict[int, SampleResult] = {}
@@ -212,6 +213,38 @@ def quilt_impute(
             output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
         )
         print_message(f"Wrote {vcf_path}")
+    if (cfg.make_heuristic_plot and truth_gen is not None and cfg.outputdir
+            and not rare_common):
+        # hap-selection strategy comparison (reference: make_heuristic_plot,
+        # heuristic.R:40-176): rerun each sample under the other selection
+        # strategy and plot dosage r2 vs truth per seek iteration
+        from dataclasses import replace as dc_replace
+        from ..out.plots import plot_heuristic_comparison
+
+        can_mspbwt = prep.ms_indices is not None
+        cur = "mspbwt" if cfg.use_mspbwt else "full-panel top-K"
+        alt = "full-panel top-K" if cfg.use_mspbwt else "mspbwt"
+        alt_cfg = dc_replace(
+            cfg, use_mspbwt=not cfg.use_mspbwt, make_plots=False,
+        )
+        for i, res in enumerate(results):
+            if not res.imputed or res.seek_dosages is None:
+                continue
+            traces = {
+                cur: [r2_simple(truth_gen[:, i], d)
+                      for d in res.seek_dosages],
+            }
+            if cfg.use_mspbwt or can_mspbwt:
+                res_alt = impute_one_sample(
+                    ctx, samples[i], alt_cfg, seed=cfg.seed + i,
+                    ff=ff_values[i], reads_all=samples_all[i],
+                )
+                if res_alt.imputed and res_alt.seek_dosages is not None:
+                    traces[alt] = [r2_simple(truth_gen[:, i], d)
+                                   for d in res_alt.seek_dosages]
+            plot_heuristic_comparison(
+                cfg.outputdir, sample_names[i], region_name, traces
+            )
     if cfg.output_read_label_prob and cfg.outputdir:
         # npz stand-in for the reference's output_RData_filename dump
         # (quilt.R:1029-1068)

@@ -137,6 +137,8 @@ class SampleResult:
     # reference: per_it_likelihoods / H_class in RData_objects_to_save)
     per_it_likelihoods: Optional[np.ndarray] = None  # [n_its, C, 8]
     H_class: Optional[np.ndarray] = None             # [C, R] (NIPT)
+    # per-seek-iteration chain-mean dosage (make_heuristic_plot only)
+    seek_dosages: Optional[np.ndarray] = None        # [n_seek_its, nSNPs]
 
 
 def gls_from_labels(
@@ -388,6 +390,12 @@ def impute_one_sample(
         gp_g, gpF_g, hap_dos_g, H, max_diff = run_chains(
             which_haps, H, iterative, first_read, max_diff
         )
+        if cfg.make_heuristic_plot:
+            # per-seek-iteration dosage trace for the hap-selection
+            # comparison plot (reference: heuristic.R:40-176)
+            diag.setdefault("seek_dosages", []).append(
+                (gp_g[:, 1, :nSNPs] + 2 * gp_g[:, 2, :nSNPs]).mean(axis=0)
+            )
         if cfg.use_mspbwt:
             # QUILT2: hap dosages from the Gibbs run; selection via mspbwt
             from ..panel.mspbwt import select_new_haps_mspbwt
@@ -500,6 +508,10 @@ def impute_one_sample(
                     reads_all, nSNPs_all
                 ),
                 per_it_likelihoods=diag.get("per_it_ll"),
+            seek_dosages=(
+                np.stack(diag["seek_dosages"])
+                if "seek_dosages" in diag else None
+            ),
                 H_class=diag.get("H_class"),
             )
         fet_gp_all = fet_gp_all_acc / max(n_all_acc, 1)
@@ -520,6 +532,10 @@ def impute_one_sample(
             mat_dosage=dosage_all,
             fet_dosage=fet_dosage_all,
             per_it_likelihoods=diag.get("per_it_ll"),
+            seek_dosages=(
+                np.stack(diag["seek_dosages"])
+                if "seek_dosages" in diag else None
+            ),
             H_class=diag.get("H_class"),
         )
 
@@ -545,6 +561,10 @@ def impute_one_sample(
                 hla_gammas.sum(axis=(0, 1)) if hla_gammas is not None else None
             ),
             per_it_likelihoods=diag.get("per_it_ll"),
+            seek_dosages=(
+                np.stack(diag["seek_dosages"])
+                if "seek_dosages" in diag else None
+            ),
             H_class=diag.get("H_class"),
         )
     else:
@@ -565,6 +585,10 @@ def impute_one_sample(
             mat_dosage=dosage,
             fet_dosage=fet_dosage,
             per_it_likelihoods=diag.get("per_it_ll"),
+            seek_dosages=(
+                np.stack(diag["seek_dosages"])
+                if "seek_dosages" in diag else None
+            ),
             H_class=diag.get("H_class"),
         )
     return result

@@ -84,3 +84,44 @@ def plot_sample_diagnostics(
     plt.close(fig)
     print_message(f"Wrote {out}")
     return out
+
+
+def plot_heuristic_comparison(
+    outdir: str,
+    sample_name: str,
+    region_name: str,
+    traces: "dict[str, np.ndarray]",   # strategy label -> r2 per seek it
+    export_data: bool = True,
+) -> Optional[str]:
+    """Hap-selection strategy comparison: dosage r2 vs truth per seek
+    iteration for each strategy (functional equivalent of the reference's
+    make_heuristic_plot, QUILT/R/heuristic.R:40-176)."""
+    os.makedirs(os.path.join(outdir, "plots"), exist_ok=True)
+    base = os.path.join(
+        outdir, "plots", f"heuristic.{sample_name}.{region_name}"
+    )
+    if export_data:
+        with open(base + ".tsv", "w") as fh:
+            fh.write("strategy\tseek_it\tr2\n")
+            for label, r2s in traces.items():
+                for i, r2 in enumerate(r2s):
+                    fh.write(f"{label}\t{i + 1}\t{r2:.6f}\n")
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    fig, ax = plt.subplots(figsize=(7, 4.5))
+    for label, r2s in traces.items():
+        ax.plot(range(1, len(r2s) + 1), r2s, marker="o", label=label)
+    ax.set_xlabel("seek iteration")
+    ax.set_ylabel("dosage r2 vs truth")
+    ax.set_title(f"hap selection strategies: {sample_name} {region_name}")
+    ax.legend()
+    fig.tight_layout()
+    out = base + ".png"
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    print_message(f"Wrote {out}")
+    return out
