@@ -101,9 +101,10 @@ def cmd_prepare(args) -> int:
         )
         p_chrom, p_pos = panel.chrom, panel.pos
         p_ref, p_alt, p_haps = panel.ref_allele, panel.alt_allele, panel.haps
+        p_names = panel.sample_names
     else:
         from .io.vcf import read_hap_legend
-        p_pos, p_ref, p_alt, p_haps, _names = read_hap_legend(
+        p_pos, p_ref, p_alt, p_haps, p_names = read_hap_legend(
             cfg.reference_haplotype_file, cfg.reference_legend_file,
             cfg.reference_sample_file,
             region_start=region_start, region_end=region_end,
@@ -133,6 +134,7 @@ def cmd_prepare(args) -> int:
         rare_af_threshold=cfg.rare_af_threshold,
         use_mspbwt=cfg.use_mspbwt,
         mspbwt_nindices=cfg.mspbwt_nindices,
+        sample_names=p_names if p_names is not None and len(p_names) else None,
     )
     out = cfg.output_file
     if not out:
@@ -287,7 +289,13 @@ def cmd_hla_prepare(args) -> int:
               file=sys.stderr)
         return 1
     prep = PreparedReference.load(args.prepared_reference_filename)
-    hla = prepare_hla_reference(db, prep, k=args.kmer_size)
+    hla_types = None
+    if args.hla_types_panel:
+        from .hla.prepare import load_hla_types_panel
+        region = args.region or db.gene.name.split("-")[-1]
+        hla_types = load_hla_types_panel(args.hla_types_panel, region)
+    hla = prepare_hla_reference(db, prep, k=args.kmer_size,
+                                hla_types=hla_types)
     save_hla_prepared(hla, args.output_file)
     print_message(f"Saved prepared HLA reference to {args.output_file}")
     return 0
@@ -366,6 +374,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_hp.add_argument("--prepared_reference_filename", required=True)
     p_hp.add_argument("--output_file", required=True)
     p_hp.add_argument("--kmer_size", type=int, default=10)
+    p_hp.add_argument("--hla_types_panel", default="",
+                      help="tab-separated unphased HLA types per reference "
+                           "sample (Sample.ID + HLA.<gene>.1/.2 columns); "
+                           "enables the two-step haplotype phasing")
     p_hla = sub.add_parser("hla", help="HLA allele typing")
     _add_dataclass_args(p_hla, ImputeConfig)
     p_hla.add_argument("--prepared_hla_reference_filename", required=True)

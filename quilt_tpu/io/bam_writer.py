@@ -82,12 +82,15 @@ def write_panel_vcf(
     alt_allele,
     haps,                        # [K, nSNPs], K even (pairs of haplotypes)
     sample_prefix: str = "REF",
+    sample_names=None,
 ) -> None:
     """Write a phased reference-panel VCF (bgzipped)."""
     K, nSNPs = haps.shape
     assert K % 2 == 0
     n_samp = K // 2
-    names = [f"{sample_prefix}{i}" for i in range(n_samp)]
+    names = (list(sample_names) if sample_names is not None
+             else [f"{sample_prefix}{i}" for i in range(n_samp)])
+    assert len(names) == n_samp
     with BgzfWriter(path) as w:
         w.write("##fileformat=VCFv4.2\n")
         w.write('##FORMAT=<ID=GT,Number=1,Type=String,Description="Genotype">\n')

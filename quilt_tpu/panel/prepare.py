@@ -304,6 +304,10 @@ class PreparedReference:
     grid_all: Optional[np.ndarray] = None            # int32 [nSNPs_all]
     L_grid_all: Optional[np.ndarray] = None
     sigma_all: Optional[np.ndarray] = None
+    # panel sample names (hap 2i, 2i+1 belong to sample i); kept for the
+    # HLA phasing step (reference: reference_samples in
+    # hla_prepare_phase_functions.R:266-268)
+    sample_names: Optional[np.ndarray] = None        # str [K//2]
 
     @property
     def K(self) -> int:
@@ -369,6 +373,8 @@ class PreparedReference:
             d["grid_all"] = self.grid_all
             d["L_grid_all"] = self.L_grid_all
             d["sigma_all"] = self.sigma_all
+        if self.sample_names is not None:
+            d["sample_names"] = np.asarray(self.sample_names, dtype=str)
         if self.rare_per_hap_info is not None:
             flat = np.concatenate([np.asarray(x, dtype=np.int64)
                                    for x in self.rare_per_hap_info]) \
@@ -435,6 +441,7 @@ class PreparedReference:
             grid_all=z.get("grid_all"),
             L_grid_all=z.get("L_grid_all"),
             sigma_all=z.get("sigma_all"),
+            sample_names=z.get("sample_names"),
         )
 
 
@@ -460,6 +467,7 @@ def prepare_panel(
     rare_af_threshold: float = 0.001,
     use_mspbwt: bool = False,
     mspbwt_nindices: int = 4,
+    sample_names: Optional[np.ndarray] = None,
 ) -> PreparedReference:
     """Build a PreparedReference from an allele matrix or packed panel.
 
@@ -547,4 +555,6 @@ def prepare_panel(
         grid_all=grid_all,
         L_grid_all=L_grid_all,
         sigma_all=sigma_all,
+        sample_names=None if sample_names is None
+        else np.asarray(sample_names, dtype=str),
     )

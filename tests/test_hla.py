@@ -159,3 +159,62 @@ def test_hla_run_through_engine(hla_world, rng):
     res_t = type_hla_sample(hla, gene_reads, gammas=res.hla_gamma_total)
     expected = {db.allele_names[true_a[0]], db.allele_names[true_a[1]]}
     assert {res_t.bestallele1, res_t.bestallele2} == expected
+
+
+def test_phase_hla_haplotypes(hla_world, rng, tmp_path):
+    """Two-step phasing (hla_prepare_phase_functions.R:252-813): unordered
+    per-sample diploid types + panel haplotypes -> per-hap allele labels."""
+    from quilt_tpu.hla.prepare import (
+        load_hla_types_panel,
+        normalize_hla_type,
+        phase_hla_haplotypes,
+        prepare_hla_reference,
+    )
+
+    gene, db, prep, hap_allele = hla_world
+    nSamp = prep.K // 2
+    states, _ = alleles_at_positions(
+        db, prep.pos, prep.ref_allele, prep.alt_allele
+    )
+    t1, t2 = [], []
+    flip = rng.random(nSamp) < 0.5
+    for i in range(nSamp):
+        x1 = normalize_hla_type(db.allele_names[hap_allele[2 * i]])
+        x2 = normalize_hla_type(db.allele_names[hap_allele[2 * i + 1]])
+        t1.append(x2 if flip[i] else x1)
+        t2.append(x1 if flip[i] else x2)
+    labels, phased = phase_hla_haplotypes(db, prep, t1, t2)
+    assert phased.mean() > 0.8
+    ok = 0
+    n = 0
+    for k in range(prep.K):
+        if labels[k] < 0:
+            continue
+        n += 1
+        if (states[labels[k]] == states[hap_allele[k]]).all():
+            ok += 1
+    assert n > 0 and ok / n > 0.9
+
+    # types-panel file loader + full prepare path with sample names
+    prep.sample_names = np.array([f"S{i}" for i in range(nSamp)])
+    tsv = tmp_path / "hla_types.tsv"
+    region = gene.name.split("-")[-1]
+    with open(tsv, "w") as fh:
+        fh.write(f"Region\tPop\tSample.ID\tHLA.{region}.1\tHLA.{region}.2\n")
+        for i in range(nSamp):
+            fh.write(f"x\ty\tS{i}\t{gene.name}*{t1[i]}\t{t2[i]}\n")
+    hla_types = load_hla_types_panel(str(tsv), region)
+    hla = prepare_hla_reference(db, prep, k=8, hla_types=hla_types)
+    assert (hla.hap_labels == labels).all()
+
+
+def test_sample_names_roundtrip(hla_world, tmp_path):
+    gene, db, prep, hap_allele = hla_world
+    prep.sample_names = np.array([f"S{i}" for i in range(prep.K // 2)])
+    p = tmp_path / "prep.npz"
+    prep.save(str(p))
+    from quilt_tpu.panel.prepare import PreparedReference
+
+    prep2 = PreparedReference.load(str(p))
+    assert [str(x) for x in prep2.sample_names] == \
+        [str(x) for x in prep.sample_names]
