@@ -24,7 +24,10 @@ from .config import ImputeConfig, PrepareConfig
 from .utils import print_message
 
 
-def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
+def _add_dataclass_args(
+    parser: argparse.ArgumentParser, cls, overrides: Optional[dict] = None
+) -> None:
+    overrides = overrides or {}
     for f in dataclasses.fields(cls):
         name = f"--{f.name}"
         default = (
@@ -32,6 +35,8 @@ def _add_dataclass_args(parser: argparse.ArgumentParser, cls) -> None:
             if f.default is not dataclasses.MISSING
             else (f.default_factory() if f.default_factory is not dataclasses.MISSING else None)
         )
+        if f.name in overrides:
+            default = overrides[f.name]
         if f.type in ("bool", bool):
             parser.add_argument(
                 name, type=lambda x: x.upper() in ("TRUE", "1", "YES"),
@@ -62,6 +67,53 @@ def _config_from_args(cls, args) -> object:
     return cls(**kw)
 
 
+def _read_region_exclude(path: str, chrom: str):
+    """Regions to exclude, from a space-separated file with header
+    Name Chr Start End (reference: remove_sites_from_pos_to_use,
+    prepare_reference_functions.R:39-56)."""
+    import os
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"Cannot find region_exclude_file: {path}")
+    out = []
+    with open(path) as fh:
+        header = fh.readline().split()
+        cols = {c.lower(): i for i, c in enumerate(header)}
+        for line in fh:
+            p = line.split()
+            if not p:
+                continue
+            if p[cols.get("chr", 1)] != chrom:
+                continue
+            out.append((int(p[cols.get("start", 2)]),
+                        int(p[cols.get("end", 3)])))
+    if not out:
+        print_message(
+            "Warning: no regions to exclude from region_exclude_file "
+            "(is the chr the same?)"
+        )
+    return out
+
+
+def _write_sites_vcf(path: str, chrom, pos, ref_allele, alt_allele) -> None:
+    """Minimal sites-only VCF, bgzipped + tabixed (reference:
+    make_face_vcf_with_sites_list, prepare_reference_functions.R:1-33)."""
+    from .out.bgzf import BgzfWriter
+    from .out.tabix import TabixIndexer
+
+    idx = TabixIndexer()
+    with BgzfWriter(path) as w:
+        w.write("##fileformat=VCFv4.2\n")
+        w.write("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO\n")
+        for i in range(len(pos)):
+            vbeg = w.tell_virtual()
+            w.write(
+                f"{chrom}\t{pos[i]}\t.\t{ref_allele[i]}\t{alt_allele[i]}"
+                f"\t.\tPASS\t.\n"
+            )
+            idx.add(str(chrom), int(pos[i]), vbeg, w.tell_virtual())
+    idx.write(path + ".tbi")
+
+
 def cmd_prepare(args) -> int:
     from .io.vcf import read_panel_vcf, read_genetic_map
     from .panel.prepare import prepare_panel
@@ -74,6 +126,9 @@ def cmd_prepare(args) -> int:
             file=sys.stderr,
         )
         return 1
+    # confidence in reference alleles (reference:
+    # quilt-prepare-reference.R:127 ref_error <- 10^(-reference_phred/10))
+    cfg.ref_error = 10.0 ** (-cfg.reference_phred / 10.0)
     region_start = (
         None if cfg.regionStart is None else cfg.regionStart - cfg.buffer
     )
@@ -110,6 +165,23 @@ def cmd_prepare(args) -> int:
             region_start=region_start, region_end=region_end,
         )
         p_chrom = cfg.chr
+    if cfg.region_exclude_file:
+        # drop panel sites inside excluded regions (reference:
+        # remove_sites_from_pos_to_use, prepare_reference_functions.R:39-56)
+        excl = _read_region_exclude(cfg.region_exclude_file, p_chrom)
+        keep_mask = np.ones(len(p_pos), dtype=bool)
+        for start, end in excl:
+            keep_mask &= ~((p_pos >= start) & (p_pos <= end))
+        n_drop = int((~keep_mask).sum())
+        if n_drop:
+            print_message(
+                f"Excluding {n_drop} sites in {len(excl)} regions from "
+                f"region_exclude_file"
+            )
+            p_pos = p_pos[keep_mask]
+            p_ref = np.asarray(p_ref)[keep_mask]
+            p_alt = np.asarray(p_alt)[keep_mask]
+            p_haps = p_haps[:, keep_mask]      # haps is [K, nSNPs]
     gmap_pos = gmap_cm = None
     if cfg.genetic_map_file:
         gmap_pos, gmap_cm = read_genetic_map(cfg.genetic_map_file)
@@ -148,6 +220,15 @@ def cmd_prepare(args) -> int:
     os.makedirs(os.path.dirname(os.path.abspath(out)), exist_ok=True)
     prep.save(out)
     print_message(f"Saved prepared reference to {out}")
+    if cfg.make_fake_vcf_with_sites_list:
+        region_name = cfg.chr or p_chrom
+        if cfg.regionStart is not None:
+            region_name += f".{cfg.regionStart}.{cfg.regionEnd}"
+        sites = cfg.output_sites_filename or os.path.join(
+            cfg.outputdir, f"quilt.sites.{region_name}.vcf.gz"
+        )
+        _write_sites_vcf(sites, p_chrom, p_pos, p_ref, p_alt)
+        print_message(f"Wrote sites VCF to {sites}")
     return 0
 
 
@@ -159,22 +240,46 @@ def cmd_impute(args, quilt2: bool = False) -> int:
     from .engine import quilt_impute
 
     cfg: ImputeConfig = _config_from_args(ImputeConfig, args)
-    if quilt2:
-        cfg.use_mspbwt = True
+    # (QUILT2 defaults use_mspbwt=TRUE and impute_rare_common=TRUE; applied
+    # as impute2/prepare2 subparser defaults so explicit flags still win —
+    # reference: QUILT2.R:456-460,497-502)
     region_name = cfg.chr
     if cfg.regionStart is not None:
         region_name += f".{cfg.regionStart}.{cfg.regionEnd}"
+    out_file = cfg.output_filename or os.path.join(
+        cfg.outputdir, f"quilt.{region_name}.vcf.gz"
+    )
+    if not cfg.overwrite_existing_vcf and os.path.exists(out_file):
+        print(
+            f"Output {out_file} already exists and "
+            f"--overwrite_existing_vcf=FALSE (reference: quilt.R behaviour)",
+            file=sys.stderr,
+        )
+        return 1
     prep_file = cfg.prepared_reference_filename or os.path.join(
         cfg.outputdir, "RData", f"QUILT_prepared_reference.{region_name}.npz"
     )
     if not os.path.exists(prep_file) and cfg.reference_vcf_file:
         print_message("No prepared reference found; preparing now")
+        if not cfg.save_prepared_reference and cfg.temporary_prepared_reference_filename:
+            # reference keeps the auto-built reference at a temporary path
+            # unless save_prepared_reference (quilt.R:326-375)
+            prep_file = cfg.temporary_prepared_reference_filename
         pargs = argparse.Namespace(**vars(args))
         pargs.output_file = prep_file
+        if quilt2 and not getattr(pargs, "use_mspbwt", False):
+            pargs.use_mspbwt = True
+            pargs.impute_rare_common = True
         rc = cmd_prepare(pargs)
         if rc:
             return rc
     prep = PreparedReference.load(prep_file)
+    if cfg.panel_size is not None and cfg.panel_size < prep.K:
+        # use only the first panel_size reference haplotypes
+        # (reference: quilt.R:544-549)
+        from .panel.prepare import truncate_panel
+        print_message(f"Truncating panel to {cfg.panel_size} haplotypes")
+        prep = truncate_panel(prep, cfg.panel_size)
 
     bam_files: List[str] = []
     if cfg.bamlist:
@@ -201,17 +306,26 @@ def cmd_impute(args, quilt2: bool = False) -> int:
     load_ref = prep.ref_allele_all if rc_mode else prep.ref_allele
     load_alt = prep.alt_allele_all if rc_mode else prep.alt_allele
     load_grid = prep.grid_all if rc_mode else prep.grid
-    samples = [
-        load_bam_reads(
-            b, prep.chrom, load_pos, load_ref, load_alt,
-            load_grid, bqFilter=cfg.bqFilter,
-            iSizeUpperLimit=cfg.iSizeUpperLimit,
-            downsampleToCov=cfg.downsampleToCov,
-            use_bx_tag=cfg.use_bx_tag, bxTagUpperLimit=cfg.bxTagUpperLimit,
-            seed=cfg.seed, cram_fasta=cfg.reference or None,
-        )
-        for b in bam_files
-    ]
+    from functools import partial
+    _load_one = partial(
+        load_bam_reads,
+        chrom=prep.chrom, snp_pos=load_pos, ref_allele=load_ref,
+        alt_allele=load_alt, grid=load_grid, bqFilter=cfg.bqFilter,
+        iSizeUpperLimit=cfg.iSizeUpperLimit,
+        downsampleToCov=cfg.downsampleToCov,
+        use_bx_tag=cfg.use_bx_tag, bxTagUpperLimit=cfg.bxTagUpperLimit,
+        seed=cfg.seed, cram_fasta=cfg.reference or None,
+        useSoftClippedBases=cfg.useSoftClippedBases,
+    )
+    if cfg.nCores > 1 and len(bam_files) > 1:
+        # host-side read-extraction parallelism (the TPU-era remnant of the
+        # reference's mclapply fork parallelism, quilt.R:691-694; device work
+        # is batched instead, engine/batch.py)
+        from concurrent.futures import ProcessPoolExecutor
+        with ProcessPoolExecutor(max_workers=cfg.nCores) as ex:
+            samples = list(ex.map(_load_one, bam_files))
+    else:
+        samples = [_load_one(b) for b in bam_files]
     ff_values = None
     if cfg.method == "nipt":
         if not cfg.fflist:
@@ -244,9 +358,6 @@ def cmd_impute(args, quilt2: bool = False) -> int:
                     truth_haps[ok, j, :] = phase[sel[ok], col, :2]
             if truth_gen is None:
                 truth_gen = truth_haps.sum(axis=2)
-    out_file = cfg.output_filename or os.path.join(
-        cfg.outputdir, f"quilt.{region_name}.vcf.gz"
-    )
     os.makedirs(cfg.outputdir or ".", exist_ok=True)
     quilt_impute(
         prep, samples, names, cfg,
@@ -353,12 +464,21 @@ def main(argv: Optional[List[str]] = None) -> int:
         description="TPU-native genotype imputation (QUILT-compatible)",
     )
     sub = parser.add_subparsers(dest="command", required=True)
+    quilt2_defaults = {"use_mspbwt": True, "impute_rare_common": True}
     p_prep = sub.add_parser("prepare", help="prepare reference panel")
     _add_dataclass_args(p_prep, PrepareConfig)
+    p_prep2 = sub.add_parser(
+        "prepare2", help="prepare reference panel (QUILT2 defaults: "
+        "use_mspbwt + impute_rare_common)"
+    )
+    _add_dataclass_args(p_prep2, PrepareConfig, overrides=quilt2_defaults)
     p_imp = sub.add_parser("impute", help="impute (QUILT1 defaults)")
     _add_dataclass_args(p_imp, ImputeConfig)
-    p_imp2 = sub.add_parser("impute2", help="impute (QUILT2 defaults)")
-    _add_dataclass_args(p_imp2, ImputeConfig)
+    p_imp2 = sub.add_parser(
+        "impute2", help="impute (QUILT2 defaults: use_mspbwt + "
+        "impute_rare_common)"
+    )
+    _add_dataclass_args(p_imp2, ImputeConfig, overrides=quilt2_defaults)
     p_hp = sub.add_parser("hla-prepare", help="prepare HLA reference")
     p_hp.add_argument("--hla_db", default="",
                       help="prebuilt allele DB (.npz)")
@@ -383,7 +503,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     p_hla.add_argument("--prepared_hla_reference_filename", required=True)
     args = parser.parse_args(argv)
     print_message("quilt-tpu invocation: " + " ".join(sys.argv))
-    if args.command == "prepare":
+    if args.command in ("prepare", "prepare2"):
         return cmd_prepare(args)
     if args.command == "impute":
         return cmd_impute(args, quilt2=False)

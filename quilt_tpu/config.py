@@ -85,6 +85,7 @@ class ImputeConfig:
     output_RData_filename: Optional[str] = None
     prepared_reference_filename: str = ""
     save_prepared_reference: bool = False
+    temporary_prepared_reference_filename: str = ""
     nGen: float = 100.0
     reference_vcf_file: str = ""
     reference_haplotype_file: str = ""

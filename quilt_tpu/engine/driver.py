@@ -51,6 +51,8 @@ def quilt_impute(
     region_name: str = "region",
 ) -> ImputeOutput:
     t0 = time.time()
+    from ..utils import set_verbosity
+    set_verbosity(cfg.verbose)
     from .validators import validate_impute_config, validate_region_consistency
     validate_impute_config(cfg)
     validate_region_consistency(prep, cfg)
@@ -132,10 +134,10 @@ def quilt_impute(
                 f"Sample {sample_names[i]} has fewer than "
                 f"{cfg.minimum_number_of_sample_reads} reads; output missing"
             )
-            columns.append(
-                [MISSING_NIPT_COL if method == "nipt" else MISSING_DIPLOID_COL]
-                * nSNPs
-            )
+            miss = MISSING_NIPT_COL if method == "nipt" else MISSING_DIPLOID_COL
+            if cfg.addOptimalHapsToVCF and truth_haps is not None and method != "nipt":
+                miss += ":.,."
+            columns.append([miss] * nSNPs)
             continue
         n_imputed += 1
         gp = res.mat_gp if method == "nipt" else res.gp
@@ -154,13 +156,26 @@ def quilt_impute(
                 )
             )
         else:
+            ohd = None
+            if (cfg.addOptimalHapsToVCF and truth_haps is not None
+                    and not rare_common):
+                # optimal haploid dosages given truth read labels
+                # (reference: functions.R:280-281,1419; OHD FORMAT field)
+                from .sample import optimal_hap_dosages
+                ohd = optimal_hap_dosages(
+                    ctx, samples[i], cfg, truth_haps[:, i]
+                )
             columns.append(
                 diploid_sample_column(
                     res.gp, res.phased_haps, res.dosage,
                     output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
+                    ohd=ohd,
                 )
             )
-        if cfg.make_plots and cfg.outputdir:
+        if (cfg.make_plots or cfg.plot_per_sample_likelihoods) and cfg.outputdir:
+            # plot_per_sample_likelihoods draws the same diagnostic panel,
+            # which includes the per-iteration likelihood traces
+            # (reference: plotting_functions.R:351-552)
             from ..out.plots import plot_sample_diagnostics
             plot_sample_diagnostics(
                 cfg.outputdir, sample_names[i], region_name,
@@ -211,6 +226,7 @@ def quilt_impute(
             in_region=in_region,
             method=method,
             output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
+            with_ohd=cfg.addOptimalHapsToVCF and truth_haps is not None,
         )
         print_message(f"Wrote {vcf_path}")
     if (cfg.make_heuristic_plot and truth_gen is not None and cfg.outputdir
@@ -245,27 +261,51 @@ def quilt_impute(
             plot_heuristic_comparison(
                 cfg.outputdir, sample_names[i], region_name, traces
             )
-    if cfg.output_read_label_prob and cfg.outputdir:
-        # npz stand-in for the reference's output_RData_filename dump
-        # (quilt.R:1029-1068)
+    want_dump = (
+        cfg.output_read_label_prob
+        or cfg.RData_objects_to_save
+        or cfg.output_RData_filename
+        or cfg.record_read_label_usage
+        or cfg.record_interim_dosages
+    )
+    if want_dump and (cfg.outputdir or cfg.output_RData_filename):
+        # npz equivalent of the reference's output_RData_filename /
+        # RData_objects_to_save dump (quilt.R:1029-1068): every requested
+        # per-sample object saved under <object>_<sample>
         import os
-        os.makedirs(os.path.join(cfg.outputdir, "RData"), exist_ok=True)
+        # default: everything available; RData_objects_to_save restricts
+        exportable = (
+            "read_labels", "per_it_likelihoods", "H_class", "dosage", "gp",
+            "phased_haps", "seek_dosages", "read_label_usage", "hla_gammas",
+        )
+        wanted = exportable
+        if cfg.RData_objects_to_save:
+            unknown = [o for o in cfg.RData_objects_to_save
+                       if o not in exportable]
+            if unknown:
+                print_message(
+                    f"Warning: unknown RData_objects_to_save {unknown}; "
+                    f"exportable: {list(exportable)}"
+                )
+            wanted = [o for o in cfg.RData_objects_to_save if o in exportable]
         dump = {}
         for i, res in enumerate(results):
-            if res.imputed and res.read_labels is not None:
-                dump[f"read_labels_{sample_names[i]}"] = res.read_labels
-            if res.imputed and res.per_it_likelihoods is not None:
-                dump[f"per_it_likelihoods_{sample_names[i]}"] = (
-                    res.per_it_likelihoods
-                )
-            if res.imputed and res.H_class is not None:
-                dump[f"H_class_{sample_names[i]}"] = res.H_class
-        np.savez_compressed(
-            os.path.join(
+            if not res.imputed:
+                continue
+            for obj in wanted:
+                val = getattr(res, obj, None)
+                if val is not None:
+                    dump[f"{obj}_{sample_names[i]}"] = val
+        out_npz = cfg.output_RData_filename
+        if not out_npz:
+            os.makedirs(os.path.join(cfg.outputdir, "RData"), exist_ok=True)
+            out_npz = os.path.join(
                 cfg.outputdir, "RData", f"quilt.output.{region_name}.npz"
-            ),
-            **dump,
-        )
+            )
+        np.savez_compressed(out_npz, **dump)
+        print_message(f"Wrote output objects to {out_npz}")
+    if ctx.timers is not None:
+        ctx.timers.report()
     print_message(f"Done QUILT ({time.time() - t0:.1f}s)")
     return ImputeOutput(
         results=results, vcf_path=vcf_path, eaf=eaf, info=info,

@@ -54,6 +54,7 @@ class RegionContext:
     nGrids_all: int = 0
     boundaries: Optional[np.ndarray] = None   # block-Gibbs suffix starts
     hla_capture: bool = False
+    timers: Optional[object] = None           # SectionTimers (or None)
     _rhb_dev_cache: Optional[object] = None
 
     def rhb_dev(self):
@@ -108,12 +109,14 @@ class RegionContext:
             prep.sigma, prep.L_grid, cfg.shuffle_bin_radius
         )
         boundaries = detect_boundaries(smooth, 0.9) if nGrids > 4 else None
+        from ..utils.log import SectionTimers
         return cls(
             prep=prep, trans=trans, fb_inputs=fb_inputs, thinned_grids=thinned,
             n_latent=n_latent, Ksub=Ksub, Knew=Knew, n_seek_its=n_seek,
             n_burn_in_seek_its=n_burn, trans_all=trans_all,
             nGrids_all=nGrids_all, boundaries=boundaries,
             hla_capture=hla_capture,
+            timers=SectionTimers(cfg.print_extra_timing_information),
         )
 
 
@@ -137,8 +140,11 @@ class SampleResult:
     # reference: per_it_likelihoods / H_class in RData_objects_to_save)
     per_it_likelihoods: Optional[np.ndarray] = None  # [n_its, C, 8]
     H_class: Optional[np.ndarray] = None             # [C, R] (NIPT)
-    # per-seek-iteration chain-mean dosage (make_heuristic_plot only)
+    # per-seek-iteration chain-mean dosage (make_heuristic_plot /
+    # record_interim_dosages)
     seek_dosages: Optional[np.ndarray] = None        # [n_seek_its, nSNPs]
+    # per-seek-iteration per-chain read labels (record_read_label_usage)
+    read_label_usage: Optional[np.ndarray] = None    # [n_seek_its, C, R]
 
 
 def gls_from_labels(
@@ -274,13 +280,16 @@ def impute_one_sample(
         uniforms = rng.random((n_its, B, R)).astype(np.float32)
         block_u = rng.random((n_its, len(bnd), 3, B)).astype(np.float32)
         for attempt in range(11):
-            gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
-                bits=bits, preads=preads, inputs=ginputs, uniforms=uniforms,
-                H0=H0_b, first_read=first_read_b, n_latent=nl, ff=ff,
-                n_burn_in=n_its - 1, iterative_init=iterative, K_real=Ksub,
-                max_diff=max_diff, ref_error=prep.ref_error,
-                boundaries=bnd, block_u=block_u, do_block=do_block_np,
-            )
+            with ctx.timers.section("gibbs_sweep"):
+                gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
+                    bits=bits, preads=preads, inputs=ginputs,
+                    uniforms=uniforms,
+                    H0=H0_b, first_read=first_read_b, n_latent=nl, ff=ff,
+                    n_burn_in=n_its - 1, iterative_init=iterative,
+                    K_real=Ksub,
+                    max_diff=max_diff, ref_error=prep.ref_error,
+                    boundaries=bnd, block_u=block_u, do_block=do_block_np,
+                )
             if not uf.any():
                 break
             max_diff = max(1.0, max_diff / 10.0)
@@ -303,10 +312,11 @@ def impute_one_sample(
                 reads, H_b[c, : reads.nReads], nl, nSNPs, cfg.minGLValue
             )
             gls[c * nl:(c + 1) * nl] = gl_c
-        res_fb = fb_full_batched(
-            gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
-            ref_error=prep.ref_error,
-        )
+        with ctx.timers.section("fb_full"):
+            res_fb = fb_full_batched(
+                gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
+                ref_error=prep.ref_error,
+            )
         if ctx.hla_capture:
             dosage, log_like, tv, ti, gcap = res_fb
             gcap_store[0] = gcap.reshape(B, nl, -1)
@@ -390,11 +400,17 @@ def impute_one_sample(
         gp_g, gpF_g, hap_dos_g, H, max_diff = run_chains(
             which_haps, H, iterative, first_read, max_diff
         )
-        if cfg.make_heuristic_plot:
-            # per-seek-iteration dosage trace for the hap-selection
-            # comparison plot (reference: heuristic.R:40-176)
+        if cfg.make_heuristic_plot or cfg.record_interim_dosages:
+            # per-seek-iteration dosage trace (reference: heuristic.R:40-176
+            # and record_interim_dosages, functions.R:552,607,988)
             diag.setdefault("seek_dosages", []).append(
                 (gp_g[:, 1, :nSNPs] + 2 * gp_g[:, 2, :nSNPs]).mean(axis=0)
+            )
+        if cfg.record_read_label_usage:
+            # read labels after each seek iteration per chain (reference:
+            # record_read_label_usage, functions.R:564,599,994)
+            diag.setdefault("label_usage", []).append(
+                H[:, : reads.nReads].copy()
             )
         if cfg.use_mspbwt:
             # QUILT2: hap dosages from the Gibbs run; selection via mspbwt
@@ -443,6 +459,20 @@ def impute_one_sample(
             fet_gp_all_acc[1] += (h1a * (1 - h3a) + (1 - h1a) * h3a).sum(axis=0)
             fet_gp_all_acc[2] += (h1a * h3a).sum(axis=0)
         n_all_acc += C
+
+    def _diag_kwargs():
+        return dict(
+            per_it_likelihoods=diag.get("per_it_ll"),
+            seek_dosages=(
+                np.stack(diag["seek_dosages"])
+                if "seek_dosages" in diag else None
+            ),
+            read_label_usage=(
+                np.stack(diag["label_usage"])
+                if "label_usage" in diag else None
+            ),
+            H_class=diag.get("H_class"),
+        )
 
     # ------------------------------------------------------------------
     # cross-chain consensus (diploid; NIPT folds 3->2 first, reference
@@ -507,12 +537,7 @@ def impute_one_sample(
                 allele_count=sample_allele_count(
                     reads_all, nSNPs_all
                 ),
-                per_it_likelihoods=diag.get("per_it_ll"),
-            seek_dosages=(
-                np.stack(diag["seek_dosages"])
-                if "seek_dosages" in diag else None
-            ),
-                H_class=diag.get("H_class"),
+                **_diag_kwargs(),
             )
         fet_gp_all = fet_gp_all_acc / max(n_all_acc, 1)
         fet_dosage_all = fet_dosage_all_acc / max(n_all_acc, 1)
@@ -531,12 +556,7 @@ def impute_one_sample(
             fet_gp=fet_gp_all,
             mat_dosage=dosage_all,
             fet_dosage=fet_dosage_all,
-            per_it_likelihoods=diag.get("per_it_ll"),
-            seek_dosages=(
-                np.stack(diag["seek_dosages"])
-                if "seek_dosages" in diag else None
-            ),
-            H_class=diag.get("H_class"),
+            **_diag_kwargs(),
         )
 
     # ------------------------------------------------------------------
@@ -560,12 +580,7 @@ def impute_one_sample(
             hla_gamma_total=(
                 hla_gammas.sum(axis=(0, 1)) if hla_gammas is not None else None
             ),
-            per_it_likelihoods=diag.get("per_it_ll"),
-            seek_dosages=(
-                np.stack(diag["seek_dosages"])
-                if "seek_dosages" in diag else None
-            ),
-            H_class=diag.get("H_class"),
+            **_diag_kwargs(),
         )
     else:
         fet_gp = fet_gp_acc / max(n_acc, 1)
@@ -584,12 +599,7 @@ def impute_one_sample(
             fet_gp=fet_gp,
             mat_dosage=dosage,
             fet_dosage=fet_dosage,
-            per_it_likelihoods=diag.get("per_it_ll"),
-            seek_dosages=(
-                np.stack(diag["seek_dosages"])
-                if "seek_dosages" in diag else None
-            ),
-            H_class=diag.get("H_class"),
+            **_diag_kwargs(),
         )
     return result
 
@@ -603,3 +613,34 @@ def sample_allele_count(reads: SampleReads, nSNPs: int) -> np.ndarray:
     np.add.at(alt, reads.u, probs[:, 1])
     np.add.at(ref, reads.u, probs[:, 0])
     return np.stack([alt, ref + alt], axis=1)
+
+
+def optimal_hap_dosages(
+    ctx: RegionContext,
+    reads: SampleReads,
+    cfg: ImputeConfig,
+    truth_haps_sample: np.ndarray,     # [nSNPs, 2] truth alleles (may have nan)
+) -> np.ndarray:
+    """Haploid dosages when read-label origin is known from truth — the
+    "optimal haplotype dosages" added as the OHD FORMAT field under
+    addOptimalHapsToVCF (reference: quilt.R:48, functions.R:280-281,1419).
+
+    Reads are assigned to the truth haplotype that best explains them, then
+    one full-panel FB pass per latent hap produces the dosages."""
+    prep = ctx.prep
+    nSNPs = prep.nSNPs
+    reads = reads.sorted_by_grid()
+    truth = np.nan_to_num(truth_haps_sample.T.astype(np.float64), nan=0.5)
+    em = emat_read_vs_dosages(reads, truth)            # [2, R]
+    H_opt = em.argmax(axis=0).astype(np.int32)
+    gls = gls_from_labels(reads, H_opt, 2, nSNPs, cfg.minGLValue)
+    fb_inputs = ctx.fb_inputs
+    if fb_inputs is None:
+        fb_inputs = FBInputs.build(
+            prep.panel, ctx.trans, thinned_grids=ctx.thinned_grids
+        )
+    res = fb_full_batched(
+        gls.astype(np.float32), fb_inputs,
+        K_top=max(8, cfg.K_top_matches), ref_error=prep.ref_error,
+    )
+    return res[0]                                       # [2, nSNPs]

@@ -51,6 +51,29 @@ def validate_impute_config(cfg: ImputeConfig) -> None:
         raise QuiltValidationError(f"unknown method {cfg.method!r}")
     if cfg.maxDifferenceBetweenReads < 1:
         raise QuiltValidationError("maxDifferenceBetweenReads must be >= 1")
+    if cfg.heuristic_approach not in ("A", "B"):
+        raise QuiltValidationError(
+            f"heuristic_approach must be 'A' or 'B' "
+            f"(got {cfg.heuristic_approach!r})"
+        )
+    if cfg.estimate_bq_using_truth_read_labels:
+        # developer-only feature of the reference (functions.R usage of
+        # truth read labels to re-estimate base qualities); intentionally
+        # not implemented here — hard error instead of silently ignoring
+        raise QuiltValidationError(
+            "estimate_bq_using_truth_read_labels is not supported by "
+            "quilt_tpu"
+        )
+    if not cfg.use_sample_is_diploid and cfg.method == "diploid":
+        # the TPU diploid Gibbs kernel is inherently specialized for the
+        # two-haplotype case (reference toggles this at functions.R:2539);
+        # the flag cannot disable that specialization
+        from ..utils import print_message
+        print_message(
+            "Note: use_sample_is_diploid=FALSE has no effect; the TPU "
+            "diploid kernel always uses the specialized diploid path "
+            "(documented deviation, see PARITY.md)"
+        )
 
 
 def validate_region_consistency(

@@ -203,6 +203,7 @@ def load_bam_reads(
     bxTagUpperLimit: int = 50000,
     seed: int = 1,
     cram_fasta: Optional[str] = None,
+    useSoftClippedBases: bool = False,
 ) -> SampleReads:
     nSNPs = len(snp_pos)
     ref_code = np.array([SEQ_DECODE.index(a) for a in ref_allele], dtype=np.uint8)
@@ -229,6 +230,18 @@ def load_bam_reads(
         qpos = 0
         us: List[int] = []
         bqs: List[int] = []
+        if useSoftClippedBases and cigar:
+            # treat soft-clipped bases as continuing the alignment: a leading
+            # S of length L aligns to [pos0 - L, pos0) (reference: STITCH
+            # loadBamAndConvert's useSoftClippedBases semantics, exposed via
+            # QUILT.R's useSoftClippedBases flag)
+            if CIGAR_OPS[cigar[0] & 0xF] == "S":
+                rpos -= cigar[0] >> 4
+            cigar = tuple(
+                (c & ~0xF) | CIGAR_OPS.index("M")
+                if CIGAR_OPS[c & 0xF] == "S" else c
+                for c in cigar
+            )
         for c in cigar:
             op = c & 0xF
             ln = c >> 4

@@ -41,10 +41,18 @@ class BamWriter:
         flag: int = 0,
         tlen: int = 0,
         bx: Optional[str] = None,
+        cigar_ops: Optional[Sequence] = None,   # [(op_char, length)]
     ) -> None:
         l_seq = len(seq)
         name_b = qname.encode() + b"\x00"
-        cigar = struct.pack("<I", (l_seq << 4) | 0)     # "{l}M"
+        if cigar_ops is None:
+            cigar = struct.pack("<I", (l_seq << 4) | 0)     # "{l}M"
+        else:
+            OPS = "MIDNSHP=X"
+            cigar = b"".join(
+                struct.pack("<I", (ln << 4) | OPS.index(op))
+                for op, ln in cigar_ops
+            )
         seq_b = bytearray((l_seq + 1) // 2)
         for i, c in enumerate(seq):
             nib = SEQ_ENCODE.get(c, 15)

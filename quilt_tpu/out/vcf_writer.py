@@ -94,6 +94,7 @@ def diploid_sample_column(
     dosage: np.ndarray,          # [nSNPs]
     hap_dosages: Optional[np.ndarray] = None,   # [2, nSNPs] float
     output_gt_phased_genotypes: bool = True,
+    ohd: Optional[np.ndarray] = None,  # [2, nSNPs] optimal haploid dosages
 ) -> List[str]:
     nSNPs = gp.shape[1]
     if hap_dosages is None:
@@ -111,11 +112,16 @@ def diploid_sample_column(
             gt = f"{int(round(phased[0, s]))}|{int(round(phased[1, s]))}"
         else:
             gt = gt_unphased[s]
-        cols.append(
+        col = (
             f"{gt}:{round(gp[0, s], 3):g},{round(gp[1, s], 3):g},"
             f"{round(gp[2, s], 3):g}:{round(dosage[s], 3):g}:"
             f"{round(hap_dosages[0, s], 3):g},{round(hap_dosages[1, s], 3):g}"
         )
+        if ohd is not None:
+            # OHD: optimal haploid dosages under truth read labels
+            # (reference: FORMAT GT:GP:DS:HD:OHD, functions.R:281)
+            col += f":{round(ohd[0, s], 3):g},{round(ohd[1, s], 3):g}"
+        cols.append(col)
     return cols
 
 
@@ -150,6 +156,7 @@ def make_header(
     sample_names: Sequence[str],
     method: str = "diploid",
     output_gt_phased_genotypes: bool = True,
+    with_ohd: bool = False,
 ) -> str:
     info = (
         '##INFO=<ID=INFO_SCORE,Number=.,Type=Float,Description="Info score">\n'
@@ -177,6 +184,10 @@ def make_header(
             '##FORMAT=<ID=DS,Number=1,Type=Float,Description="Diploid dosage">\n'
             '##FORMAT=<ID=HD,Number=2,Type=Float,Description="Haploid dosages">\n'
         )
+        if with_ohd:
+            # OHD: haploid dosages when read labels are known from truth
+            # (reference: writers.R:66-67, FORMAT GT:GP:DS:HD:OHD)
+            fmt += '##FORMAT=<ID=OHD,Number=2,Type=Float,Description="Optimal haploid dosages (truth read labels)">\n'
     cols = "\t".join(
         ["#CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO",
          "FORMAT"] + list(sample_names)
@@ -200,6 +211,7 @@ def write_quilt_vcf(
     method: str = "diploid",
     output_gt_phased_genotypes: bool = True,
     write_index: bool = True,
+    with_ohd: bool = False,
 ) -> None:
     from .tabix import TabixIndexer
 
@@ -207,13 +219,16 @@ def write_quilt_vcf(
     if in_region is None:
         in_region = np.ones(nSNPs, dtype=bool)
     fmt = "GT:MGP:MDS:FGP:FDS" if method == "nipt" else "GT:GP:DS:HD"
+    if with_ohd and method != "nipt":
+        fmt += ":OHD"
     erc = allele_count[:, 1] - allele_count[:, 0]
     with np.errstate(invalid="ignore", divide="ignore"):
         paf = allele_count[:, 0] / allele_count[:, 1]
     paf = np.nan_to_num(paf, nan=0.0)
     idx = TabixIndexer() if write_index else None
     with BgzfWriter(path) as w:
-        w.write(make_header(sample_names, method, output_gt_phased_genotypes))
+        w.write(make_header(sample_names, method, output_gt_phased_genotypes,
+                            with_ohd=with_ohd and method != "nipt"))
         for s in range(nSNPs):
             if not in_region[s]:
                 continue

@@ -558,3 +558,37 @@ def prepare_panel(
         sample_names=None if sample_names is None
         else np.asarray(sample_names, dtype=str),
     )
+
+
+def truncate_panel(prep: PreparedReference, panel_size: int) -> PreparedReference:
+    """Use only the first panel_size reference haplotypes (reference:
+    quilt.R:544-549 slices rhb_t and reference_samples after loading the
+    prepared reference). The distinct-hap compression is rebuilt on the
+    truncated panel; allele frequencies are recomputed; mspbwt indices (if
+    present) are rebuilt since their prefix orderings cover all K haps."""
+    from dataclasses import replace
+
+    rhb_t = prep.rhb_t[:panel_size]
+    panel = compress_panel(
+        rhb_t, prep.nSNPs, ref_error=prep.ref_error, nMaxDH=prep.panel.nMaxDH
+    )
+    bits = unpack_bits_32(rhb_t, prep.nSNPs)
+    af = bits.mean(axis=0)
+    ms_indices = None
+    if prep.ms_indices is not None:
+        from .mspbwt import build_mspbwt_indices
+        ms_indices = build_mspbwt_indices(
+            panel.hapMatcher, n_indices=len(prep.ms_indices)
+        )
+    rare_info = (
+        prep.rare_per_hap_info[:panel_size]
+        if prep.rare_per_hap_info is not None else None
+    )
+    names = (
+        prep.sample_names[: panel_size // 2]
+        if prep.sample_names is not None else None
+    )
+    return replace(
+        prep, rhb_t=rhb_t, panel=panel, af=af, ms_indices=ms_indices,
+        rare_per_hap_info=rare_info, sample_names=names,
+    )

@@ -26,3 +26,55 @@ def print_message(msg: str, include_mem: bool = False) -> None:
         except OSError:
             pass
     print(f"{ts} {msg}", file=sys.stderr, flush=True)
+
+
+class SectionTimers:
+    """Per-section wall-clock timers, the equivalent of the reference's
+    prev_section/next_section instrumentation threaded through its C++
+    kernels (reference: QUILT/src/copied-from-stitch.cpp:31-49, enabled by
+    print_extra_timing_information, quilt.R:166).
+
+    Use `with timers.section("name"):` around engine phases; totals print
+    via `report()`. A disabled instance is free (no-ops).
+    """
+
+    def __init__(self, enabled: bool = False):
+        self.enabled = enabled
+        self.totals: dict = {}
+        self.counts: dict = {}
+
+    def section(self, name: str):
+        return _Section(self, name)
+
+    def add(self, name: str, dt: float) -> None:
+        self.totals[name] = self.totals.get(name, 0.0) + dt
+        self.counts[name] = self.counts.get(name, 0) + 1
+
+    def report(self) -> None:
+        if not self.enabled or not self.totals:
+            return
+        print_message("Section timings:")
+        width = max(len(k) for k in self.totals)
+        for name, tot in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            print_message(
+                f"  {name:<{width}}  {tot * 1000:10.1f} ms"
+                f"  ({self.counts[name]} calls)"
+            )
+
+
+class _Section:
+    def __init__(self, timers: SectionTimers, name: str):
+        self.timers = timers
+        self.name = name
+
+    def __enter__(self):
+        if self.timers.enabled:
+            import time
+            self.t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc):
+        if self.timers.enabled:
+            import time
+            self.timers.add(self.name, time.perf_counter() - self.t0)
+        return False
