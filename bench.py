@@ -8,10 +8,12 @@ at QUILT quick-start scale (K = 5120 panel haplotypes x 2048 grids of 32
 SNPs, batch = 7 chains x 2 latent haps x 2 samples). One cell update = one
 K-state alpha (or beta) update at one grid. Inputs and outputs stay
 device-resident, as they do across the engine's seek loop (the prepared
-panel is uploaded once per region). vs_baseline is the ratio against an
-assumed 5e8 cell-updates/s for the reference's single-core C++/Eigen
-forward-backward (the reference publishes no absolute numbers —
-SURVEY.md section 6; this constant documents the denominator).
+panel is uploaded once per region). vs_baseline divides by the MEASURED
+single-core throughput of a C++ re-implementation of the reference's FB
+kernel at the same workload shape (BASELINE_MEASURED.json, produced by
+`python tools/measure_baseline.py`; the reference itself cannot run here —
+no R — see PARITY_REPORT.md). Falls back to the previously assumed 5e8
+constant only if the measurement file is missing.
 """
 import json
 import os
@@ -19,8 +21,17 @@ import time
 
 import numpy as np
 
-REFERENCE_CELLS_PER_S = 5e8  # assumed QUILT C++/Eigen single-core throughput
 CACHE = "/tmp/quilt_tpu_bench_panel.npz"
+
+
+def reference_cells_per_s() -> float:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BASELINE_MEASURED.json")
+    try:
+        with open(path) as fh:
+            return float(json.load(fh)["reference_cells_per_s"])
+    except (OSError, KeyError, ValueError):
+        return 5e8   # documented fallback (assumed, pre-measurement)
 
 
 def fast_packed_panel(rng, K, nGrids, n_founders=32, switch=0.02,
@@ -97,7 +108,7 @@ def main():
                 "metric": "hmm_cell_updates_per_s_per_chip",
                 "value": round(cells_per_s, 1),
                 "unit": "cells/s",
-                "vs_baseline": round(cells_per_s / REFERENCE_CELLS_PER_S, 3),
+                "vs_baseline": round(cells_per_s / reference_cells_per_s(), 3),
             }
         )
     )

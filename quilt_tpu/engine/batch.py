@@ -148,7 +148,8 @@ def impute_samples_batched(
             )
         return gp, gpF, hap_dos, Hn, max_diff
 
-    S_pad = ctx.fb_inputs.S
+    # mspbwt mode has no FBInputs; S_pad only feeds the FB path's GL build
+    S_pad = ctx.fb_inputs.S if ctx.fb_inputs is not None else nGrids * 32
     preads_dev = {
         "u": jnp.asarray(preads.u_pad), "pr": jnp.asarray(preads.lpr),
         "pa": jnp.asarray(preads.lpa),
