@@ -8,11 +8,15 @@ the TPU-native equivalents are:
 - `panel` mesh axis: the K reference-haplotype axis of the full-panel FB
   sharded over ICI. Each grid step needs one global sum over K (the
   Li & Stephens jump mass) — a [B]-vector psum per scan step riding ICI —
-  plus a psum for the per-grid normalizer. Dosage partials reduce with a
-  psum at the end; top-K candidates merge via all_gather of per-shard top-K.
+  plus psums for the per-grid normalizer, the dosage partials (through the
+  distinct-hap table), and the escape corrections; top-K candidates merge
+  via all_gather of per-shard top-K followed by a host value-sort.
 
-This mirrors the north-star decomposition in BASELINE.json and SURVEY.md
-section 2.7.
+The sharded kernel is EXACT: it runs the same `_fb_core_impl` body as the
+single-device kernel with every K-reduction lifted to a psum/pmax
+(kernels/fb_full.py), including the escape-COO correction and thinned-grid
+top-K gating. This mirrors the north-star decomposition in BASELINE.json
+and SURVEY.md section 2.7.
 """
 from __future__ import annotations
 
@@ -24,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..kernels.fb_full import FBInputs
+from ..kernels.fb_full import FBInputs, _fb_core_impl
 
 
 def make_mesh(n_data: int, n_panel: int, devices=None) -> Mesh:
@@ -36,87 +40,155 @@ def make_mesh(n_data: int, n_panel: int, devices=None) -> Mesh:
     return Mesh(devices, ("data", "panel"))
 
 
-def _fb_sharded_local(
-    gl,          # [B_local, 2, S] replicated over panel
-    dh,          # [G, K_local]
-    ie,          # [D+1, S] replicated
-    dh_bits,     # [D, S] replicated
-    trans,       # [G, 2] replicated
-    K: int,
-    K_top: int,
-    ref_error: float,
-):
-    """Per-device body of the panel-sharded FB (runs under shard_map).
-
-    Escape correction is omitted in the sharded path for now: panels meant
-    for K-sharding should be prepared with nMaxDH covering the escape mass
-    or use the replicated kernel. (Documented deviation; exact path is the
-    single-device kernel in kernels/fb_full.py.)
-    """
-    from ..kernels.emissions import emat_dh_from_gl
-
-    B, _, S = gl.shape
-    G = S // 32
-    D1 = ie.shape[0]
-    eMatDH = emat_dh_from_gl(gl, dh_bits, ref_error)   # [B, G, D+1]
-
-    def emission_at(g):
-        dh_g = dh[g]
-        table = jax.lax.dynamic_index_in_dim(eMatDH, g, 1, keepdims=False)
-        onehot = jax.nn.one_hot(dh_g, D1, dtype=table.dtype, axis=0)
-        return table @ onehot                           # [B, K_local]
-
-    def fwd_step(alpha, g):
-        t = trans[g]
-        e = emission_at(g)
-        # trans row 0 is (1, 1): with zero alpha carry this yields the
-        # uniform prior e/K at the first grid
-        a_raw = (t[0] * alpha + t[1] / K) * e
-        # global normalizer across the panel axis
-        s = jax.lax.psum(a_raw.sum(axis=1), axis_name="panel")   # [B]
-        s = jnp.maximum(s, 1e-30)
-        a = a_raw / s[:, None]
-        return a, (a, jnp.log(s))
-
-    alpha0 = jnp.zeros((B, dh.shape[1]), dtype=jnp.float32)
-    _, (alphas, log_s) = jax.lax.scan(fwd_step, alpha0, jnp.arange(G))
-    log_like = log_s.sum(axis=0)
-
-    def bwd_step(beta, g):
-        gn = jnp.minimum(g + 1, G - 1)
-        t_next = jax.lax.dynamic_index_in_dim(trans, gn, 0, keepdims=False)
-        e_next = emission_at(gn)
-        etb = e_next * beta
-        tot = jax.lax.psum(etb.sum(axis=1), axis_name="panel")
-        b_new = t_next[0] * etb + t_next[1] * tot[:, None] / K
-        b_new = jnp.where(g == G - 1, jnp.ones_like(beta), b_new)
-        mx = jax.lax.pmax(
-            b_new.max(axis=1), axis_name="panel"
+def mesh_from_config(cfg) -> Optional[Mesh]:
+    """Build the engine mesh from ImputeConfig.mesh_data/mesh_panel; None
+    when the config asks for a single device."""
+    n_data = max(int(getattr(cfg, "mesh_data", 1) or 1), 1)
+    n_panel = max(int(getattr(cfg, "mesh_panel", 1) or 1), 1)
+    if n_data * n_panel <= 1:
+        return None
+    n_dev = len(jax.devices())
+    if n_data * n_panel > n_dev:
+        raise ValueError(
+            f"mesh_data x mesh_panel = {n_data}x{n_panel} needs "
+            f"{n_data * n_panel} devices; only {n_dev} available"
         )
-        b_new = b_new / jnp.maximum(mx, 1e-30)[:, None]
-        alpha_g = jax.lax.dynamic_index_in_dim(alphas, g, 0, keepdims=False)
-        gamma = alpha_g * b_new
-        gsum = jax.lax.psum(gamma.sum(axis=1), axis_name="panel")
-        gamma = gamma / jnp.maximum(gsum, 1e-30)[:, None]
-        dh_g = dh[g]
-        onehot = jax.nn.one_hot(dh_g, D1, dtype=gamma.dtype, axis=1)
-        matched = jax.lax.psum(gamma @ onehot, axis_name="panel")  # [B, D+1]
-        ie_g = jax.lax.dynamic_slice(ie, (0, g * 32), (D1, 32))
-        dos = matched @ ie_g
-        tv_l, ti_l = jax.lax.top_k(gamma, K_top)
-        return b_new, (dos, tv_l, ti_l)
+    return make_mesh(n_data, n_panel)
 
-    beta0 = jnp.ones((B, dh.shape[1]), dtype=jnp.float32)
-    _, (dosage_grids, tv, ti) = jax.lax.scan(
-        bwd_step, beta0, jnp.arange(G - 1, -1, -1)
-    )
-    dosage = dosage_grids[::-1].transpose(1, 0, 2).reshape(B, S)
-    # local top-K per grid; offset local indices to global and all_gather
-    shard = jax.lax.axis_index("panel")
-    ti_global = ti + shard * dh.shape[1]
-    tv_all = jax.lax.all_gather(tv[::-1], "panel", axis=2, tiled=True)
-    ti_all = jax.lax.all_gather(ti_global[::-1], "panel", axis=2, tiled=True)
-    return dosage, log_like, tv_all, ti_all
+
+class ShardedFB:
+    """Per-region state for the panel-sharded FB: the per-shard panel
+    arrays are computed once and kept device-resident across calls (the
+    sharded analogue of FBInputs.device())."""
+
+    def __init__(self, inputs: FBInputs, mesh: Mesh, K_top: int = 8,
+                 ref_error: float = 0.001):
+        assert inputs.capture_grid < 0, (
+            "gamma capture (hla_run) is not supported on the sharded FB; "
+            "use the single-device kernel"
+        )
+        self.inputs = inputs
+        self.mesh = mesh
+        self.K_top = K_top
+        self.ref_error = ref_error
+        n_panel = mesh.shape["panel"]
+        self.n_panel = n_panel
+        self.n_data = mesh.shape["data"]
+        K_pad = inputs.K_pad
+        # per-shard K, multiple of 128
+        K_shard = ((K_pad + n_panel - 1) // n_panel + 127) // 128 * 128
+        self.K_shard = K_shard
+        G = inputs.nGrids
+        # split dh columns over shards: [n_panel, G, K_shard]
+        dh_sh = np.zeros((n_panel, G, K_shard), dtype=np.int32)
+        flat = np.zeros((G, n_panel * K_shard), dtype=np.int32)
+        flat[:, :K_pad] = inputs.dh
+        for s in range(n_panel):
+            dh_sh[s] = flat[:, s * K_shard:(s + 1) * K_shard]
+        # split escape COO by owning shard, pad to common nnz
+        esc_k = inputs.esc_k
+        owner = esc_k // K_shard if len(esc_k) else np.zeros(0, np.int64)
+        nnz_max = int(np.bincount(owner, minlength=n_panel).max()) \
+            if len(esc_k) else 0
+        nnz_max = max(nnz_max, 1)
+        eg = np.zeros((n_panel, nnz_max), dtype=np.int32)
+        ek = np.zeros((n_panel, nnz_max), dtype=np.int32)
+        eb = np.zeros((n_panel, nnz_max, 32), dtype=np.uint8)
+        ev = np.zeros((n_panel, nnz_max), dtype=np.float32)
+        for s in range(n_panel):
+            w = np.flatnonzero(owner == s)
+            eg[s, : len(w)] = inputs.esc_grid[w]
+            ek[s, : len(w)] = esc_k[w] - s * K_shard
+            eb[s, : len(w)] = inputs.esc_bits[w]
+            ev[s, : len(w)] = 1.0
+        self.nnz_max = nnz_max
+
+        put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+        if True:
+            self._dev = dict(
+                dh=put(dh_sh, P("panel", None, None)),
+                ie=put(inputs.ie, P()),
+                dh_bits=put(inputs.dh_bits, P()),
+                eg=put(eg, P("panel", None)),
+                ek=put(ek, P("panel", None)),
+                eb=put(eb, P("panel", None, None)),
+                ev=put(ev, P("panel", None)),
+                trans=put(inputs.trans.astype(np.float32), P()),
+                thin=put(inputs.thin_flag, P()),
+                cap=put(np.zeros(G, np.float32), P()),
+            )
+
+        inp = inputs
+        K_top_ = K_top
+        ref_error_ = ref_error
+
+        @partial(
+            jax.shard_map,
+            mesh=mesh,
+            check_vma=False,
+            in_specs=(
+                P("data", None, None),           # gl
+                P("panel", None, None),          # dh [n_panel, G, K_shard]
+                P(), P(),                        # ie, dh_bits
+                P("panel", None),                # eg
+                P("panel", None),                # ek
+                P("panel", None, None),          # eb
+                P("panel", None),                # ev
+                P(), P(), P(),                   # trans, thin, cap
+            ),
+            out_specs=(
+                P("data", None),                 # dosage
+                P("data",),                      # log_like
+                P(None, "data", ("panel",)),     # tv gathered over panel
+                P(None, "data", ("panel",)),     # ti
+            ),
+        )
+        def run(gl_l, dh_l, ie_l, bits_l, eg_l, ek_l, eb_l, ev_l,
+                trans_l, thin_l, cap_l):
+            dosage, log_like, tv, ti, _cap = _fb_core_impl(
+                gl_l, dh_l[0], ie_l, bits_l,
+                eg_l[0], ek_l[0], eb_l[0], trans_l, thin_l, cap_l,
+                K=inp.K, K_pad=self.K_shard, nMaxDH=inp.nMaxDH,
+                nnz=self.nnz_max, K_top=K_top_, ref_error=ref_error_,
+                axis_name="panel", esc_valid=ev_l[0],
+            )
+            return dosage, log_like, tv, ti
+
+        self._run = jax.jit(run)
+
+    def __call__(self, gl: np.ndarray):
+        """gl [B, 2, nSNPs or S]. Returns (dosage [B, nSNPs], log_like [B],
+        tv [G, B, K_top*n_panel], ti) with per-grid lists merged by value
+        (rank order preserved across shards)."""
+        inputs = self.inputs
+        B = gl.shape[0]
+        # pad the batch to a multiple of the data axis
+        Bp = ((B + self.n_data - 1) // self.n_data) * self.n_data
+        gl_pad = np.ones((Bp, 2, inputs.S), dtype=np.float32)
+        gl_pad[:B, :, : gl.shape[2]] = np.asarray(gl)
+        d = self._dev
+        dosage, log_like, tv, ti = self._run(
+            jax.device_put(
+                gl_pad, NamedSharding(self.mesh, P("data", None, None))
+            ),
+            d["dh"], d["ie"], d["dh_bits"], d["eg"], d["ek"], d["eb"],
+            d["ev"], d["trans"], d["thin"], d["cap"],
+        )
+        tv = np.asarray(tv)[:, :B]
+        ti = np.asarray(ti)[:, :B]
+        # merge per-shard top-K lists into global rank order by value
+        order = np.argsort(-tv, axis=2, kind="stable")
+        tv = np.take_along_axis(tv, order, axis=2)
+        ti = np.take_along_axis(ti, order, axis=2)
+        # zero-gamma slots can be shard pad columns (index >= K): remap to
+        # hap 0 so downstream selection never sees an invalid index
+        ti = np.where(tv > 0, ti, 0)
+        return (
+            np.asarray(dosage)[:B, : inputs.nSNPs],
+            np.asarray(log_like)[:B],
+            tv,
+            ti,
+        )
 
 
 def fb_full_sharded(
@@ -126,47 +198,43 @@ def fb_full_sharded(
     K_top: int = 8,
     ref_error: float = 0.001,
 ):
-    """Run the FB with K sharded over the mesh 'panel' axis and the batch
-    over 'data'. Returns (dosage [B, nSNPs], log_like [B],
-    top_vals/top_idx [nGrids, B, K_top * n_panel])."""
-    n_panel = mesh.shape["panel"]
-    K_pad = inputs.K_pad
-    K_shard = ((K_pad + n_panel - 1) // n_panel + 127) // 128 * 128
-    K_tot = K_shard * n_panel
-    dh = np.zeros((inputs.nGrids, K_tot), dtype=np.int32)
-    dh[:, :K_pad] = inputs.dh                 # pads -> slot 0 => emission 0
-    B = gl.shape[0]
-    S = inputs.S
-    gl_pad = np.ones((B, 2, S), dtype=np.float32)
-    gl_pad[:, :, : gl.shape[2]] = gl
+    """One-shot wrapper (tests / dryrun); the engine holds a ShardedFB."""
+    return ShardedFB(inputs, mesh, K_top=K_top, ref_error=ref_error)(gl)
 
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        check_vma=False,
-        in_specs=(
-            P("data", None, None), P(None, "panel"), P(None, None),
-            P(None, None), P(None, None),
-        ),
-        out_specs=(P("data", None), P("data"), P(None, "data", None),
-                   P(None, "data", None)),
+
+def shard_gibbs_batch(mesh: Mesh, batch_axis0: dict, uniforms=None,
+                      block_u=None):
+    """Place Gibbs-sweep arrays with the chain/batch axis sharded over the
+    mesh. The sweep is embarrassingly parallel over chains (shared-nothing,
+    the TPU analogue of the reference's fork-per-sample, quilt.R:692), so
+    XLA partitions it without collectives once the inputs are sharded.
+
+    batch_axis0: name -> array with the batch on axis 0.
+    uniforms: [n_its, B, R] (batch on axis 1). block_u: [n_its, nb, 3, B].
+    Falls back to the 'data' axis alone, or to no sharding, when the batch
+    doesn't divide the axis size. Returns (dict, uniforms, block_u).
+    """
+    B = next(iter(batch_axis0.values())).shape[0]
+    n_total = mesh.devices.size
+    n_data = mesh.shape["data"]
+    if B % n_total == 0:
+        axes = ("data", "panel")
+    elif B % n_data == 0:
+        axes = ("data",)
+    else:
+        return batch_axis0, uniforms, block_u
+    spec0 = lambda nd: NamedSharding(
+        mesh, P(axes, *([None] * (nd - 1)))
     )
-    def run(gl_l, dh_l, ie_l, bits_l, trans_l):
-        return _fb_sharded_local(
-            gl_l, dh_l, ie_l, bits_l, trans_l,
-            K=inputs.K, K_top=K_top, ref_error=ref_error,
+    out = {
+        k: jax.device_put(v, spec0(v.ndim)) for k, v in batch_axis0.items()
+    }
+    if uniforms is not None:
+        uniforms = jax.device_put(
+            uniforms, NamedSharding(mesh, P(None, axes, None))
         )
-
-    dosage, log_like, tv, ti = run(
-        jnp.asarray(gl_pad),
-        jnp.asarray(dh),
-        jnp.asarray(inputs.ie),
-        jnp.asarray(inputs.dh_bits),
-        jnp.asarray(inputs.trans),
-    )
-    return (
-        np.asarray(dosage)[:, : inputs.nSNPs],
-        np.asarray(log_like),
-        np.asarray(tv),
-        np.asarray(ti),
-    )
+    if block_u is not None:
+        block_u = jax.device_put(
+            block_u, NamedSharding(mesh, P(None, None, None, axes))
+        )
+    return out, uniforms, block_u

@@ -130,6 +130,18 @@ def impute_samples_batched(
         uniforms = _device_uniforms(k1, (n_its, Bb, ginputs_b.R))
         block_u = _device_uniforms(k2, (n_its, max(len(bnd), 1), 3, Bb))
         block_u = block_u[:, : len(bnd)]
+        if ctx.mesh is not None:
+            # chains are shared-nothing: shard the batch axis over the mesh
+            # and let XLA partition the sweep (no collectives needed)
+            from ..dist.mesh import shard_gibbs_batch
+            sharded, uniforms, block_u = shard_gibbs_batch(
+                ctx.mesh, {"bits": bits, "H0": jnp.asarray(H0_b),
+                           "first": jnp.asarray(first_b)},
+                uniforms=uniforms, block_u=block_u,
+            )
+            bits, H0_b, first_b = (
+                sharded["bits"], sharded["H0"], sharded["first"]
+            )
         for attempt in range(11):
             gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
                 bits=bits, preads=preads_b, inputs=ginputs_b,
@@ -166,10 +178,13 @@ def impute_samples_batched(
             pd["u"], pd["pr"], pd["pa"], jnp.asarray(H_b), nl, S_pad,
             minGLValue=cfg.minGLValue,
         )
-        res_fb = fb_full_batched(
-            gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
-            ref_error=prep.ref_error,
-        )
+        if ctx.sharded_fb is not None:
+            res_fb = ctx.sharded_fb(np.asarray(gls))
+        else:
+            res_fb = fb_full_batched(
+                gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
+                ref_error=prep.ref_error,
+            )
         dosage = res_fb[0]
         tv, ti = res_fb[2], res_fb[3]
         hap_dos = dosage.reshape(Bb, nl, nSNPs)

@@ -55,6 +55,8 @@ class RegionContext:
     boundaries: Optional[np.ndarray] = None   # block-Gibbs suffix starts
     hla_capture: bool = False
     timers: Optional[object] = None           # SectionTimers (or None)
+    mesh: Optional[object] = None             # jax Mesh (multi-chip)
+    sharded_fb: Optional[object] = None       # dist.mesh.ShardedFB
     _rhb_dev_cache: Optional[object] = None
 
     def rhb_dev(self):
@@ -110,6 +112,22 @@ class RegionContext:
         )
         boundaries = detect_boundaries(smooth, 0.9) if nGrids > 4 else None
         from ..utils.log import SectionTimers
+        # multi-chip: build the mesh from mesh_data/mesh_panel and hold a
+        # panel-sharded FB when the panel axis is split (SURVEY section 2.7)
+        from ..dist.mesh import mesh_from_config
+        mesh = mesh_from_config(cfg)
+        sharded_fb = None
+        if (mesh is not None and mesh.shape["panel"] > 1
+                and fb_inputs is not None and not cfg.hla_run):
+            from ..dist.mesh import ShardedFB
+            print_message(
+                f"Panel-sharded FB over mesh data={mesh.shape['data']} x "
+                f"panel={mesh.shape['panel']}"
+            )
+            sharded_fb = ShardedFB(
+                fb_inputs, mesh, K_top=max(8, cfg.K_top_matches),
+                ref_error=prep.ref_error,
+            )
         return cls(
             prep=prep, trans=trans, fb_inputs=fb_inputs, thinned_grids=thinned,
             n_latent=n_latent, Ksub=Ksub, Knew=Knew, n_seek_its=n_seek,
@@ -117,6 +135,7 @@ class RegionContext:
             nGrids_all=nGrids_all, boundaries=boundaries,
             hla_capture=hla_capture,
             timers=SectionTimers(cfg.print_extra_timing_information),
+            mesh=mesh, sharded_fb=sharded_fb,
         )
 
 
@@ -313,10 +332,13 @@ def impute_one_sample(
             )
             gls[c * nl:(c + 1) * nl] = gl_c
         with ctx.timers.section("fb_full"):
-            res_fb = fb_full_batched(
-                gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
-                ref_error=prep.ref_error,
-            )
+            if ctx.sharded_fb is not None:
+                res_fb = ctx.sharded_fb(gls)
+            else:
+                res_fb = fb_full_batched(
+                    gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
+                    ref_error=prep.ref_error,
+                )
         if ctx.hla_capture:
             dosage, log_like, tv, ti, gcap = res_fb
             gcap_store[0] = gcap.reshape(B, nl, -1)

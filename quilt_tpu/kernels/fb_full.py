@@ -159,12 +159,7 @@ def _escape_emissions_flat(gl, esc_grid, esc_bits, ref_error):
     return jnp.moveaxis(out, 0, 1).reshape(B, npad)[:, :nnz]
 
 
-@partial(
-    jax.jit,
-    static_argnames=("K", "K_pad", "nMaxDH", "nnz", "K_top", "ref_error",
-                     "grid_chunk"),
-)
-def _fb_core(
+def _fb_core_impl(
     gl: jnp.ndarray,          # [B, 2, S] f32 (pad SNPs = 1)
     dh: jnp.ndarray,          # [G, K_pad] int32
     ie: jnp.ndarray,          # [D+1, S]
@@ -182,7 +177,20 @@ def _fb_core(
     K_top: int,
     ref_error: float,
     grid_chunk: int = 64,
+    axis_name=None,
+    esc_valid: jnp.ndarray = None,   # f32 [nnz] 1/0 mask (sharded padding)
 ):
+    """Kernel body. With axis_name set (running under shard_map with the K
+    axis sharded over that mesh axis), every K-reduction becomes a psum /
+    pmax over the axis, making the sharded result the exact algorithm —
+    the multi-chip decomposition of SURVEY section 2.7 (K over ICI)."""
+
+    def _ksum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def _kmax(x):
+        return jax.lax.pmax(x, axis_name) if axis_name else x
+
     B, _, S = gl.shape
     G = S // 32
     D1 = nMaxDH + 1
@@ -211,7 +219,11 @@ def _fb_core(
     E = E.reshape(G, B, K_pad)
     if nnz > 0:
         esc_e = _escape_emissions_flat(gl, esc_grid, esc_bits, ref_error)
-        E = E.at[esc_grid, :, esc_k].set(esc_e.T)
+        if esc_valid is not None:
+            esc_e = esc_e * esc_valid[None, :]
+        # .add == .set here: escape slots point at eMatDH slot 0 which is
+        # exactly 0, and invalid (padded) entries add 0
+        E = E.at[esc_grid, :, esc_k].add(esc_e.T)
     # pad haps: dh pads point at slot 0 whose table value is 0 => alpha 0
 
     # ---- forward: scan over grid chunks, inner steps unrolled
@@ -224,7 +236,7 @@ def _fb_core(
         logs = []
         for i in range(CG):
             a_raw = (t_ch[i, 0] * alpha + t_ch[i, 1] / K) * e_ch[i]
-            ssum = a_raw.sum(axis=1, keepdims=True)
+            ssum = _ksum(a_raw.sum(axis=1, keepdims=True))
             alpha = a_raw / ssum
             outs.append(alpha)
             logs.append(jnp.log(ssum[:, 0]))
@@ -254,19 +266,27 @@ def _fb_core(
         for i in range(CG - 1, -1, -1):
             is_last_grid = (ci == NSC - 1) & (i == CG - 1)
             etb = e_next * beta
-            b_new = t_next[0] * etb + t_next[1] * etb.sum(
+            b_new = t_next[0] * etb + t_next[1] * _ksum(etb.sum(
                 axis=1, keepdims=True
-            ) / K
+            )) / K
             beta = jnp.where(is_last_grid, jnp.ones_like(beta), b_new)
-            beta = beta / jnp.maximum(beta.max(axis=1, keepdims=True), 1e-30)
+            beta = beta / jnp.maximum(
+                _kmax(beta.max(axis=1, keepdims=True)), 1e-30
+            )
             gamma = a_ch[i] * beta
-            gamma = gamma / gamma.sum(axis=1, keepdims=True)
+            gamma = gamma / _ksum(gamma.sum(axis=1, keepdims=True))
             gammas.append(gamma)
             tf = th_ch[i]
 
             def do_topk(_):
-                v, ix = jax.lax.top_k(gamma[:, :K], K_top)
-                return v, ix.astype(jnp.int32)
+                # sharded: local top-K with global indices; the caller
+                # merges the gathered per-shard lists by value
+                v, ix = jax.lax.top_k(gamma[:, :K] if axis_name is None
+                                      else gamma, K_top)
+                ix = ix.astype(jnp.int32)
+                if axis_name is not None:
+                    ix = ix + jax.lax.axis_index(axis_name) * K_pad
+                return v, ix
 
             def no_topk(_):
                 return (
@@ -318,10 +338,10 @@ def _fb_core(
         )
         dh_c = jax.lax.dynamic_slice(dh_p, (g0, 0), (grid_chunk, K_pad))
         onehot = jax.nn.one_hot(dh_c, D1, dtype=jnp.bfloat16)   # [CG, K, D+1]
-        matched = jnp.einsum(
+        matched = _ksum(jnp.einsum(
             "gbk,gkd->gbd", gam.astype(jnp.bfloat16), onehot,
             preferred_element_type=jnp.float32,
-        )
+        ))
         ie_c = jax.lax.dynamic_slice(ie_p, (0, g0, 0), (D1, grid_chunk, 32))
         dos = jnp.einsum(
             "gbd,dgs->gbs", matched, ie_c, preferred_element_type=jnp.float32
@@ -341,8 +361,10 @@ def _fb_core(
         eg = _pad_nnz(esc_grid, npad)
         ek = _pad_nnz(esc_k, npad)
         ei = _pad_nnz(e_inf_all, npad)
-        valid = _pad_nnz(jnp.ones((nnz,), jnp.float32), npad)
-        dos_g = jnp.moveaxis(dosage.reshape(B, G, 32), 0, 1)   # [G, B, 32]
+        valid_nnz = (esc_valid if esc_valid is not None
+                     else jnp.ones((nnz,), jnp.float32))
+        valid = _pad_nnz(valid_nnz, npad)
+        dos_esc0 = jnp.zeros((G, B, 32), dtype=jnp.float32)
 
         def chunk(dg, c):
             g_c = jax.lax.dynamic_slice(eg, (c * ESC_CHUNK,), (ESC_CHUNK,))
@@ -353,9 +375,17 @@ def _fb_core(
             contrib = gam_esc[:, :, None] * e_c[:, None, :]    # [chunk, B, 32]
             return dg.at[g_c].add(contrib), None
 
-        dos_g, _ = jax.lax.scan(chunk, dos_g, jnp.arange(n_chunks))
+        dos_esc, _ = jax.lax.scan(chunk, dos_esc0, jnp.arange(n_chunks))
+        dos_g = jnp.moveaxis(dosage.reshape(B, G, 32), 0, 1) + _ksum(dos_esc)
         dosage = jnp.moveaxis(dos_g, 0, 1).reshape(B, S)
     return dosage, log_like, top_vals, top_idx, gamma_cap
+
+
+_fb_core = partial(
+    jax.jit,
+    static_argnames=("K", "K_pad", "nMaxDH", "nnz", "K_top", "ref_error",
+                     "grid_chunk"),
+)(_fb_core_impl)
 
 
 def fb_full_batched(
