@@ -87,14 +87,22 @@ def main():
     gl = jnp.asarray(gl)
     jax.block_until_ready(gl)
 
-    # warm-up (compile + panel upload)
+    # warm-up (compile + panel upload). NOTE on sync: over the axon tunnel
+    # jax.block_until_ready returns at ENQUEUE, not completion — round-1
+    # numbers (BENCH_r01: 3.5e12) timed dispatch latency only. Honest
+    # timing: enqueue n_rep calls, then drain by reducing each call's tiny
+    # [B] log-likelihood output to one scalar (forces execution of the
+    # full dependency chain; D2H is 4 bytes, not the 1.2 GB dosages).
     out = fb_full_batched(gl, inputs, K_top=8, return_arrays=False)
-    jax.block_until_ready(out)
-    n_rep = 5
+    float(out[1].sum())
+    n_rep = 6
     t0 = time.time()
+    lls = []
     for _ in range(n_rep):
         out = fb_full_batched(gl, inputs, K_top=8, return_arrays=False)
-        jax.block_until_ready(out)
+        lls.append(out[1])
+    import jax.numpy as _jnp
+    float(_jnp.stack(lls).sum())         # one drain for all n_rep calls
     dt = (time.time() - t0) / n_rep
     # sanity on results (fetch once, outside the timed loop)
     dosage = np.asarray(out[0])[:, :nSNPs]

@@ -1,0 +1,169 @@
+"""Full benchmark table: FB kernel, Gibbs sweep, and end-to-end samples/s
+on the bench chip (VERDICT round 1, item 3). Writes BENCH_FULL.json and
+prints the table; `bench.py` (the driver's one-line contract) stays the
+FB-kernel headline with the measured denominator.
+
+Workload: QUILT quick-start-like scale — K=5120 panel haplotypes,
+nSNPs=16384 (512 grids), Ksubset=600, 7 chains x 3 seek its, N=8 samples
+at ~1x coverage. End-to-end timing excludes compilation (first batch
+warms the kernels; the timed run reuses them), as in production where one
+region's compiles amortize over thousands of samples.
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+from bench import fast_packed_panel, reference_cells_per_s
+
+
+def main():
+    import jax
+    from quilt_tpu.config import ImputeConfig
+    from quilt_tpu.engine import quilt_impute
+    from quilt_tpu.engine.sample import RegionContext
+    from quilt_tpu.io import simulate_sample_reads
+    from quilt_tpu.io.simulate import simulate_truth_mosaic
+    from quilt_tpu.panel.prepare import (
+        PreparedReference, compress_panel, trans_rates,
+        assign_positions_to_grid,
+    )
+    from quilt_tpu.utils import unpack_bits_32
+
+    rng = np.random.default_rng(0)
+    results = {"device": str(jax.devices()[0]),
+               "backend": jax.default_backend()}
+
+    # ---------------- FB kernel (same as bench.py) ----------------
+    from quilt_tpu.kernels import FBInputs, fb_full_batched
+    import jax.numpy as jnp
+
+    K, nSNPs_fb, B = 5120, 65536, 28
+    rhb_t = fast_packed_panel(rng, K, nSNPs_fb // 32)
+    nGrids_fb = nSNPs_fb // 32
+    panel_fb = compress_panel(rhb_t, nSNPs_fb, nMaxDH=255)
+    trans_fb = trans_rates(np.full(nGrids_fb - 1, 0.99))
+    inputs = FBInputs.build(panel_fb, trans_fb,
+                            thinned_grids=np.arange(0, nGrids_fb, 10))
+    gl = jnp.asarray(
+        rng.uniform(0.05, 1.0, (B, 2, nSNPs_fb)).astype(np.float32)
+    )
+    # drain-synced timing (block_until_ready returns at enqueue over the
+    # axon tunnel; see bench.py)
+    out = fb_full_batched(gl, inputs, K_top=8, return_arrays=False)
+    float(out[1].sum())
+    n_rep = 6
+    t0 = time.time()
+    lls = [fb_full_batched(gl, inputs, K_top=8, return_arrays=False)[1]
+           for _ in range(n_rep)]
+    float(jnp.stack(lls).sum())
+    dt = (time.time() - t0) / n_rep
+    results["fb_kernel"] = {
+        "cells_per_s": 2.0 * B * K * nGrids_fb / dt,
+        "K": K, "nGrids": nGrids_fb, "B": B, "seconds": dt,
+        "vs_measured_ref_core": 2.0 * B * K * nGrids_fb / dt
+        / reference_cells_per_s(),
+    }
+
+    # ---------------- end-to-end engine (batched, Pallas on) ------------
+    nSNPs = 16384
+    K_panel = 5120
+    rhb_small = rhb_t[:K_panel, : nSNPs // 32]
+    haps = unpack_bits_32(rhb_small, nSNPs)
+    pos = np.arange(1, nSNPs + 1, dtype=np.int64) * 60   # ~1 Mb
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    panel = compress_panel(rhb_small, nSNPs, nMaxDH=255)
+    cm = np.asarray(L_grid, dtype=np.float64) * 1e-6   # 1 cM/Mb
+    sigma = np.full(nGrids - 1, 0.99)
+    prep = PreparedReference(
+        chrom="chr20", pos=pos,
+        ref_allele=np.array(["A"] * nSNPs),
+        alt_allele=np.array(["G"] * nSNPs),
+        rhb_t=rhb_small, af=haps.mean(axis=0), grid=grid,
+        L_grid=np.asarray(L_grid), cM_grid=cm, sigma=sigma, panel=panel,
+        regionStart=None, regionEnd=None, buffer=0, nGen=100,
+        ref_error=0.001,
+    )
+    N = 8
+    samples = []
+    n_reads_total = 0
+    for i in range(N):
+        truth = simulate_truth_mosaic(rng, haps, n_latent=2)
+        reads, _ = simulate_sample_reads(
+            rng, truth, pos, grid, coverage=1.0, read_length_bp=600,
+            phred=25,
+        )
+        samples.append(reads)
+        n_reads_total += reads.nReads
+    cfg = ImputeConfig(
+        nGibbsSamples=7, n_seek_its=3, Ksubset=600, Knew=600,
+        small_ref_panel_gibbs_iterations=20, seed=1, sample_batch=N,
+        override_default_params_for_small_ref_panel=False,
+    )
+    names = [f"S{i}" for i in range(N)]
+    quilt_impute(prep, samples, names, cfg)            # warm-up (compiles)
+    t0 = time.time()
+    out2 = quilt_impute(prep, samples, names, cfg)
+    dt = time.time() - t0
+    results["end_to_end"] = {
+        "samples_per_s": N / dt,
+        "reads_per_s": n_reads_total / dt,
+        "snps_per_s": N * nSNPs / dt,
+        "seconds_for_8_samples": dt,
+        "n_reads_total": n_reads_total,
+        "nSNPs": nSNPs, "K_panel": K_panel,
+        "config": "7 chains x 3 seek its x 21 sweeps, Ksubset=600",
+        "gibbs_backend": os.environ.get("QUILT_TPU_GIBBS", "auto"),
+    }
+
+    # ---------------- Gibbs sweep alone -------------------------------
+    from quilt_tpu.engine.sample import RegionContext as RC
+    from quilt_tpu.kernels import PaddedReads
+    from quilt_tpu.kernels.gibbs import GibbsInputs, run_gibbs_chains
+    from quilt_tpu.kernels.common import pad_to_multiple, unpack_bits_device
+
+    reads0 = samples[0].sorted_by_grid()
+    trans = trans_rates(prep.sigma)
+    ginputs = GibbsInputs.build(reads0, trans, nGrids)
+    preads = PaddedReads.build(reads0, ref_error=0.001)
+    C = 7
+    n_its = 21
+    Ksub = 600
+    Kp = pad_to_multiple(Ksub, 128)
+    which = np.sort(rng.choice(K_panel, Ksub, replace=False))
+    sub = rhb_small[which]
+    sub = np.concatenate(
+        [sub, np.repeat(sub[:1], Kp - Ksub, axis=0)], axis=0
+    )
+    bits = np.broadcast_to(
+        unpack_bits_32(sub, nGrids * 32)[None], (C, Kp, nGrids * 32)
+    ).copy()
+    uniforms = rng.random((n_its, C, ginputs.R)).astype(np.float32)
+    H0 = rng.choice(2, size=(C, ginputs.R)).astype(np.int32)
+    first = rng.integers(0, reads0.nReads, C).astype(np.int32)
+    args = dict(
+        bits=bits, preads=preads, inputs=ginputs, uniforms=uniforms,
+        H0=H0, first_read=first, n_latent=2, ff=0.0, n_burn_in=n_its - 1,
+        iterative_init=True, K_real=Ksub,
+    )
+    run_gibbs_chains(**args)                           # warm-up
+    t0 = time.time()
+    run_gibbs_chains(**args)
+    dt = time.time() - t0
+    results["gibbs_sweep"] = {
+        "seconds_per_21_sweep_call": dt,
+        "read_resamples_per_s": n_its * C * reads0.nReads / dt,
+        "nReads": reads0.nReads, "chains": C, "Ksubset": Ksub,
+        "nGrids": nGrids,
+        "max_reads_per_grid": int(ginputs.read_count.max()),
+    }
+
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as fh:
+        json.dump(results, fh, indent=2)
+    print(json.dumps(results, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -223,6 +223,7 @@ def impute_samples_batched(
                 new = select_new_haps_mspbwt(
                     prep.ms_indices, prep.panel, hap_dos[b], ctx.Knew, K,
                     prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+                    heuristic_approach=cfg.heuristic_approach,
                 )
                 which_haps[b] = np.sort(np.concatenate([prev_sel, new]))
         else:
@@ -290,6 +291,7 @@ def impute_samples_batched(
                 new = select_new_haps_mspbwt(
                     prep.ms_indices, prep.panel, hap_dos_ph_b[b], ctx.Knew, K,
                     prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+                    heuristic_approach=cfg.heuristic_approach,
                 )
                 wh_p[b] = np.sort(np.concatenate([prev_sel, new]))
             hap_dos_ph = hap_dos_ph_b

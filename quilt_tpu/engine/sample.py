@@ -444,6 +444,7 @@ def impute_one_sample(
                 new = select_new_haps_mspbwt(
                     prep.ms_indices, prep.panel, hap_dos[c], ctx.Knew, K,
                     prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+                    heuristic_approach=cfg.heuristic_approach,
                 )
                 which_haps[c] = np.sort(np.concatenate([prev_sel, new]))
         else:
@@ -535,6 +536,7 @@ def impute_one_sample(
             new = select_new_haps_mspbwt(
                 prep.ms_indices, prep.panel, hap_dos_ph[0], ctx.Knew, K,
                 prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+                heuristic_approach=cfg.heuristic_approach,
             )
             wh_p[:] = np.sort(np.concatenate([prev_sel, new]))[None, :]
         else:

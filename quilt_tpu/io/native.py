@@ -91,8 +91,47 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int64),
             ]
             lib.qio_reads_free.argtypes = [ctypes.c_void_p]
+            lib.qio_mspbwt_build.argtypes = [
+                ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+            ]
             _LIB = lib
     return _LIB
+
+
+def mspbwt_build_native(hm: np.ndarray, grids: np.ndarray, egs: int):
+    """Native fast path of panel.mspbwt.build_mspbwt_indices's per-index
+    loop. Returns (Y, C, cp_cols, A_cp)."""
+    lib = get_lib()
+    assert lib is not None
+    hm = np.ascontiguousarray(hm, dtype=np.uint8)
+    grids = np.ascontiguousarray(grids, dtype=np.int32)
+    K, nGrids = hm.shape
+    T = len(grids)
+    cp_cols = np.array(
+        sorted({t for t in range(egs - 1, T, egs)} | {T - 1}),
+        dtype=np.int32,
+    )
+    Y = np.empty((T, K), dtype=np.uint8)
+    C = np.zeros((T, 257), dtype=np.int32)
+    A_cp = np.empty((len(cp_cols), K), dtype=np.int32)
+    lib.qio_mspbwt_build(
+        hm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        K, nGrids,
+        grids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        T, egs,
+        Y.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        C.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        A_cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        cp_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        len(cp_cols),
+    )
+    return Y, C, cp_cols, A_cp
 
 
 def native_available() -> bool:

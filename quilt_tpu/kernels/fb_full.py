@@ -197,8 +197,10 @@ def _fb_core_impl(
     CG = GRID_CHUNK
     NSC = G // CG
     # ---- emissions for every (grid, hap): chunked one-hot MXU matmuls
-    # (gather-as-matmul; direct gathers are an order of magnitude slower on
-    # TPU for this access pattern), then exact COO escape correction
+    # (gather-as-matmul: a [G, B, K] take_along_axis over the K lane axis
+    # measures ~35 s/call at G=2048, B=28, K=5120 on v5e vs 151 ms for the
+    # matmul — drain-synced timing, see BENCHMARKS.md), then exact COO
+    # escape correction
     eMatDH = emat_dh_from_gl(gl, dh_bits, ref_error)       # [B, G, D+1]
     eMatDH_t = jnp.moveaxis(eMatDH, 0, 1)                  # [G, B, D+1]
     NEC = G // np.gcd(G, EMIT_CHUNK)
@@ -222,8 +224,16 @@ def _fb_core_impl(
         if esc_valid is not None:
             esc_e = esc_e * esc_valid[None, :]
         # .add == .set here: escape slots point at eMatDH slot 0 which is
-        # exactly 0, and invalid (padded) entries add 0
-        E = E.at[esc_grid, :, esc_k].add(esc_e.T)
+        # exactly 0, and invalid (padded) entries add 0. The COO from
+        # compress_panel is sorted by (grid, k) with unique entries, which
+        # lets XLA vectorize the scatter (~1.5x; serial otherwise). The
+        # sharded path pads with duplicate indices, so it must not claim
+        # uniqueness.
+        sorted_unique = esc_valid is None
+        E = E.at[esc_grid, :, esc_k].add(
+            esc_e.T, unique_indices=sorted_unique,
+            indices_are_sorted=sorted_unique,
+        )
     # pad haps: dh pads point at slot 0 whose table value is 0 => alpha 0
 
     # ---- forward: scan over grid chunks, inner steps unrolled
@@ -364,7 +374,9 @@ def _fb_core_impl(
         valid_nnz = (esc_valid if esc_valid is not None
                      else jnp.ones((nnz,), jnp.float32))
         valid = _pad_nnz(valid_nnz, npad)
-        dos_esc0 = jnp.zeros((G, B, 32), dtype=jnp.float32)
+        # per-grid reduction via sorted segment_sum (chunked to bound the
+        # [chunk, B, 32] transient): ~5x faster than scatter-adds on TPU
+        dos_esc0 = jnp.zeros((G, B * 32), dtype=jnp.float32)
 
         def chunk(dg, c):
             g_c = jax.lax.dynamic_slice(eg, (c * ESC_CHUNK,), (ESC_CHUNK,))
@@ -373,9 +385,13 @@ def _fb_core_impl(
             v_c = jax.lax.dynamic_slice(valid, (c * ESC_CHUNK,), (ESC_CHUNK,))
             gam_esc = gammas[g_c, :, k_c] * v_c[:, None]       # [chunk, B]
             contrib = gam_esc[:, :, None] * e_c[:, None, :]    # [chunk, B, 32]
-            return dg.at[g_c].add(contrib), None
+            return dg + jax.ops.segment_sum(
+                contrib.reshape(ESC_CHUNK, B * 32), g_c, num_segments=G,
+                indices_are_sorted=esc_valid is None,
+            ), None
 
         dos_esc, _ = jax.lax.scan(chunk, dos_esc0, jnp.arange(n_chunks))
+        dos_esc = dos_esc.reshape(G, B, 32)
         dos_g = jnp.moveaxis(dosage.reshape(B, G, 32), 0, 1) + _ksum(dos_esc)
         dosage = jnp.moveaxis(dos_g, 0, 1).reshape(B, S)
     return dosage, log_like, top_vals, top_idx, gamma_cap

@@ -769,7 +769,18 @@ def run_gibbs_chains(
         from .gibbs_pallas import padded_layout_ok, run_gibbs_chains_pallas
 
         on_tpu = jax.default_backend() == "tpu"
-        if (backend == "pallas" or on_tpu) and padded_layout_ok(inputs):
+        want_pallas = backend == "pallas" or on_tpu
+        layout_ok = padded_layout_ok(
+            inputs, B=np.shape(bits)[0], K=np.shape(bits)[1]
+        )
+        if want_pallas and not layout_ok:
+            from ..utils import print_message
+            print_message(
+                "Gibbs: grid-padded layout exceeds the Pallas HBM budget; "
+                "falling back to the XLA sweep (set QUILT_TPU_GIBBS=pallas "
+                "to force)"
+            )
+        if want_pallas and (layout_ok or backend == "pallas"):
             return run_gibbs_chains_pallas(
                 bits=bits, preads=preads, inputs=inputs, uniforms=uniforms,
                 H0=H0, first_read=first_read, n_latent=n_latent, ff=ff,

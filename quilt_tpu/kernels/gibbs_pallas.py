@@ -50,7 +50,11 @@ def _interpret() -> bool:
 def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
     """it_mode: 0 = first iterative-init iteration (pass reads < first_read,
     init reads >= first_read), 1 = second (init reads < first_read),
-    2 = normal sweep. prior: tuple of nl floats."""
+    2 = normal sweep. prior: tuple of nl floats. W here is the per-chunk
+    slot width: grid dim 1 tiles the read-slot axis in W-wide chunks so
+    dense-coverage grids (reads/grid > 64) no longer fall back to XLA —
+    alpha advance runs at chunk 0, reads continue sequentially across
+    chunks through the VMEM scratch state."""
     log_prior = tuple(float(np.log(p)) for p in prior)
 
     def kernel(
@@ -60,46 +64,51 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
         alpha_s, pc_s, logc_s, uf_s,
     ):
         g = pl.program_id(0)
+        wc = pl.program_id(1)
         f32 = jnp.float32
         km = (
             jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) < K_real
         ).astype(f32)
 
-        lemg = lemg_in[0]                                  # (BN, K) f32
-        lemg_out[0] = lemg
         h_out[0] = h_in[0]
         col = lambda x: jnp.transpose(x, (1, 0))           # (1,B) -> (B,1)
 
-        @pl.when(g == 0)
+        @pl.when((g == 0) & (wc == 0))
         def _():
             alpha_s[...] = jnp.zeros_like(alpha_s)
             logc_s[...] = jnp.zeros_like(logc_s)
             uf_s[...] = jnp.zeros_like(uf_s)
 
-        # ---- alpha advance into grid g ----
-        lm = jnp.where(km > 0, lemg, _NEG)
-        mx = jnp.max(lm, axis=1, keepdims=True)            # (BN, 1)
-        e_g = jnp.exp(lemg - mx) * km
-        t0 = trans_s[0, g]
-        t1 = trans_s[1, g]
-        is_first = (g == 0).astype(f32)
-        a_raw = e_g * (
-            t0 * alpha_s[...] + (t1 + is_first) * (1.0 / K_real)
-        )
-        s = jnp.sum(a_raw, axis=1, keepdims=True)          # (BN, 1)
-        ufv = uf_s[...]
-        for h in range(nl):
-            sh = s[h * B:(h + 1) * B]
-            ufv = jnp.maximum(
-                ufv, ((~jnp.isfinite(sh)) | (sh <= 0)).astype(f32)
+        # ---- alpha advance into grid g (first chunk only) ----
+        @pl.when(wc == 0)
+        def _():
+            lemg = lemg_in[0]                              # (BN, K) f32
+            lemg_out[0] = lemg
+            lm = jnp.where(km > 0, lemg, _NEG)
+            mx = jnp.max(lm, axis=1, keepdims=True)        # (BN, 1)
+            e_g = jnp.exp(lemg - mx) * km
+            t0 = trans_s[0, g]
+            t1 = trans_s[1, g]
+            is_first = (g == 0).astype(f32)
+            a_raw = e_g * (
+                t0 * alpha_s[...] + (t1 + is_first) * (1.0 / K_real)
             )
-        uf_s[...] = ufv
-        s_safe = jnp.where(s > 0, s, 1.0)
-        alpha_s[...] = a_raw / s_safe
-        logc_s[...] = logc_s[...] + jnp.log(s_safe) + mx
-        beta_g = beta_in[0]
-        pc_s[...] = jnp.sum(alpha_s[...] * beta_g, axis=1, keepdims=True)
+            s = jnp.sum(a_raw, axis=1, keepdims=True)      # (BN, 1)
+            ufv = uf_s[...]
+            for h in range(nl):
+                sh = s[h * B:(h + 1) * B]
+                ufv = jnp.maximum(
+                    ufv, ((~jnp.isfinite(sh)) | (sh <= 0)).astype(f32)
+                )
+            uf_s[...] = ufv
+            s_safe = jnp.where(s > 0, s, 1.0)
+            alpha_s[...] = a_raw / s_safe
+            logc_s[...] = logc_s[...] + jnp.log(s_safe) + mx
+            pc_s[...] = jnp.sum(
+                alpha_s[...] * beta_in[0], axis=1, keepdims=True
+            )
 
+        beta_g = beta_in[0]
         first_col = first_rd[...]                          # (B, 1) int32
 
         def read_body(i, _):
@@ -217,7 +226,8 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
                 pc_s[h * B:(h + 1) * B] = pc_h / sh_safe
             return 0
 
-        jax.lax.fori_loop(0, cnt_s[0, g], read_body, 0)
+        n_loc = jnp.clip(cnt_s[0, g] - wc * W, 0, W)
+        jax.lax.fori_loop(0, n_loc, read_body, 0)
         alpha_out[0] = alpha_s[...]
         logc_out[...] = logc_s[...]
         uf_out[...] = uf_s[...]
@@ -241,20 +251,25 @@ def _fwd_sweep(
     G, BN, K = lemg.shape
     W = lem_pad.shape[1]
     B = BN // nl
-    kernel = _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior)
-    big = lambda: pl.BlockSpec((1, BN, K), lambda g: (g, 0, 0),
+    # tile the slot axis: VMEM sees W-chunked blocks; chunks run
+    # sequentially within a grid (TPU grid order: last dim innermost)
+    Wc = min(W, _MAX_W)
+    n_wc = (W + Wc - 1) // Wc
+    assert W == n_wc * Wc, "slot axis must be padded to the chunk size"
+    kernel = _make_fwd_kernel(nl, B, Wc, K, K_real, it_mode, prior)
+    big = lambda: pl.BlockSpec((1, BN, K), lambda g, wc: (g, 0, 0),
                                memory_space=pltpu.VMEM)
-    slot = lambda: pl.BlockSpec((1, W, B), lambda g: (g, 0, 0),
+    slot = lambda: pl.BlockSpec((1, Wc, B), lambda g, wc: (g, wc, 0),
                                 memory_space=pltpu.VMEM)
-    const2 = lambda a, b: pl.BlockSpec((a, b), lambda g: (0, 0),
+    const2 = lambda a, b: pl.BlockSpec((a, b), lambda g, wc: (0, 0),
                                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         kernel,
-        grid=(G,),
+        grid=(G, n_wc),
         in_specs=[
             big(),                                         # lemg_in
             big(),                                         # beta_in
-            pl.BlockSpec((1, W, B, K), lambda g: (g, 0, 0, 0),
+            pl.BlockSpec((1, Wc, B, K), lambda g, wc: (g, wc, 0, 0),
                          memory_space=pltpu.VMEM),         # lem_blk
             slot(),                                        # u_blk
             slot(),                                        # h_in
@@ -721,10 +736,26 @@ def _gibbs_core_pallas(
     return gp, gpF, hap_dos, H_out, per_it_ll, uf[:, 0] > 0, Hc_out
 
 
-def padded_layout_ok(inputs) -> bool:
-    """True when the grid-padded layout fits the Pallas kernel's budget."""
+_MAX_PAD_BYTES = 8 << 30     # HBM cap for the grid-padded emission tensor
+
+
+def padded_layout_ok(inputs, B: int = 8, K: int = 768) -> bool:
+    """True when the grid-padded layout fits the Pallas kernel's budget.
+
+    The VMEM limit is handled by W-chunk tiling inside _fwd_sweep (any
+    reads-per-grid density runs); the only remaining constraint is the HBM
+    footprint of the [G, W, B, K] bf16 emission tensor, which wastes
+    space proportional to max/mean reads-per-grid."""
     W = int(inputs.read_count.max()) if inputs.read_count.size else 0
-    return 0 < W <= _MAX_W
+    if W <= 0:
+        return False
+    G = int(inputs.G)
+    bytes_needed = 2 * G * _round_up(W, _MAX_W) * B * K
+    return bytes_needed <= _MAX_PAD_BYTES
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
 
 
 def run_gibbs_chains_pallas(
@@ -786,6 +817,8 @@ def run_gibbs_chains_pallas(
         m_np = np.broadcast_to(m_np, (B, R))
 
     W = max(int(rc_np.max()), 1)
+    if W > _MAX_W:
+        W = _round_up(W, _MAX_W)      # slot axis tiled in _MAX_W chunks
     # slot index arrays (host, tiny)
     ar_w = np.arange(W, dtype=np.int32)
     idx = rs_np[:, :, None] + ar_w[None, None, :]            # [B, G, W]

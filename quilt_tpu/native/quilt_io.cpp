@@ -416,4 +416,62 @@ void qio_reads_fill(void* h, int32_t* u, int16_t* bq, int64_t* offsets) {
 
 void qio_reads_free(void* h) { delete (QioReads*)h; }
 
+// ---------------------------------------------------------------------------
+// msPBWT index build (the hot one-time loop of panel/mspbwt.py:
+// build_mspbwt_indices; reference: mspbwt Rcpp_ms_BuildIndices_Algorithm5).
+// Per column of the interleaved grid subset: gather symbols in the current
+// PBWT order, record them (Y) + bucket offsets (C), advance the order with
+// a stable counting sort, and checkpoint the positional prefix array A
+// every egs columns. Blocked subset transpose keeps every inner loop in
+// cache: the full build at K=100k x 10k grids runs in seconds vs ~100 s
+// for the NumPy loop on this host.
+// ---------------------------------------------------------------------------
+
+void qio_mspbwt_build(
+    const uint8_t* hm, int64_t K, int64_t nGrids,
+    const int32_t* grids, int64_t T, int64_t egs,
+    uint8_t* Y,            // out [T, K]
+    int32_t* C,            // out [T, 257]
+    int32_t* A_cp,         // out [n_cp, K], checkpoints at
+    const int32_t* cp_cols, int64_t n_cp)
+{
+    (void)egs;
+    // blocked gather of the grid subset, transposed: X[t][k] = hm[k][grids[t]]
+    std::vector<uint8_t> X((size_t)T * K);
+    const int64_t TB = 128;
+    for (int64_t t0 = 0; t0 < T; t0 += TB) {
+        int64_t t1 = std::min(t0 + TB, T);
+        for (int64_t k = 0; k < K; ++k) {
+            const uint8_t* row = hm + (size_t)k * nGrids;
+            for (int64_t t = t0; t < t1; ++t)
+                X[(size_t)t * K + k] = row[grids[t]];
+        }
+    }
+    std::vector<int32_t> A(K), A2(K);
+    for (int64_t k = 0; k < K; ++k) A[k] = (int32_t)k;
+    int64_t cp_i = 0;
+    int32_t pos[257];
+    for (int64_t t = 0; t < T; ++t) {
+        const uint8_t* col = &X[(size_t)t * K];
+        uint8_t* y = Y + (size_t)t * K;
+        int32_t* Ct = C + (size_t)t * 257;
+        int32_t counts[256] = {0};
+        for (int64_t k = 0; k < K; ++k) {
+            uint8_t s = col[A[k]];
+            y[k] = s;
+            counts[s]++;
+        }
+        Ct[0] = 0;
+        for (int s = 0; s < 256; ++s) Ct[s + 1] = Ct[s] + counts[s];
+        for (int s = 0; s <= 256; ++s) pos[s] = Ct[s];
+        for (int64_t k = 0; k < K; ++k) A2[pos[y[k]]++] = A[k];
+        std::swap(A, A2);
+        if (cp_i < n_cp && cp_cols[cp_i] == (int32_t)t) {
+            memcpy(A_cp + (size_t)cp_i * K, A.data(), K * sizeof(int32_t));
+            cp_i++;
+        }
+    }
+}
+
 }  // extern "C"
+

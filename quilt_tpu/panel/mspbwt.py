@@ -4,15 +4,40 @@ Functional equivalent of the mspbwt package's index build + long-match query
 used by QUILT2 (reference call sites: QUILT/R/mspbwt.R:29,106,159,284,297,323;
 selection logic select_new_haps_mspbwt_v3, mspbwt.R:230-474).
 
-The symbol sequence of haplotype k is hapMatcher[k, :] (per-grid distinct-hap
-index, 0 = escape). `mspbwt_nindices` interleaved indices are built over grid
-subsequences (index i covers grids i, i+n, i+2n, ...), mirroring
-build_mspbwt_indices (mspbwt.R:22-55). Queries use the positional-prefix
-insertion scan with up/down neighbor extension (the reference's "approach B",
-Rcpp_ms_MatchZ_Algorithm5 scan; mspbwt.R:323-337).
+Scalable design (round 2, replacing the O(T·K) full prefix matrices and
+the O(T²)-cumprod query of round 1):
 
-NumPy implementation: index build is a one-time per-region host cost;
-queries are O(nGrids x scan-width).
+- The index stores, per column t of the interleaved grid subsequence:
+  * `Y[t]`   — the symbol sequence in PBWT (prefix-sorted) order, uint8
+               [T, K]: the rank structure. One count_nonzero over a slice
+               gives the query's next insertion position in O(K) bytes
+               scanned (vectorized), no prefix matrix needed.
+  * `C[t]`   — exclusive per-symbol bucket offsets [T, 257] int32.
+  * checkpoint columns every `egs` steps keep the full positional prefix
+    array A (int32 [n_cp, K]) for haplotype-identity recovery — the
+    reference's `list_of_columns_of_A` RAM trick (build_mspbwt_indices,
+    mspbwt.R:38-52; the reference likewise drops its divergence arrays,
+    `out[["d"]] <- matrix(1L,1,1)`, mspbwt.R:37).
+  Memory per index ≈ K·T·(1 + 4/egs) bytes vs round 1's 4·K·T.
+
+- Query (`match_z`): one forward scan tracks the insertion point p[t]
+  (C-offset + one masked count per column). At each checkpoint the up/down
+  neighbours of p in A are candidate long matches (the reference's
+  approach-A reporting at strided structure points / approach-B up-down
+  scan, Rcpp_find_good_matches_without_a / Rcpp_ms_MatchZ_Algorithm5);
+  their backward match lengths come from one vectorized suffix-run
+  comparison over ≤ 2·scan candidate rows — O(scan·t) per checkpoint,
+  never O(T²) in the panel.
+
+- Selection (`select_new_haps_mspbwt`) reproduces the reference's
+  coverage-weighted ranking: matches per latent hap are visited in
+  length-descending order and weighted len/Σ cur_sum[start..end] with
+  cur_sum incremented over the covered span (mspbwt.R:414-441), then the
+  per-hap ranked lists interleave round-robin and dedupe (mspbwt.R:443-473).
+
+- `mspbwtM` sets the number of neighbours scanned on each side of the
+  insertion point (≥M match candidates per side per checkpoint);
+  `mspbwtL` is the minimum match length in index grids.
 """
 from __future__ import annotations
 
@@ -27,77 +52,112 @@ from ..utils import unpack_bits_32
 @dataclass
 class MsIndex:
     grids: np.ndarray        # int32 [T] grid indices covered by this index
-    A: np.ndarray            # int32 [T+1, K] positional prefix arrays
-    symbols: np.ndarray      # uint8 [K, T] symbol subsequence
+    Y: np.ndarray            # uint8 [T, K] symbols in PBWT order
+    C: np.ndarray            # int32 [T, 257] exclusive bucket offsets
+    cp_cols: np.ndarray      # int32 [n_cp] columns t with A checkpoint AFTER t
+    A_cp: np.ndarray         # int32 [n_cp, K] prefix arrays at checkpoints
+    egs: int = 32
 
 
 def build_mspbwt_indices(
-    hapMatcher: np.ndarray, n_indices: int = 4
+    hapMatcher: np.ndarray, n_indices: int = 4, egs: Optional[int] = None
 ) -> List[MsIndex]:
+    """Build `n_indices` interleaved-grid msPBWT indices (index i covers
+    grids i, i+n, i+2n, ... — reference build_mspbwt_indices,
+    mspbwt.R:22-55). egs auto-selects like the reference (:17-21)."""
     K, nGrids = hapMatcher.shape
     n_indices = max(1, min(n_indices, nGrids))
+    if egs is None:
+        egs = 32 if K <= 100_000 else 100
+    from ..io.native import native_available
+    use_native = native_available()
     out = []
     for i in range(n_indices):
         grids = np.arange(i, nGrids, n_indices, dtype=np.int32)
-        X = hapMatcher[:, grids]
         T = len(grids)
-        A = np.zeros((T + 1, K), dtype=np.int32)
-        A[0] = np.arange(K)
+        if use_native:
+            # C++ build (quilt_io.cpp:qio_mspbwt_build): blocked subset
+            # transpose + counting-sort loop — seconds at K=100k x 10k grids
+            from ..io.native import mspbwt_build_native
+            Y, C, cp_cols, A_cp = mspbwt_build_native(hapMatcher, grids, egs)
+            out.append(MsIndex(grids=grids, Y=Y, C=C, cp_cols=cp_cols,
+                               A_cp=A_cp, egs=egs))
+            continue
+        # NumPy fallback (identical outputs; tests/test_mspbwt.py asserts)
+        X = np.asfortranarray(hapMatcher[:, grids])
+        Y = np.empty((T, K), dtype=np.uint8)
+        C = np.zeros((T, 257), dtype=np.int32)
+        cp_cols = []
+        A_cp = []
+        A = np.arange(K, dtype=np.int32)
         for t in range(T):
-            sym = X[A[t], t]
-            order = np.argsort(sym, kind="stable")
-            A[t + 1] = A[t][order]
-        out.append(MsIndex(grids=grids, A=A, symbols=X))
+            y = X[A, t]
+            Y[t] = y
+            C[t, 1:] = np.cumsum(np.bincount(y, minlength=256))
+            order = np.argsort(y, kind="stable")     # radix for uint8
+            A = A[order]
+            if (t + 1) % egs == 0 or t == T - 1:
+                cp_cols.append(t)
+                A_cp.append(A.copy())
+        out.append(MsIndex(
+            grids=grids, Y=Y, C=C,
+            cp_cols=np.asarray(cp_cols, dtype=np.int32),
+            A_cp=np.stack(A_cp) if A_cp else np.zeros((0, K), np.int32),
+            egs=egs,
+        ))
     return out
 
 
 def match_z(
     index: MsIndex,
     z: np.ndarray,
+    X_rows,                       # callable (cands, upto) -> [n_c, upto]
     min_length: int = 3,
-    max_scan: int = 64,
+    scan: int = 4,
+    every_column: bool = False,
 ) -> List[Tuple[int, int, int]]:
-    """Find panel haplotypes with long matches to query symbols z [T].
+    """Long matches of query symbols z [T] against the indexed panel.
 
-    Returns (hap, end_t, length) tuples with length >= min_length (in index
-    grids). At each position the query's insertion point is tracked through
-    the prefix arrays; up to max_scan neighbors above/below the insertion
-    point are extended backwards — the reference's "approach B" up/down
-    scan (Rcpp_ms_MatchZ_Algorithm5), vectorized: per position the
-    candidate block's backward match lengths come from one cumulative
-    product instead of per-hap loops.
+    Returns (hap, end_t, length) tuples with length >= min_length (index
+    grids). Candidates are the up/down neighbours of the query's insertion
+    point at checkpoint columns (approach A; `every_column=True` gives the
+    reference's approach-B scan at every column — O(K) argsort per column,
+    for small panels / validation). `scan` = neighbours per side.
     """
-    A, X = index.A, index.symbols
-    T1, K = A.shape
-    T = T1 - 1
-    # insertion positions p[t] in A[t+1]
-    p = np.zeros(T + 1, dtype=np.int64)
-    p[0] = 0
-    for t in range(T):
-        sym_in_order = X[A[t], t]
-        zt = z[t]
-        below = int((sym_in_order < zt).sum())
-        rank = int((sym_in_order[: p[t]] == zt).sum())
-        p[t + 1] = below + rank
+    Y, C, grids = index.Y, index.C, index.grids
+    T, K = Y.shape
+    cp_set = {int(c): i for i, c in enumerate(index.cp_cols)}
     matches: Dict[Tuple[int, int], int] = {}
-    half = max_scan // 2
-    for t in range(T - 1, -1, -1):
-        a = A[t + 1]
-        pos = int(p[t + 1])
-        lo = max(pos - half, 0)
-        hi = min(pos + half, K)
-        cands = a[lo:hi]
+
+    def report(cands: np.ndarray, t: int):
+        """Backward suffix-run lengths of candidate rows ending at t."""
         if len(cands) == 0:
-            continue
-        # backward match lengths ending at t, vectorized
-        eq = X[cands, : t + 1] == z[: t + 1][None, :]       # [C, t+1]
-        run = np.cumprod(eq[:, ::-1], axis=1)               # suffix runs
+            return
+        # symbols of candidates over columns 0..t — bounded rows
+        sym = X_rows(cands, t + 1)                     # [n_c, t+1]
+        eq = sym == z[None, : t + 1]
+        run = np.cumprod(eq[:, ::-1], axis=1)
         lens = run.sum(axis=1)
         keep = lens >= min_length
         for k, L in zip(cands[keep].tolist(), lens[keep].tolist()):
-            key = (k, t - L + 1)
-            if key not in matches or matches[key] < L:
-                matches[key] = L
+            key = (int(k), int(t - L + 1))
+            if matches.get(key, 0) < L:
+                matches[key] = int(L)
+
+    p = 0
+    A_run = np.arange(K, dtype=np.int32) if every_column else None
+    for t in range(T):
+        y = Y[t]
+        zt = int(z[t])
+        p = int(C[t, zt]) + int(np.count_nonzero(y[:p] == zt))
+        if every_column:
+            A_run = A_run[np.argsort(y, kind="stable")]
+            lo, hi = max(p - scan, 0), min(p + scan, K)
+            report(A_run[lo:hi], t)
+        elif t in cp_set:
+            A = index.A_cp[cp_set[t]]
+            lo, hi = max(p - scan, 0), min(p + scan, K)
+            report(A[lo:hi], t)
     out = []
     for (k, start), L in matches.items():
         out.append((k, start + L - 1, L))
@@ -136,6 +196,26 @@ def symbols_from_hap_dosage(
     return z
 
 
+def _coverage_weight_rank(
+    mtm: List[Tuple[int, int, int, int]],    # (hap, start, end, len)
+    T: int,
+) -> List[int]:
+    """The reference's coverage-weighted ranking (mspbwt.R:414-441):
+    visit matches longest-first; weight = len / Σ cur_sum[start..end] with
+    cur_sum starting at 1 and incremented over each visited span; return
+    hap indices ordered by weight descending."""
+    if not mtm:
+        return []
+    mtm = sorted(mtm, key=lambda m: -m[3])
+    cur_sum = np.ones(T + 1, dtype=np.float64)
+    weights = np.empty(len(mtm))
+    for i, (hap, s, e, L) in enumerate(mtm):
+        weights[i] = L / cur_sum[s:e + 1].sum()
+        cur_sum[s:e + 1] += 1.0
+    order = np.argsort(-weights, kind="stable")
+    return [mtm[i][0] for i in order]
+
+
 def select_new_haps_mspbwt(
     ms_indices: List[MsIndex],
     panel,                            # CompressedPanel
@@ -146,29 +226,42 @@ def select_new_haps_mspbwt(
     rng: np.random.Generator,
     mspbwtL: int = 3,
     mspbwtM: int = 1,
+    heuristic_approach: str = "A",
+    hapMatcher: Optional[np.ndarray] = None,
 ) -> np.ndarray:
-    """Select Knew haplotypes by coverage-weighted ranking of long matches,
-    interleaved across latent haplotypes (mspbwt.R:414-473)."""
+    """Select Knew haplotypes via long-match discovery + coverage-weighted
+    ranking + cross-latent-hap interleaving (select_new_haps_mspbwt_v3,
+    mspbwt.R:230-474)."""
     nSNPs = panel.nSNPs
     n_latent = hap_dosages.shape[0]
+    hm = hapMatcher if hapMatcher is not None else panel.hapMatcher
+    scan = max(int(mspbwtM), 4)
     per_hap_ranked: List[List[int]] = []
-    coverage = np.zeros(K, dtype=np.float64)
+    all_haps: set = set()
     for h in range(n_latent):
         z_full = symbols_from_hap_dosage(
             hap_dosages[h], panel.distinctHapsB, nSNPs
         )
-        scored: Dict[int, float] = {}
+        mtm: List[Tuple[int, int, int, int]] = []
+        T_max = 0
         for idx in ms_indices:
             z = z_full[idx.grids]
-            for k, end_t, L in match_z(idx, z, min_length=mspbwtL):
-                w = float(L)
-                if k not in scored or scored[k] < w:
-                    scored[k] = w
-        ranked = sorted(scored, key=lambda k: -scored[k])
-        per_hap_ranked.append(ranked)
-    # interleave across latent haps, weight by 1/(1+coverage)
+            T_max = max(T_max, len(idx.grids))
+
+            def X_rows(cands, upto, idx=idx):
+                return hm[np.asarray(cands)[:, None],
+                          idx.grids[None, :upto]]
+
+            for k, end_t, L in match_z(
+                idx, z, X_rows, min_length=mspbwtL, scan=scan,
+                every_column=heuristic_approach == "B",
+            ):
+                mtm.append((k, end_t - L + 1, end_t, L))
+                all_haps.add(k)
+        per_hap_ranked.append(_coverage_weight_rank(mtm, T_max))
+    # interleave per-hap ranked lists round-robin, dedupe, exclude retained
     chosen: List[int] = []
-    prev = set(previously_selected.tolist())
+    prev = set(np.asarray(previously_selected).tolist())
     seen = set()
     ptrs = [0] * n_latent
     while len(chosen) < Knew:
@@ -200,19 +293,31 @@ def select_new_haps_mspbwt(
 
 def save_ms_indices_into(d: dict, ms_indices: List[MsIndex]) -> None:
     d["msi_n"] = np.array(len(ms_indices))
+    d["msi_v"] = np.array(2)                    # format version
     for i, idx in enumerate(ms_indices):
         d[f"msi_{i}_grids"] = idx.grids
-        d[f"msi_{i}_A"] = idx.A
-        d[f"msi_{i}_symbols"] = idx.symbols
+        d[f"msi_{i}_Y"] = idx.Y
+        d[f"msi_{i}_C"] = idx.C
+        d[f"msi_{i}_cp_cols"] = idx.cp_cols
+        d[f"msi_{i}_A_cp"] = idx.A_cp
+        d[f"msi_{i}_egs"] = np.array(idx.egs)
 
 
 def load_ms_indices_from(z) -> List[MsIndex]:
     n = int(z["msi_n"])
+    if "msi_v" not in z:
+        raise ValueError(
+            "prepared reference holds a round-1 (v1) mspbwt index; re-run "
+            "quilt-tpu prepare to rebuild it"
+        )
     return [
         MsIndex(
             grids=z[f"msi_{i}_grids"],
-            A=z[f"msi_{i}_A"],
-            symbols=z[f"msi_{i}_symbols"],
+            Y=z[f"msi_{i}_Y"],
+            C=z[f"msi_{i}_C"],
+            cp_cols=z[f"msi_{i}_cp_cols"],
+            A_cp=z[f"msi_{i}_A_cp"],
+            egs=int(z[f"msi_{i}_egs"]),
         )
         for i in range(n)
     ]

@@ -91,3 +91,51 @@ def test_pallas_matches_xla(nl, ff, with_block, iterative):
         np.testing.assert_allclose(fp, fx, atol=5e-3)
         cls_agree = (gx[6][:, :nr] == gp[6][:, :nr]).mean()
         assert cls_agree > 0.98, f"H_class agreement {cls_agree}"
+
+
+def test_pallas_dense_coverage_tiled():
+    """Reads-per-grid above the per-chunk VMEM width (W > 64) run through
+    the tiled slot axis (2D pallas grid) and still match XLA — the
+    round-1 fallback ('_MAX_W = 64') is gone."""
+    rng = np.random.default_rng(99)
+    nl, ff, B = 2, 0.0, 2
+    K, nSNPs = 24, 96
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    truth = simulate_truth_mosaic(rng, haps, n_latent=nl)
+    # very dense coverage: >64 reads overlap some grid
+    reads, sim = simulate_sample_reads(
+        rng, truth, pos, grid, coverage=40.0, read_length_bp=600, phred=25,
+    )
+    trans = trans_rates(np.full(nGrids - 1, 0.985))
+    inputs = GibbsInputs.build(reads, trans, nGrids)
+    assert int(inputs.read_count.max()) > 64, "fixture must exceed one chunk"
+    n_its = 4
+    R = inputs.R
+    uniforms = rng.random((n_its, B, R)).astype(np.float32)
+    H0 = rng.choice(nl, size=(B, R)).astype(np.int32)
+    preads = PaddedReads.build(reads, ref_error=0.001)
+    S = nGrids * 32
+    bits1 = np.zeros((K, S), dtype=np.uint8)
+    bits1[:, :nSNPs] = haps
+    bits = np.broadcast_to(bits1[None], (B, K, S)).copy()
+    first = rng.integers(0, reads.nReads, B).astype(np.int32)
+    res = {}
+    for backend in ["xla", "pallas"]:
+        os.environ["QUILT_TPU_GIBBS"] = backend
+        try:
+            res[backend] = run_gibbs_chains(
+                bits=bits, preads=preads, inputs=inputs, uniforms=uniforms,
+                H0=H0, first_read=first, n_latent=nl, ff=ff,
+                n_burn_in=n_its - 1, iterative_init=True, K_real=K,
+            )
+        finally:
+            os.environ.pop("QUILT_TPU_GIBBS", None)
+    gx, gp = res["xla"], res["pallas"]
+    assert not gp[5].any()
+    nr = reads.nReads
+    agree = (gx[3][:, :nr] == gp[3][:, :nr]).mean()
+    assert agree > 0.99, f"label agreement {agree}"
+    dx = gx[0][:, 1, :nSNPs] + 2 * gx[0][:, 2, :nSNPs]
+    dp = gp[0][:, 1, :nSNPs] + 2 * gp[0][:, 2, :nSNPs]
+    np.testing.assert_allclose(dp, dx, atol=5e-3)

@@ -15,19 +15,30 @@ from quilt_tpu.utils import pack_bits_32
 
 def test_pbwt_prefix_arrays_sorted(rng):
     X = rng.integers(0, 5, size=(20, 12)).astype(np.uint8)
-    idx = build_mspbwt_indices(X, 1)[0]
-    # A[t] sorts haps by reversed prefix X[:, :t]
-    for t in range(1, 13):
-        prefixes = [tuple(X[k, :t][::-1]) for k in idx.A[t]]
+    idx = build_mspbwt_indices(X, 1, egs=3)[0]
+    # checkpointed A columns sort haps by reversed prefix X[:, :t+1]
+    for ci, t in enumerate(idx.cp_cols):
+        prefixes = [tuple(X[k, : t + 1][::-1]) for k in idx.A_cp[ci]]
         assert prefixes == sorted(prefixes)
+    # Y[t] is X[:, t] under the column-t PBWT ordering: bucket offsets in
+    # C must match the per-column symbol counts
+    for t in range(12):
+        counts = np.bincount(X[:, t], minlength=256)
+        np.testing.assert_array_equal(np.diff(idx.C[t]), counts)
+
+
+def _xrows(X):
+    def f(cands, upto):
+        return X[np.asarray(cands)[:, None], np.arange(upto)[None, :]]
+    return f
 
 
 def test_match_z_finds_exact_hap(rng):
     K, T = 40, 30
     X = rng.integers(0, 4, size=(K, T)).astype(np.uint8)
-    idx = build_mspbwt_indices(X, 1)[0]
+    idx = build_mspbwt_indices(X, 1, egs=4)[0]
     z = X[7].copy()
-    matches = match_z(idx, z, min_length=5)
+    matches = match_z(idx, z, _xrows(X), min_length=5)
     full = [m for m in matches if m[0] == 7]
     assert full, "query equal to hap 7 must match it"
     assert max(L for _, _, L in full) == T
@@ -37,10 +48,14 @@ def test_match_z_mosaic(rng):
     K, T = 50, 40
     X = rng.integers(0, 6, size=(K, T)).astype(np.uint8)
     z = np.concatenate([X[3, :20], X[11, 20:]])
-    idx = build_mspbwt_indices(X, 1)[0]
-    matches = match_z(idx, z, min_length=8)
+    idx = build_mspbwt_indices(X, 1, egs=4)[0]
+    matches = match_z(idx, z, _xrows(X), min_length=8)
     haps = {m[0] for m in matches}
     assert 3 in haps and 11 in haps
+    # approach B (every-column up/down scan) finds them too
+    matches_b = match_z(idx, z, _xrows(X), min_length=8, every_column=True)
+    haps_b = {m[0] for m in matches_b}
+    assert 3 in haps_b and 11 in haps_b
 
 
 def test_symbols_roundtrip(rng):
@@ -103,3 +118,37 @@ def test_quilt2_end_to_end_mspbwt(rng, tmp_path):
     )
     assert out.results[0].imputed
     assert out.r2_per_sample[0] > 0.85, out.r2_per_sample
+
+
+def test_native_build_matches_numpy(rng):
+    """The C++ index build (quilt_io.cpp:qio_mspbwt_build) and the NumPy
+    fallback produce identical structures."""
+    from quilt_tpu.io.native import mspbwt_build_native, native_available
+
+    if not native_available():
+        pytest.skip("no native lib")
+    K, nGrids = 300, 64
+    hm = rng.integers(0, 30, size=(K, nGrids)).astype(np.uint8)
+    for i, n_idx in [(0, 2), (1, 2)]:
+        grids = np.arange(i, nGrids, n_idx, dtype=np.int32)
+        egs = 5
+        Yn, Cn, cpn, An = mspbwt_build_native(hm, grids, egs)
+        # numpy reference
+        X = np.asfortranarray(hm[:, grids])
+        T = len(grids)
+        A = np.arange(K, dtype=np.int32)
+        Y = np.empty((T, K), dtype=np.uint8)
+        C = np.zeros((T, 257), dtype=np.int32)
+        cps, Acp = [], []
+        for t in range(T):
+            y = X[A, t]
+            Y[t] = y
+            C[t, 1:] = np.cumsum(np.bincount(y, minlength=256))
+            A = A[np.argsort(y, kind="stable")]
+            if (t + 1) % egs == 0 or t == T - 1:
+                cps.append(t)
+                Acp.append(A.copy())
+        np.testing.assert_array_equal(Yn, Y)
+        np.testing.assert_array_equal(Cn, C)
+        np.testing.assert_array_equal(cpn, np.asarray(cps))
+        np.testing.assert_array_equal(An, np.stack(Acp))
