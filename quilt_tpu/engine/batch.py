@@ -7,8 +7,10 @@ samples in one kernel call multiplies throughput: batch rows are
 build_batched). This replaces the reference's fork-per-sample parallelism
 (QUILT/R/quilt.R:692) as the production scaling path on a chip.
 
-Covers the diploid/NIPT QUILT1 and QUILT2(mspbwt) paths; rare/common and
-HLA runs use the per-sample engine (engine/sample.py).
+Covers the diploid and NIPT paths of QUILT1 and QUILT2 (mspbwt and
+rare/common included — the all-SNP final Gibbs runs batched too); HLA and
+diagnostic-flag runs use the per-sample engine (engine/sample.py). NIPT
+batches share one fetal fraction; the driver groups samples by ff.
 """
 from __future__ import annotations
 
@@ -59,6 +61,7 @@ def impute_samples_batched(
     cfg: ImputeConfig,
     seed: int,
     ff_values: Optional[np.ndarray] = None,
+    reads_all_list: Optional[Sequence[SampleReads]] = None,
 ) -> List[SampleResult]:
     prep = ctx.prep
     nSNPs, nGrids, K, nl = prep.nSNPs, prep.nGrids, prep.K, ctx.n_latent
@@ -201,6 +204,85 @@ def impute_samples_batched(
             new_sets[b] = np.sort(np.concatenate([prev_sel, new]))
         return hap_dos, new_sets
 
+    # rare/common (QUILT2 impute_rare_common): the final all-SNP Gibbs
+    # runs for the whole {sample x chain} batch in one kernel call, same
+    # restructuring as the common-SNP sweep (reference: rare_common.R:109-470
+    # runs it per sample inside the fork loop)
+    rare_common = (
+        cfg.impute_rare_common and reads_all_list is not None
+        and prep.snp_is_common is not None
+    )
+    if rare_common:
+        from .rare_common import (
+            build_subset_bits_all, initial_all_snp_labels,
+        )
+        reads_all_sorted = [r.sorted_by_grid() for r in reads_all_list]
+        nSNPs_all = len(prep.snp_is_common)
+        nGrids_all = ctx.nGrids_all
+        ginputs_all1 = GibbsInputs.build_batched(
+            reads_all_sorted, ctx.trans_all, nGrids_all
+        )
+        ginputs_all = ginputs_all1.repeat_rows(C)
+        preads_all1 = PaddedReads.build_batched(
+            reads_all_sorted, ref_error=prep.ref_error
+        )
+        preads_all = PaddedReads(
+            u_pad=np.repeat(preads_all1.u_pad, C, axis=0),
+            lr=np.repeat(preads_all1.lr, C, axis=0),
+            la=np.repeat(preads_all1.la, C, axis=0),
+            mask=np.repeat(preads_all1.mask, C, axis=0),
+            wif0=np.repeat(preads_all1.wif0, C, axis=0),
+            nReads=preads_all1.nReads,
+            J=preads_all1.J,
+            lpr=np.repeat(preads_all1.lpr, C, axis=0),
+            lpa=np.repeat(preads_all1.lpa, C, axis=0),
+        )
+        dosage_all_acc = np.zeros((S, nSNPs_all))
+        gp_all_acc = np.zeros((S, 3, nSNPs_all))
+        fet_dosage_all_acc = np.zeros((S, nSNPs_all))
+        fet_gp_all_acc = np.zeros((S, 3, nSNPs_all))
+        n_all_acc = 0
+
+    def run_all_snp_gibbs(which_b, hap_dos_common, max_diff):
+        """Batched final all-SNP Gibbs (rare/common mode). `which_b` and
+        `hap_dos_common` have B = S*C rows (phasing rows replicated x C so
+        the compiled shapes are shared with the main call)."""
+        bits_np = build_subset_bits_all(
+            prep.rhb_t, which_b, prep.snp_is_common,
+            prep.rare_per_hap_info, nGrids_all,
+        )
+        Ksub = which_b.shape[1]
+        Kp = pad_to_multiple(Ksub, 128)
+        if Kp != Ksub:
+            pad = np.repeat(bits_np[:, :1, :], Kp - Ksub, axis=1)
+            bits_np = np.concatenate([bits_np, pad], axis=1)
+        H0_all = np.zeros((B, ginputs_all.R), dtype=np.int32)
+        for b in range(B):
+            ra = reads_all_sorted[b // C]
+            H0_all[b, : ra.nReads] = initial_all_snp_labels(
+                ra, hap_dos_common[b], prep.snp_is_common, nl, ff, rng
+            )
+        uniforms = rng.random((n_its, B, ginputs_all.R)).astype(np.float32)
+        for attempt in range(11):
+            gp_a, gpF_a, hd_a, Hn, ll, uf, Hcls = run_gibbs_chains(
+                bits=bits_np, preads=preads_all, inputs=ginputs_all,
+                uniforms=uniforms, H0=H0_all,
+                first_read=np.zeros(B, dtype=np.int32), n_latent=nl, ff=ff,
+                n_burn_in=n_its - 1, iterative_init=False, K_real=Ksub,
+                max_diff=max_diff, ref_error=prep.ref_error,
+            )
+            if not uf.any():
+                break
+            max_diff = max(1.0, max_diff / 10.0)
+            print_message(
+                f"Underflow in all-SNP Gibbs; retrying batch with "
+                f"maxDifferenceBetweenReads={max_diff}"
+            )
+        return (
+            gp_a[:, :, :nSNPs_all], gpF_a[:, :, :nSNPs_all],
+            hd_a[:, :, :nSNPs_all],
+        )
+
     dosage_acc = np.zeros((S, nSNPs))
     gp_acc = np.zeros((S, 3, nSNPs))
     fet_dosage_acc = np.zeros((S, nSNPs))
@@ -245,6 +327,26 @@ def impute_samples_batched(
                 fet_gp_acc[:, 2] += (h1 * h3).sum(axis=1)
             n_acc += C
         hap_dos_final = hap_dos
+
+    if rare_common:
+        gp_a, gpF_a, hd_a = run_all_snp_gibbs(
+            which_haps, hap_dos_final[:, :, :nSNPs], max_diff
+        )
+        h1a = hd_a[:, 0].reshape(S, C, nSNPs_all)
+        h2a = hd_a[:, 1].reshape(S, C, nSNPs_all)
+        dosage_all_acc += (h1a + h2a).sum(axis=1)
+        gp_all_acc[:, 0] += ((1 - h1a) * (1 - h2a)).sum(axis=1)
+        gp_all_acc[:, 1] += (h1a * (1 - h2a) + (1 - h1a) * h2a).sum(axis=1)
+        gp_all_acc[:, 2] += (h1a * h2a).sum(axis=1)
+        if nl == 3:
+            h3a = hd_a[:, 2].reshape(S, C, nSNPs_all)
+            fet_dosage_all_acc += (h1a + h3a).sum(axis=1)
+            fet_gp_all_acc[:, 0] += ((1 - h1a) * (1 - h3a)).sum(axis=1)
+            fet_gp_all_acc[:, 1] += (
+                h1a * (1 - h3a) + (1 - h1a) * h3a
+            ).sum(axis=1)
+            fet_gp_all_acc[:, 2] += (h1a * h3a).sum(axis=1)
+        n_all_acc += C
 
     # per-sample consensus
     cons_list = []
@@ -297,6 +399,48 @@ def impute_samples_batched(
             hap_dos_ph = hap_dos_ph_b
         else:
             hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, row_to_sample)
+
+    if rare_common:
+        # final phased all-SNP Gibbs; rows are replicated x C, take row 0
+        # per sample (reference: rare_common.R final call in the phasing
+        # i_gibbs_sample)
+        gp_ph, gpF_ph, hd_ph = run_all_snp_gibbs(
+            wh_p, hap_dos_ph[:, :, :nSNPs], max_diff
+        )
+        hap_dos_ph = hd_ph[np.arange(S) * C]
+        results: List[SampleResult] = []
+        for s in range(S):
+            if not ok[s]:
+                results.append(SampleResult(imputed=False))
+                continue
+            gp_all = gp_all_acc[s] / max(n_all_acc, 1)
+            dosage_all = dosage_all_acc[s] / max(n_all_acc, 1)
+            acount = sample_allele_count(reads_all_sorted[s], nSNPs_all)
+            if nl == 2:
+                hd1, hd2 = recast_haps(
+                    hap_dos_ph[s, 0], hap_dos_ph[s, 1], gp_all
+                )
+                results.append(SampleResult(
+                    imputed=True, dosage=dosage_all, gp=gp_all,
+                    phased_haps=np.stack([np.round(hd1), np.round(hd2)]),
+                    read_labels=cons_list[s], allele_count=acount,
+                ))
+            else:
+                fet_gp_all = fet_gp_all_acc[s] / max(n_all_acc, 1)
+                fet_dosage_all = fet_dosage_all_acc[s] / max(n_all_acc, 1)
+                h1, h2, h3 = recast_nipt_haps(
+                    hap_dos_ph[s, 0], hap_dos_ph[s, 1], hap_dos_ph[s, 2],
+                    gp_all, fet_gp_all,
+                )
+                results.append(SampleResult(
+                    imputed=True, dosage=dosage_all, gp=gp_all,
+                    phased_haps=np.stack([h1, h2, h3]),
+                    read_labels=cons_list[s], allele_count=acount,
+                    mat_gp=gp_all, fet_gp=fet_gp_all,
+                    mat_dosage=dosage_all, fet_dosage=fet_dosage_all,
+                ))
+        return results
+
     hap_dos_ph = hap_dos_ph[np.arange(S) * C]      # row 0 of each sample
 
     results: List[SampleResult] = []

@@ -95,26 +95,51 @@ def quilt_impute(
 
     # multi-sample device batching (production path): the Gibbs sweep cost
     # is nearly flat in batch size, so samples x chains share one kernel call
+    needs_per_sample_diag = (
+        cfg.make_heuristic_plot or cfg.record_read_label_usage
+        or cfg.record_interim_dosages or cfg.output_read_label_prob
+        or bool(cfg.RData_objects_to_save) or bool(cfg.output_RData_filename)
+        or cfg.make_plots or cfg.plot_per_sample_likelihoods
+    )
     use_batched = (
         cfg.sample_batch > 1
         and N > 1
-        and not rare_common
         and not cfg.hla_run
-        and not cfg.make_heuristic_plot
-        and method == "diploid"
+        and not needs_per_sample_diag
+        and method in ("diploid", "nipt")
     )
     precomputed: Dict[int, SampleResult] = {}
     if use_batched:
         from .batch import impute_samples_batched
-        for s0 in range(0, N, cfg.sample_batch):
-            group = list(range(s0, min(s0 + cfg.sample_batch, N)))
+        # NIPT batches share one ff (the kernel's class tables are
+        # ff-shaped); group sample indices by ff so per-sample fetal
+        # fractions stay exact
+        if method == "nipt":
+            order: Dict[float, List[int]] = {}
+            for i in range(N):
+                order.setdefault(float(ff_values[i]), []).append(i)
+            index_groups = [g for v in order.values() for g in
+                            [v[j:j + cfg.sample_batch]
+                             for j in range(0, len(v), cfg.sample_batch)]]
+        else:
+            index_groups = [
+                list(range(s0, min(s0 + cfg.sample_batch, N)))
+                for s0 in range(0, N, cfg.sample_batch)
+            ]
+        for group in index_groups:
+            if len(group) == 1 and rare_common:
+                continue   # no batching win; per-sample path below
             print_message(
                 f"Imputing samples {group[0] + 1}-{group[-1] + 1}/{N} "
                 f"(batched)"
             )
             batch_res = impute_samples_batched(
-                ctx, [samples[i] for i in group], cfg, seed=cfg.seed + s0,
+                ctx, [samples[i] for i in group], cfg,
+                seed=cfg.seed + group[0],
                 ff_values=ff_values[group],
+                reads_all_list=(
+                    [samples_all[i] for i in group] if rare_common else None
+                ),
             )
             for gi, i in enumerate(group):
                 precomputed[i] = batch_res[gi]
