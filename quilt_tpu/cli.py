@@ -145,7 +145,40 @@ def cmd_prepare(args) -> int:
         exclude = [
             l.split()[0] for l in open(cfg.reference_exclude_samplelist_file)
         ]
-    if cfg.reference_vcf_file:
+    presplit = None
+    if (cfg.reference_vcf_file and cfg.chr and keep is None
+            and exclude is None and not cfg.region_exclude_file):
+        # streaming packed ingest (tabix/CSI region seek, native rare/common
+        # split): the [K, nSNPs] allele matrix is never inflated on host
+        try:
+            from .io.native import native_available, read_panel_vcf_packed
+            if native_available():
+                presplit = read_panel_vcf_packed(
+                    cfg.reference_vcf_file,
+                    region_chrom=cfg.chr or None,
+                    region_start=region_start,
+                    region_end=region_end,
+                    rare_af_threshold=(
+                        cfg.rare_af_threshold
+                        if cfg.impute_rare_common else None
+                    ),
+                )
+        except Exception as e:
+            print_message(f"Streaming panel ingest failed ({e}); "
+                          f"using row-matrix path")
+            presplit = None
+    if presplit is not None:
+        p_chrom = cfg.chr
+        p_pos = presplit["pos"]
+        p_ref, p_alt = presplit["ref_allele"], presplit["alt_allele"]
+        p_haps = None
+        p_names = presplit["sample_names"]
+        print_message(
+            f"Read panel VCF (streaming): {presplit['K']} haplotypes x "
+            f"{len(p_pos)} SNPs ({presplit['n_skipped']} skipped"
+            f"{', indexed' if presplit['used_index'] else ''})"
+        )
+    elif cfg.reference_vcf_file:
         panel = read_panel_vcf(
             cfg.reference_vcf_file,
             region_chrom=cfg.chr or None,
@@ -207,6 +240,7 @@ def cmd_prepare(args) -> int:
         use_mspbwt=cfg.use_mspbwt,
         mspbwt_nindices=cfg.mspbwt_nindices,
         sample_names=p_names if p_names is not None and len(p_names) else None,
+        presplit=presplit,
     )
     out = cfg.output_file
     if not out:
@@ -301,6 +335,24 @@ def cmd_impute(args, quilt2: bool = False) -> int:
             bam_sample_name(b) or os.path.basename(b).split(".")[0]
             for b in bam_files
         ]
+    # region must live on the chromosome as the BAM header knows it
+    # (reference clamps the buffered region end to the @SQ length,
+    # quilt.R:646 via quilt_get_chromosome_length)
+    from .io.bam import bam_chromosome_length
+    try:
+        chrlen = bam_chromosome_length(bam_files[0], prep.chrom)
+    except Exception:
+        chrlen = None
+    if chrlen is None:
+        print_message(
+            f"Warning: chromosome {prep.chrom} not in the header of "
+            f"{bam_files[0]}; reads will not be found"
+        )
+    elif int(prep.pos[-1]) > chrlen:
+        print_message(
+            f"Warning: prepared region extends to {int(prep.pos[-1])} "
+            f"beyond {prep.chrom} length {chrlen} in {bam_files[0]}"
+        )
     rc_mode = cfg.impute_rare_common and prep.pos_all is not None
     load_pos = prep.pos_all if rc_mode else prep.pos
     load_ref = prep.ref_allele_all if rc_mode else prep.ref_allele
@@ -381,14 +433,30 @@ def cmd_hla_prepare(args) -> int:
         from .hla.db import HLAGene
         from .hla.imgt import load_imgt_zip
 
-        if not (args.region and args.region_end):
-            print("--region/--region_start/--region_end are required with "
+        if not args.region:
+            print("--region is required with "
                   "--ipd_igmt_alignments_zip_file", file=sys.stderr)
             return 1
-        gene = HLAGene(name=args.region, chrom=args.region_chrom,
-                       start=args.region_start, end=args.region_end)
+        if args.region_end:
+            gene = HLAGene(name=args.region, chrom=args.region_chrom,
+                           start=args.region_start, end=args.region_end)
+            strand = args.region_strand
+        else:
+            # built-in ancillary gene table (reference:
+            # hla_ancillary_files/hlagenes.txt + supplementary strand info)
+            from .hla.ancillary import gene_info, gene_strand
+            gene = gene_info(args.region)
+            if gene is None:
+                print(f"unknown HLA gene {args.region}; pass "
+                      f"--region_start/--region_end", file=sys.stderr)
+                return 1
+            strand = gene_strand(args.region)
+            print_message(
+                f"HLA gene {gene.name}: {gene.chrom}:{gene.start}-"
+                f"{gene.end} strand {strand} (ancillary table)"
+            )
         db = load_imgt_zip(args.ipd_igmt_alignments_zip_file, gene,
-                           strand=args.region_strand)
+                           strand=strand)
         print_message(
             f"Parsed IPD-IMGT alignment for {gene.name}: "
             f"{db.n_alleles} four-digit alleles x {db.gene.length} bp"
@@ -414,50 +482,104 @@ def cmd_hla_prepare(args) -> int:
 
 def cmd_hla(args) -> int:
     """QUILT_HLA equivalent: run imputation with gamma capture at the gene,
-    extract gene reads, type alleles, write the 4 summary tables."""
+    extract gene reads (both the mapped gene-region reads and the reads on
+    HLA alt contigs), type alleles, write the 4 summary tables. Accepts a
+    comma-separated list of prepared HLA references to type several genes
+    in one invocation (the reference runs QUILT_HLA once per region)."""
     import os
     from .engine.sample import RegionContext, impute_one_sample
     from .hla.prepare import load_hla_prepared
     from .hla.typing import GeneRead, type_hla_sample, write_hla_summaries
-    from .io.bam import bam_sample_name, load_bam_reads, load_bam_sequences
+    from .io.bam import (
+        bam_sample_name, load_bam_reads, load_bam_sequences,
+        load_hla_alt_contig_reads,
+    )
     from .panel.prepare import PreparedReference
 
     cfg: ImputeConfig = _config_from_args(ImputeConfig, args)
-    hla = load_hla_prepared(args.prepared_hla_reference_filename)
     prep = PreparedReference.load(cfg.prepared_reference_filename)
-    gene = hla.db.gene
-    cfg.hla_run = True
-    cfg.gamma_physically_closest_to = (gene.start + gene.end) // 2
-    ctx = RegionContext.build(prep, cfg)
     bam_files = [l.strip() for l in open(cfg.bamlist) if l.strip()]
     names = [
         bam_sample_name(b) or os.path.basename(b).split(".")[0]
         for b in bam_files
     ]
-    results = {}
-    for i, bam in enumerate(bam_files):
-        reads = load_bam_reads(
-            bam, prep.chrom, prep.pos, prep.ref_allele, prep.alt_allele,
-            prep.grid, bqFilter=cfg.bqFilter,
-            downsampleToCov=cfg.downsampleToCov, seed=cfg.seed,
-        )
-        res = impute_one_sample(ctx, reads, cfg, seed=cfg.seed + i)
-        raw = load_bam_sequences(
-            bam, gene.chrom, gene.start - 300, gene.end + 300
-        )
-        gene_reads = [
-            GeneRead(pos0=p0, seq=seq, qual=q) for (_qn, p0, seq, q) in raw
+    refseq_contigs = None
+    if getattr(args, "hla_refseq_file", ""):
+        # contig-name list (reference's refseq file; get_that2 greps its
+        # second column for HLA-<gene> names)
+        from .out.bgzf import bgzf_open
+        refseq_contigs = [
+            line.split("\t")[0].removeprefix("SN:")
+            for line in bgzf_open(args.hla_refseq_file)
+            if line.strip() and not line.startswith("#")
         ]
-        gam = res.hla_gamma_total if res.imputed else None
-        results[names[i]] = type_hla_sample(hla, gene_reads, gammas=gam)
-    write_hla_summaries(
-        results, names, cfg.outputdir or ".", gene.name
-    )
-    print_message(f"Wrote HLA summaries for {len(names)} samples")
+    hla_files = [
+        f for f in args.prepared_hla_reference_filename.split(",") if f
+    ]
+    use_alt = not getattr(args, "no_hla_alt_contig_reads", False)
+    for hla_file in hla_files:
+        hla = load_hla_prepared(hla_file)
+        gene = hla.db.gene
+        cfg.hla_run = True
+        cfg.gamma_physically_closest_to = (gene.start + gene.end) // 2
+        ctx = RegionContext.build(prep, cfg)
+        results = {}
+        for i, bam in enumerate(bam_files):
+            reads = load_bam_reads(
+                bam, prep.chrom, prep.pos, prep.ref_allele, prep.alt_allele,
+                prep.grid, bqFilter=cfg.bqFilter,
+                downsampleToCov=cfg.downsampleToCov, seed=cfg.seed,
+            )
+            res = impute_one_sample(ctx, reads, cfg, seed=cfg.seed + i)
+            raw = load_bam_sequences(
+                bam, gene.chrom, gene.start - 300, gene.end + 300
+            )
+            gene_reads = [
+                GeneRead(pos0=p0, seq=seq, qual=q)
+                for (_qn, p0, seq, q) in raw
+            ]
+            if use_alt and not bam.endswith(".cram"):
+                # second read source: reads mapped to the gene's HLA alt
+                # contigs (get_that2 / filter_that2, hla_functions.R:544-669);
+                # placed on the allele alignment by kmer seeding
+                alt_raw = load_hla_alt_contig_reads(
+                    bam, gene.name, gene.chrom, gene.start, gene.end,
+                    contig_names=[
+                        c for c in refseq_contigs
+                        if c.startswith(f"HLA-{gene.name}")
+                    ] if refseq_contigs else None,
+                )
+                gene_reads += [
+                    GeneRead(pos0=-1, seq=seq, qual=q)
+                    for (_qn, seq, q) in alt_raw
+                ]
+                if alt_raw:
+                    print_message(
+                        f"{bam}: +{len(alt_raw)} HLA alt-contig reads for "
+                        f"{gene.name}"
+                    )
+            gam = res.hla_gamma_total if res.imputed else None
+            results[names[i]] = type_hla_sample(hla, gene_reads, gammas=gam)
+        write_hla_summaries(
+            results, names, cfg.outputdir or ".", gene.name
+        )
+        print_message(
+            f"Wrote HLA summaries for {len(names)} samples ({gene.name})"
+        )
     return 0
 
 
 def main(argv: Optional[List[str]] = None) -> int:
+    # QUILT_TPU_PLATFORM=cpu|tpu forces the JAX backend (must run before
+    # the backend initializes; env vars alone are too late where a
+    # sitecustomize imports jax at interpreter startup)
+    plat = __import__("os").environ.get("QUILT_TPU_PLATFORM")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     argv = argv if argv is not None else sys.argv[1:]
     parser = argparse.ArgumentParser(
         prog="quilt-tpu",
@@ -500,7 +622,15 @@ def main(argv: Optional[List[str]] = None) -> int:
                            "enables the two-step haplotype phasing")
     p_hla = sub.add_parser("hla", help="HLA allele typing")
     _add_dataclass_args(p_hla, ImputeConfig)
-    p_hla.add_argument("--prepared_hla_reference_filename", required=True)
+    p_hla.add_argument("--prepared_hla_reference_filename", required=True,
+                       help="prepared HLA npz; comma-separate to type "
+                            "several genes in one invocation")
+    p_hla.add_argument("--hla_refseq_file", default="",
+                       help="contig-name list restricting the HLA "
+                            "alt-contig read source (reference's refseq "
+                            "file)")
+    p_hla.add_argument("--no_hla_alt_contig_reads", action="store_true",
+                       help="disable the HLA alt-contig read source")
     args = parser.parse_args(argv)
     print_message("quilt-tpu invocation: " + " ".join(sys.argv))
     if args.command in ("prepare", "prepare2"):

@@ -201,7 +201,9 @@ def quilt_impute(
             # plot_per_sample_likelihoods draws the same diagnostic panel,
             # which includes the per-iteration likelihood traces
             # (reference: plotting_functions.R:351-552)
-            from ..out.plots import plot_sample_diagnostics
+            from ..out.plots import (
+                plot_hclass, plot_read_label_flips, plot_sample_diagnostics,
+            )
             plot_sample_diagnostics(
                 cfg.outputdir, sample_names[i], region_name,
                 pos=out_pos, dosage=res.dosage, gp=gp,
@@ -209,6 +211,17 @@ def quilt_impute(
                 truth_gen=truth_gen[:, i] if truth_gen is not None else None,
                 per_it_likelihoods=res.per_it_likelihoods,
             )
+            # read-flip / H_class diagnostics (reference:
+            # plotting_functions.R:553-734) when the data was recorded
+            if res.read_label_usage is not None:
+                plot_read_label_flips(
+                    cfg.outputdir, sample_names[i], region_name,
+                    res.read_label_usage,
+                )
+            if res.H_class is not None:
+                plot_hclass(
+                    cfg.outputdir, sample_names[i], region_name, res.H_class
+                )
         if truth_gen is not None:
             r2 = r2_simple(truth_gen[:, i], res.dosage)
             r2s.append(r2)
@@ -262,12 +275,27 @@ def quilt_impute(
         from dataclasses import replace as dc_replace
         from ..out.plots import plot_heuristic_comparison
 
+        # strategy panel mirroring the reference's 5 traces (QUILT1,
+        # zilong A/B, mspbwt A/B): full-panel top-K plus the mspbwt
+        # selection under both match-finding approaches. (The reference's
+        # zilong A and B rows are captures of the same non-mspbwt selection
+        # at two pipeline points, functions.R:752-778 — they collapse to
+        # the QUILT1 trace here.)
         can_mspbwt = prep.ms_indices is not None
-        cur = "mspbwt" if cfg.use_mspbwt else "full-panel top-K"
-        alt = "full-panel top-K" if cfg.use_mspbwt else "mspbwt"
-        alt_cfg = dc_replace(
-            cfg, use_mspbwt=not cfg.use_mspbwt, make_plots=False,
-        )
+        cur = (f"mspbwt {cfg.heuristic_approach}" if cfg.use_mspbwt
+               else "QUILT1 top-K")
+        variants = {}
+        if cfg.use_mspbwt:
+            variants["QUILT1 top-K"] = dc_replace(
+                cfg, use_mspbwt=False, make_plots=False)
+        elif can_mspbwt:
+            variants[f"mspbwt {cfg.heuristic_approach}"] = dc_replace(
+                cfg, use_mspbwt=True, make_plots=False)
+        if can_mspbwt:
+            other = "B" if cfg.heuristic_approach == "A" else "A"
+            variants[f"mspbwt {other}"] = dc_replace(
+                cfg, use_mspbwt=True, heuristic_approach=other,
+                make_plots=False)
         for i, res in enumerate(results):
             if not res.imputed or res.seek_dosages is None:
                 continue
@@ -275,14 +303,14 @@ def quilt_impute(
                 cur: [r2_simple(truth_gen[:, i], d)
                       for d in res.seek_dosages],
             }
-            if cfg.use_mspbwt or can_mspbwt:
+            for label, vcfg in variants.items():
                 res_alt = impute_one_sample(
-                    ctx, samples[i], alt_cfg, seed=cfg.seed + i,
+                    ctx, samples[i], vcfg, seed=cfg.seed + i,
                     ff=ff_values[i], reads_all=samples_all[i],
                 )
                 if res_alt.imputed and res_alt.seek_dosages is not None:
-                    traces[alt] = [r2_simple(truth_gen[:, i], d)
-                                   for d in res_alt.seek_dosages]
+                    traces[label] = [r2_simple(truth_gen[:, i], d)
+                                     for d in res_alt.seek_dosages]
             plot_heuristic_comparison(
                 cfg.outputdir, sample_names[i], region_name, traces
             )

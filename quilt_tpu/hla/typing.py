@@ -42,6 +42,75 @@ class HLATypingResult:
     post: float
 
 
+def revcomp_codes(seq: np.ndarray) -> np.ndarray:
+    """Reverse complement of 0..3 base codes (4 = unknown stays 4)."""
+    r = seq[::-1]
+    return np.where(r < 4, 3 - r, 4).astype(np.uint8)
+
+
+def _rolling_kmer_codes(seq: np.ndarray, k: int):
+    """(codes, valid) for every k-mer start in seq: 2-bit packed code and a
+    validity mask (no unknown base inside the window)."""
+    L = len(seq)
+    if L < k:
+        return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=bool)
+    s = np.where(seq < 4, seq, 0).astype(np.int64)
+    n = L - k + 1
+    codes = np.zeros(n, dtype=np.int64)
+    for j in range(k):
+        codes = (codes << 2) | s[j:j + n]
+    okbase = (seq < 4)
+    valid = np.ones(n, dtype=bool)
+    for j in range(k):
+        valid &= okbase[j:j + n]
+    return codes, valid
+
+
+def build_seed_index(db, k: int) -> Dict[int, int]:
+    """k-mer -> gene-alignment offset of its first occurrence across all
+    alleles. Because db.seqs is the IPD-IMGT multiple alignment, one offset
+    places a read against every allele simultaneously — the TPU-side
+    restructuring of the reference's per-allele lookup/revlookup seed
+    tables (hla_functions.R getalleles; built at hla_prepare_functions.R
+    make_and_save_hla_full_alleles_filled_in)."""
+    idx: Dict[int, int] = {}
+    for a in range(db.n_alleles):
+        codes, valid = _rolling_kmer_codes(db.seqs[a], k)
+        for p in np.flatnonzero(valid):
+            c = int(codes[p])
+            if c not in idx:
+                idx[c] = int(p)
+    return idx
+
+
+def place_read_by_kmers(
+    seq: np.ndarray, seed_idx: Dict[int, int], k: int,
+    max_probes: int = 12,
+) -> Tuple[Optional[int], int]:
+    """Seed a read against the gene alignment: probe k-mers at spread
+    offsets, vote on the implied read start offset. Returns
+    (start_offset_in_gene, n_votes); (None, 0) when nothing seeds.
+    Equivalent of the reference's 4-probe kk[] lookup placement
+    (hla_functions.R do_simon_read_stuff readpos construction)."""
+    codes, valid = _rolling_kmer_codes(seq, k)
+    n = len(codes)
+    if n == 0:
+        return None, 0
+    step = max(1, n // max_probes)
+    votes: Dict[int, int] = {}
+    for off in range(0, n, step):
+        if not valid[off]:
+            continue
+        p = seed_idx.get(int(codes[off]))
+        if p is not None:
+            st = p - off
+            votes[st] = votes.get(st, 0) + 1
+    if not votes:
+        return None, 0
+    st, v = max(votes.items(), key=lambda kv: kv[1])
+    return st, v
+
+
 def _kmer_fraction(seq: np.ndarray, kmers, k: int) -> float:
     if len(seq) < k:
         return 0.0
@@ -63,9 +132,12 @@ def _kmer_fraction(seq: np.ndarray, kmers, k: int) -> float:
 
 
 def read_allele_loglik(
-    read: GeneRead, hla: HLAPrepared
+    read: GeneRead, hla: HLAPrepared,
+    start_off: Optional[int] = None,
 ) -> Optional[np.ndarray]:
-    """log P(read | allele) for every allele, aligning by genomic position.
+    """log P(read | allele) for every allele, aligning by genomic position
+    (mapped reads) or by a caller-supplied gene offset (kmer-seeded
+    alt-contig reads).
 
     Bases outside the gene span are ignored; mismatches cost log(eps/3)
     with eps from the base quality (hla_functions.R getscores :974-999).
@@ -73,7 +145,8 @@ def read_allele_loglik(
     g = hla.db.gene
     A = hla.db.n_alleles
     L = g.length
-    start_off = read.pos0 + 1 - g.start          # offset into gene seq
+    if start_off is None:
+        start_off = read.pos0 + 1 - g.start      # offset into gene seq
     lo = max(0, -start_off)
     hi = min(len(read.seq), L - start_off)
     if hi - lo < hla.k:
@@ -107,11 +180,33 @@ def type_hla_sample(
     # ---- direct read likelihoods with kmer filter
     logliks: List[np.ndarray] = []
     n_filtered = 0
+    seed_idx: Optional[Dict[int, int]] = None
     for rd in reads:
-        if _kmer_fraction(rd.seq, hla.kmers, hla.k) < kmer_min_fraction:
+        seq, qual, start_off = rd.seq, rd.qual, None
+        if rd.pos0 is None or rd.pos0 < 0:
+            # alt-contig read with no genomic position: place it on the
+            # allele alignment by kmer seeding, trying both strands
+            # (reference scores fwd + revcomp and keeps the better,
+            # hla_functions.R do_simon_read_stuff :1345-1645)
+            if seed_idx is None:
+                seed_idx = build_seed_index(hla.db, hla.k)
+            st_f, v_f = place_read_by_kmers(seq, seed_idx, hla.k)
+            rc = revcomp_codes(seq)
+            st_r, v_r = place_read_by_kmers(rc, seed_idx, hla.k)
+            if max(v_f, v_r) < 2:
+                n_filtered += 1
+                continue
+            if v_r > v_f:
+                seq = rc
+                qual = np.asarray(qual)[::-1]
+                start_off = st_r
+            else:
+                start_off = st_f
+            rd = GeneRead(pos0=-1, seq=seq, qual=qual)
+        if _kmer_fraction(seq, hla.kmers, hla.k) < kmer_min_fraction:
             n_filtered += 1
             continue
-        ll = read_allele_loglik(rd, hla)
+        ll = read_allele_loglik(rd, hla, start_off=start_off)
         if ll is not None:
             logliks.append(ll)
     # ---- state-posterior allele prior
@@ -126,21 +221,22 @@ def type_hla_sample(
         prior = np.full(A, 1.0 / A)
 
     def pair_posteriors(use_reads: bool, use_prior: bool):
+        # vectorized over the full A x A pair matrix: per read r,
+        # log P(r | a1, a2) = logsumexp(ll[a1] - log2, ll[a2] - log2)
+        # accumulated as an outer sum of per-read scaled likelihoods
+        # (replaces the reference's per-pair loop, hla_functions.R:1345-1645;
+        # O(R*A^2) vector work instead of O(A^2 * R) Python)
         logw = np.zeros((A, A))
-        for a1 in range(A):
-            for a2 in range(a1, A):
-                lw = 0.0
-                if use_prior:
-                    lw += np.log(prior[a1]) + np.log(prior[a2])
-                    if a1 != a2:
-                        lw += np.log(2.0)
-                if use_reads:
-                    for ll in logliks:
-                        m = max(ll[a1], ll[a2])
-                        lw += m + np.log(
-                            0.5 * np.exp(ll[a1] - m) + 0.5 * np.exp(ll[a2] - m)
-                        )
-                logw[a1, a2] = lw
+        if use_prior:
+            lp = np.log(prior)
+            logw += lp[:, None] + lp[None, :]
+            logw += np.where(np.eye(A, dtype=bool), 0.0, np.log(2.0))
+        if use_reads and logliks:
+            LL = np.stack(logliks)                    # [R, A]
+            m = LL.max(axis=1, keepdims=True)         # per-read scale
+            E = 0.5 * np.exp(LL - m)                  # [R, A]
+            for r in range(LL.shape[0]):
+                logw += m[r, 0] + np.log(E[r][:, None] + E[r][None, :])
         iu = np.triu_indices(A)
         vals = logw[iu]
         vals = vals - vals.max()

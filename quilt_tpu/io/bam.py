@@ -20,7 +20,7 @@ from __future__ import annotations
 import struct
 import zlib
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -158,7 +158,7 @@ def _parse_record(rec: bytes):
             qual, tags)
 
 
-def _get_bx_tag(tags: bytes) -> Optional[str]:
+def _get_tag(tags: bytes, want: bytes) -> Optional[str]:
     i = 0
     n = len(tags)
     while i + 3 <= n:
@@ -183,10 +183,14 @@ def _get_bx_tag(tags: bytes) -> Optional[str]:
             val, sz = None, 5 + cnt * szmap[sub]
         else:
             return None
-        if tag == b"BX" and isinstance(val, str):
+        if tag == want and isinstance(val, str):
             return val
         i += sz
     return None
+
+
+def _get_bx_tag(tags: bytes) -> Optional[str]:
+    return _get_tag(tags, b"BX")
 
 
 def load_bam_reads(
@@ -204,8 +208,44 @@ def load_bam_reads(
     seed: int = 1,
     cram_fasta: Optional[str] = None,
     useSoftClippedBases: bool = False,
+    use_native: bool = True,
 ) -> SampleReads:
     nSNPs = len(snp_pos)
+    # native streaming extractor (index-aware; quilt_io.cpp) for BAM inputs;
+    # CRAM and no-compiler hosts use the pure-Python reader below
+    if use_native and not path.endswith(".cram"):
+        try:
+            from .native import native_available, load_bam_reads_native
+            if native_available():
+                u, bq, offsets, used_index = load_bam_reads_native(
+                    path, chrom, snp_pos, ref_allele, alt_allele,
+                    bqFilter=bqFilter, iSizeUpperLimit=iSizeUpperLimit,
+                    region_start=int(snp_pos[0]) if nSNPs else None,
+                    region_end=int(snp_pos[-1]) if nSNPs else None,
+                    use_bx_tag=use_bx_tag, bxTagUpperLimit=bxTagUpperLimit,
+                    useSoftClippedBases=useSoftClippedBases,
+                )
+                us_list = [
+                    u[offsets[i]:offsets[i + 1]]
+                    for i in range(len(offsets) - 1)
+                ]
+                bq_list = [
+                    bq[offsets[i]:offsets[i + 1]]
+                    for i in range(len(offsets) - 1)
+                ]
+                reads = SampleReads.from_lists(us_list, bq_list, grid)
+                rng = np.random.default_rng(seed)
+                if downsampleToCov and downsampleToCov > 0:
+                    reads = downsample_reads(reads, nSNPs, downsampleToCov, rng)
+                snap_reads_to_grid(reads, grid)
+                reads = reads.sorted_by_grid()
+                print_message(
+                    f"{path}: {reads.nReads} reads covering SNPs "
+                    f"(native{', indexed' if used_index else ''})"
+                )
+                return reads
+        except Exception as e:
+            print_message(f"Native BAM path failed ({e}); using Python reader")
     ref_code = np.array([SEQ_DECODE.index(a) for a in ref_allele], dtype=np.uint8)
     alt_code = np.array([SEQ_DECODE.index(a) for a in alt_allele], dtype=np.uint8)
     groups: Dict[str, BamRead] = {}
@@ -349,3 +389,148 @@ def load_bam_sequences(
             seq[qi] = decode_code.get(base, 4)
         out.append((qname, pos0, seq, np.frombuffer(qual, dtype=np.uint8)))
     return out
+
+
+_PRIMARY_CHROM_NAMES = frozenset(
+    [f"chr{i}" for i in range(1, 23)] + ["chrX", "chrY", "chrM"]
+    + [str(i) for i in range(1, 23)] + ["X", "Y", "MT", "M"]
+)
+
+
+def load_hla_alt_contig_reads(
+    path: str,
+    gene_name: str,
+    chrom: str,
+    regstart: int,
+    regend: int,
+    contig_names: Optional[Sequence[str]] = None,
+):
+    """Second HLA read source: reads mapped to the HLA alt contigs of the
+    gene (GRCh38 ALT contigs named HLA-<allele>), filtered so that reads
+    whose mate or alternative mapping points elsewhere in the genome are
+    dropped.
+
+    Functional equivalent of get_that2 (hla_functions.R:544-612: samtools
+    view over the "HLA-<gene>" contigs listed in the refseq file) +
+    filter_that2 (:614-669: drop reads whose mate maps to another primary
+    chromosome, whose mate maps to `chrom` outside [regstart-1000,
+    regend+1000], or whose XA alternative mappings point outside the gene
+    region). These reads carry no usable genomic position — typing places
+    them on the allele alignment by kmer seeding (hla/typing.py).
+
+    Returns list of (qname, seq_codes uint8 0..4, quals uint8)."""
+    decode_code = {1: 0, 2: 1, 4: 2, 8: 3}
+    prefix = f"HLA-{gene_name}"
+    want: Optional[set] = set(contig_names) if contig_names else None
+    out = []
+    match_tids = None
+    refs_cache = None
+    for header_text, refs, rec in _read_bam_stream(path):
+        if match_tids is None or refs is not refs_cache:
+            refs_cache = refs
+            match_tids = {
+                i for i, (name, _l) in enumerate(refs)
+                if (name in want if want is not None
+                    else name.startswith(prefix))
+            }
+            if not match_tids:
+                return []
+        (refID, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+         next_ref, next_pos, tlen) = struct.unpack_from("<iiBBHHHiiii", rec, 0)
+        if refID not in match_tids:
+            continue
+        if flag & (FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_QCFAIL
+                   | FLAG_DUP | FLAG_SUPP):
+            continue
+        # mate filters (filter_that2 :634-646)
+        if 0 <= next_ref < len(refs):
+            mate_name = refs[next_ref][0]
+            if mate_name in _PRIMARY_CHROM_NAMES and mate_name != chrom:
+                continue
+            if mate_name == chrom and (
+                next_pos + 1 + l_seq + 1000 <= regstart
+                or next_pos + 1 - 1000 >= regend
+            ):
+                continue
+        off = 32
+        qname = rec[off:off + l_read_name - 1].decode()
+        off += l_read_name + 4 * n_cigar
+        nseq = (l_seq + 1) // 2
+        seq_bytes = rec[off:off + nseq]
+        off += nseq
+        qual = rec[off:off + l_seq]
+        tags = rec[off + l_seq:]
+        # alternative-mapping filter (filter_that2 :647-661): XA entries on
+        # another primary chromosome, or on `chrom` outside the region
+        xa = _get_tag(bytes(tags), b"XA")
+        if xa:
+            bad = False
+            for entry in xa.rstrip(";").split(";"):
+                fields = entry.split(",")
+                if len(fields) < 2:
+                    continue
+                xchrom = fields[0]
+                try:
+                    xpos = abs(int(fields[1]))
+                except ValueError:
+                    continue
+                if xchrom in _PRIMARY_CHROM_NAMES and xchrom != chrom:
+                    bad = True
+                    break
+                if xchrom == chrom and (
+                    xpos < regstart - l_seq or xpos > regend
+                ):
+                    bad = True
+                    break
+            if bad:
+                continue
+        seq = np.empty(l_seq, dtype=np.uint8)
+        for qi in range(l_seq):
+            nib = seq_bytes[qi >> 1]
+            base = (nib >> 4) if qi % 2 == 0 else (nib & 0xF)
+            seq[qi] = decode_code.get(base, 4)
+        out.append((qname, seq, np.frombuffer(bytes(qual), dtype=np.uint8)))
+    return out
+
+
+def bam_chromosome_length(path: str, chrom: str) -> Optional[int]:
+    """Chromosome length from the BAM/CRAM header @SQ lines (equivalent of
+    quilt_get_chromosome_length, copied_from_stitch.R:49-69; used at
+    quilt.R:646 to clamp the buffered region end)."""
+    if path.endswith(".cram"):
+        from .cram import read_cram
+        _header, refs, _recs = read_cram(path, header_only=True)
+    else:
+        refs = None
+        for _h, r, _rec in _read_bam_stream(path):
+            refs = r
+            break
+        if refs is None:  # header-only BAM (no alignments)
+            import struct as _struct
+            with open(path, "rb") as fh:
+                from ..out.bgzf import iter_bgzf_blocks
+                data = bytearray()
+                for b in iter_bgzf_blocks(fh):
+                    data.extend(b)
+                    if len(data) > (1 << 20):
+                        break
+            if data[:4] != b"BAM\x01":
+                return None
+            off = 4
+            l_text = _struct.unpack_from("<i", data, off)[0]
+            off += 4 + l_text
+            n_ref = _struct.unpack_from("<i", data, off)[0]
+            off += 4
+            refs = []
+            for _ in range(n_ref):
+                l_name = _struct.unpack_from("<i", data, off)[0]
+                off += 4
+                name = bytes(data[off:off + l_name - 1]).decode()
+                off += l_name
+                l_ref = _struct.unpack_from("<i", data, off)[0]
+                off += 4
+                refs.append((name, l_ref))
+    for name, length in refs or []:
+        if name == chrom:
+            return int(length)
+    return None

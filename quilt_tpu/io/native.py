@@ -71,14 +71,35 @@ def get_lib():
                 ctypes.c_void_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
             ]
             lib.qio_panel_free.argtypes = [ctypes.c_void_p]
+            lib.qio_panel_used_index.restype = ctypes.c_int
+            lib.qio_panel_used_index.argtypes = [ctypes.c_void_p]
+            lib.qio_panel_sites.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_char_p, ctypes.c_char_p,
+            ]
+            lib.qio_panel_alt_counts.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.qio_panel_pack.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
+            lib.qio_panel_rare_carriers.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_int32),
+            ]
             lib.qio_bam_extract.restype = ctypes.c_void_p
             lib.qio_bam_extract.argtypes = [
                 ctypes.c_char_p, ctypes.c_char_p,
+                ctypes.c_int64, ctypes.c_int64,
                 ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.POINTER(ctypes.c_uint8),
                 ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ]
+            lib.qio_reads_used_index.restype = ctypes.c_int
+            lib.qio_reads_used_index.argtypes = [ctypes.c_void_p]
             lib.qio_reads_n.restype = ctypes.c_int
             lib.qio_reads_n.argtypes = [ctypes.c_void_p]
             lib.qio_reads_n_bases.restype = ctypes.c_int64
@@ -198,9 +219,17 @@ def load_bam_reads_native(
     alt_allele: np.ndarray,
     bqFilter: int = 17,
     iSizeUpperLimit: int = 600,
-) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    region_start: Optional[int] = None,
+    region_end: Optional[int] = None,
+    use_bx_tag: bool = True,
+    bxTagUpperLimit: int = 50000,
+    useSoftClippedBases: bool = False,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, bool]:
     """Native fast path of io.bam.load_bam_reads: returns flat
-    (u, bq, offsets); grid snapping / downsampling happen in Python."""
+    (u, bq, offsets, used_index); grid snapping / downsampling happen in
+    Python. With region bounds and a .bai/.csi index present, only the
+    overlapping BGZF chunks of the BAM are read (htslib-equivalent region
+    query; reference relies on STITCH/htslib, QUILT/R/quilt.R:237-238)."""
     lib = get_lib()
     assert lib is not None
     snp_pos = np.ascontiguousarray(snp_pos, dtype=np.int64)
@@ -212,16 +241,21 @@ def load_bam_reads_native(
     )
     h = lib.qio_bam_extract(
         path.encode(), chrom.encode(),
+        -1 if region_start is None else int(region_start),
+        -1 if region_end is None else int(region_end),
         snp_pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         ref_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         alt_code.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         len(snp_pos), bqFilter, iSizeUpperLimit,
+        1 if use_bx_tag else 0, bxTagUpperLimit,
+        1 if useSoftClippedBases else 0,
     )
     if not h:
         raise IOError(f"native BAM parse failed for {path}")
     try:
         n_reads = lib.qio_reads_n(h)
         n_bases = lib.qio_reads_n_bases(h)
+        used_index = bool(lib.qio_reads_used_index(h))
         u = np.zeros(n_bases, dtype=np.int32)
         bq = np.zeros(n_bases, dtype=np.int16)
         offsets = np.zeros(n_reads + 1, dtype=np.int64)
@@ -232,6 +266,102 @@ def load_bam_reads_native(
                 bq.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)),
                 offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
             )
-        return u, bq, offsets
+        return u, bq, offsets, used_index
     finally:
         lib.qio_reads_free(h)
+
+
+def read_panel_vcf_packed(
+    path: str,
+    region_chrom: Optional[str] = None,
+    region_start: Optional[int] = None,
+    region_end: Optional[int] = None,
+    rare_af_threshold: Optional[float] = None,
+):
+    """Streaming packed panel ingest: the [K, nSNPs] allele matrix is never
+    inflated on host. Returns a dict with all-SNP sites + allele frequencies
+    and the packed common-SNP words; with rare_af_threshold set, also the
+    rare/common split (snp_is_common mask + per-rare-SNP carrier CSR), the
+    streaming equivalent of the reference's two-stage prepare
+    (quilt-prepare-reference.R:228-262).
+    """
+    lib = get_lib()
+    assert lib is not None
+    h = lib.qio_vcf_panel(
+        path.encode(),
+        (region_chrom or "").encode(),
+        -1 if region_start is None else region_start,
+        -1 if region_end is None else region_end,
+    )
+    if not h:
+        raise IOError(f"native VCF parse failed for {path}")
+    try:
+        n_snps = lib.qio_panel_n_snps(h)
+        n_haps = lib.qio_panel_n_haps(h)
+        n_skipped = lib.qio_panel_n_skipped(h)
+        n_samples = lib.qio_panel_n_samples(h)
+        used_index = bool(lib.qio_panel_used_index(h))
+        if n_snps == 0:
+            raise ValueError(f"No usable variants found in {path}")
+        pos = np.zeros(n_snps, dtype=np.int64)
+        ref = np.zeros(n_snps, dtype="S1")
+        alt = np.zeros(n_snps, dtype="S1")
+        lib.qio_panel_sites(
+            h,
+            pos.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ref.ctypes.data_as(ctypes.c_char_p),
+            alt.ctypes.data_as(ctypes.c_char_p),
+        )
+        alt_cnt = np.zeros(n_snps, dtype=np.int32)
+        lib.qio_panel_alt_counts(
+            h, alt_cnt.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        )
+        af_all = alt_cnt.astype(np.float64) / n_haps
+        snp_is_common = None
+        rare_flat = rare_offsets = None
+        if rare_af_threshold is not None:
+            maf = np.minimum(af_all, 1.0 - af_all)
+            snp_is_common = (maf >= rare_af_threshold)
+            keep = np.ascontiguousarray(snp_is_common, dtype=np.uint8)
+            n_common = int(snp_is_common.sum())
+            rare_cnt = alt_cnt[~snp_is_common].astype(np.int64)
+            rare_offsets = np.zeros(len(rare_cnt) + 1, dtype=np.int64)
+            np.cumsum(rare_cnt, out=rare_offsets[1:])
+            rare_flat = np.zeros(int(rare_offsets[-1]), dtype=np.int32)
+            lib.qio_panel_rare_carriers(
+                h,
+                keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                rare_flat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            )
+        else:
+            keep = None
+            n_common = n_snps
+        n_grids = (n_common + 31) // 32
+        rhb_t = np.zeros((n_haps, n_grids), dtype=np.uint32)
+        lib.qio_panel_pack(
+            h,
+            None if keep is None
+            else keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            rhb_t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        )
+        names: List[str] = []
+        buf = ctypes.create_string_buffer(256)
+        for i in range(n_samples):
+            lib.qio_panel_sample_name(h, i, buf, 256)
+            names.append(buf.value.decode())
+        return {
+            "pos": pos,
+            "ref_allele": ref.astype("U1"),
+            "alt_allele": alt.astype("U1"),
+            "af_all": af_all,
+            "rhb_t": rhb_t,
+            "snp_is_common": snp_is_common,
+            "rare_flat": rare_flat,
+            "rare_offsets": rare_offsets,
+            "sample_names": names,
+            "n_skipped": n_skipped,
+            "used_index": used_index,
+            "K": n_haps,
+        }
+    finally:
+        lib.qio_panel_free(h)

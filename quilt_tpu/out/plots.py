@@ -125,3 +125,116 @@ def plot_heuristic_comparison(
     plt.close(fig)
     print_message(f"Wrote {out}")
     return out
+
+
+def plot_read_label_flips(
+    outdir: str,
+    sample_name: str,
+    region_name: str,
+    read_label_usage: np.ndarray,     # int [n_seek_its, C, R]
+    export_data: bool = True,
+) -> Optional[str]:
+    """Read-label stability diagnostics: per-read label heatmap over
+    (seek iteration x chain) plus the per-read cross-chain flip fraction.
+
+    Functional equivalent of the reference's
+    plot_prob_of_flipping_to_first_hap (plotting_functions.R:553-637): the
+    reference rasterizes per-sampling-iteration flip probabilities; here
+    the recorded end-of-seek-iteration labels per chain play that role
+    (record_read_label_usage)."""
+    os.makedirs(os.path.join(outdir, "plots"), exist_ok=True)
+    base = os.path.join(
+        outdir, "plots", f"readflips.{sample_name}.{region_name}"
+    )
+    lab = np.asarray(read_label_usage)
+    n_its, C, R = lab.shape
+    # fraction of chains disagreeing with the majority label, per read/it
+    flip = np.empty((n_its, R))
+    for t in range(n_its):
+        if lab.max() <= 1:
+            maj = (lab[t].mean(axis=0) >= 0.5).astype(lab.dtype)
+        else:
+            # NIPT labels 0..2: modal label per read
+            maj = np.array([
+                np.bincount(lab[t, :, r]).argmax() for r in range(R)
+            ], dtype=lab.dtype)
+        flip[t] = (lab[t] != maj[None, :]).mean(axis=0)
+    if export_data:
+        np.savez_compressed(
+            base + ".npz", read_label_usage=lab, flip_fraction=flip
+        )
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    fig, axes = plt.subplots(2, 1, figsize=(12, 7))
+    ax = axes[0]
+    im = ax.imshow(
+        lab.reshape(n_its * C, R), aspect="auto", interpolation="nearest",
+        cmap="coolwarm",
+    )
+    ax.set_yticks(np.arange(0, n_its * C, C))
+    ax.set_yticklabels([f"it {t + 1}" for t in range(n_its)])
+    ax.set_xlabel("read")
+    ax.set_title(
+        f"read labels per (seek it x chain): {sample_name} {region_name}"
+    )
+    fig.colorbar(im, ax=ax, shrink=0.8, label="label")
+    ax = axes[1]
+    for t in range(n_its):
+        ax.plot(flip[t], alpha=0.7, label=f"it {t + 1}")
+    ax.set_xlabel("read")
+    ax.set_ylabel("cross-chain flip fraction")
+    ax.legend(fontsize=8)
+    fig.tight_layout()
+    out = base + ".png"
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    print_message(f"Wrote {out}")
+    return out
+
+
+def plot_hclass(
+    outdir: str,
+    sample_name: str,
+    region_name: str,
+    H_class: np.ndarray,              # int [C, R] final NIPT H_class
+    export_data: bool = True,
+) -> Optional[str]:
+    """NIPT H_class diagnostics: per-chain read class assignment (1..6
+    permutation classes; reference plots H_class trajectories in its
+    block-Gibbs diagnostics, plotting_functions.R:638-734)."""
+    os.makedirs(os.path.join(outdir, "plots"), exist_ok=True)
+    base = os.path.join(
+        outdir, "plots", f"hclass.{sample_name}.{region_name}"
+    )
+    H = np.asarray(H_class)
+    if export_data:
+        np.savez_compressed(base + ".npz", H_class=H)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    C, R = H.shape
+    fig, axes = plt.subplots(2, 1, figsize=(12, 6))
+    ax = axes[0]
+    im = ax.imshow(H, aspect="auto", interpolation="nearest", cmap="viridis")
+    ax.set_ylabel("chain")
+    ax.set_xlabel("read")
+    ax.set_title(f"NIPT H_class: {sample_name} {region_name}")
+    fig.colorbar(im, ax=ax, shrink=0.8, label="H_class")
+    ax = axes[1]
+    vals, counts = np.unique(H, return_counts=True)
+    ax.bar(vals, counts, color="tab:blue")
+    ax.set_xlabel("H_class")
+    ax.set_ylabel("#reads x chains")
+    fig.tight_layout()
+    out = base + ".png"
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    print_message(f"Wrote {out}")
+    return out

@@ -87,3 +87,52 @@ class TabixIndexer:
                 payload += struct.pack("<Q", v)
         with BgzfWriter(path) as w:
             w.write(bytes(payload))
+
+
+class BaiIndexer:
+    """BAI (.bai) index writer: identical binning to tabix over BAM
+    records, stored as a raw (non-bgzipped) file (SAM spec section 5.2).
+    Lets fabricated test/simulation BAMs exercise the native indexed
+    region reader (quilt_io.cpp) the way real htslib-indexed BAMs do."""
+
+    def __init__(self, n_ref: int):
+        self.n_ref = n_ref
+        self.bins: List[Dict[int, List[Tuple[int, int]]]] = [
+            {} for _ in range(n_ref)
+        ]
+        self.linear: List[Dict[int, int]] = [{} for _ in range(n_ref)]
+
+    def add(self, tid: int, beg0: int, end0: int, vbeg: int, vend: int):
+        b = reg2bin(beg0, end0)
+        chunks = self.bins[tid].setdefault(b, [])
+        if chunks and chunks[-1][1] == vbeg:
+            chunks[-1] = (chunks[-1][0], vend)
+        else:
+            chunks.append((vbeg, vend))
+        for win in range(beg0 >> 14, (max(beg0, end0 - 1) >> 14) + 1):
+            cur = self.linear[tid].get(win)
+            if cur is None or vbeg < cur:
+                self.linear[tid][win] = vbeg
+
+    def write(self, path: str) -> None:
+        payload = bytearray()
+        payload += b"BAI\x01"
+        payload += struct.pack("<i", self.n_ref)
+        for tid in range(self.n_ref):
+            bins = self.bins[tid]
+            payload += struct.pack("<i", len(bins))
+            for b in sorted(bins):
+                chunks = bins[b]
+                payload += struct.pack("<Ii", b, len(chunks))
+                for vbeg, vend in chunks:
+                    payload += struct.pack("<QQ", vbeg, vend)
+            lin = self.linear[tid]
+            n_intv = (max(lin) + 1) if lin else 0
+            payload += struct.pack("<i", n_intv)
+            prev = 0
+            for i in range(n_intv):
+                v = lin.get(i, prev)
+                prev = v
+                payload += struct.pack("<Q", v)
+        with open(path, "wb") as fh:
+            fh.write(bytes(payload))

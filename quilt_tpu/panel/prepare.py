@@ -468,6 +468,7 @@ def prepare_panel(
     use_mspbwt: bool = False,
     mspbwt_nindices: int = 4,
     sample_names: Optional[np.ndarray] = None,
+    presplit: Optional[dict] = None,
 ) -> PreparedReference:
     """Build a PreparedReference from an allele matrix or packed panel.
 
@@ -476,37 +477,71 @@ def prepare_panel(
     of the HMM (grids/compression are built on common SNPs only) and carried
     as sparse per-hap rare carrier lists (reference:
     quilt-prepare-reference.R:228-262, rare_common.R:313-322).
+
+    `presplit` takes the streaming native ingest result
+    (io.native.read_panel_vcf_packed): packed common-SNP words, allele
+    frequencies, and the rare-carrier CSR — the [K, nSNPs] allele matrix is
+    then never inflated on host (the reference equally streams the split in
+    C++, quilt-prepare-reference.R:228-246).
     """
     pos = np.asarray(pos, dtype=np.int64)
-    if haps is None:
-        assert rhb_t is not None
-        haps = unpack_bits_32(rhb_t, len(pos))
-    K = haps.shape[0]
-    af_all = haps.mean(axis=0).astype(np.float64)
-
     snp_is_common = None
     pos_all = ref_all = alt_all = None
     rare_per_hap_info = None
-    if impute_rare_common:
-        maf = np.minimum(af_all, 1 - af_all)
-        snp_is_common = maf >= rare_af_threshold
-        # rare carriers, per haplotype, as indices into the ALL-SNP axis
-        rare_idx = np.flatnonzero(~snp_is_common)
-        rare_per_hap_info = [
-            rare_idx[haps[k, rare_idx] == 1].astype(np.int64) for k in range(K)
-        ]
-        pos_all, ref_all, alt_all = pos, ref_allele, alt_allele
-        af_full = af_all
-        pos = pos[snp_is_common]
-        ref_allele = np.asarray(ref_allele)[snp_is_common]
-        alt_allele = np.asarray(alt_allele)[snp_is_common]
-        haps = haps[:, snp_is_common]
-        af = af_full[snp_is_common]
+    if presplit is not None:
+        K = int(presplit["K"])
+        af_all = np.asarray(presplit["af_all"], dtype=np.float64)
+        rhb_t_common = presplit["rhb_t"]
+        if impute_rare_common:
+            snp_is_common = np.asarray(presplit["snp_is_common"], dtype=bool)
+            rare_flat = np.asarray(presplit["rare_flat"], dtype=np.int64)
+            rare_offsets = np.asarray(presplit["rare_offsets"], dtype=np.int64)
+            rare_idx = np.flatnonzero(~snp_is_common)
+            # per-SNP carrier CSR -> per-hap rare-SNP lists
+            snp_of = np.repeat(rare_idx, np.diff(rare_offsets))
+            order = np.argsort(rare_flat, kind="stable")
+            hap_sorted = rare_flat[order]
+            snp_sorted = snp_of[order]
+            bounds = np.searchsorted(hap_sorted, np.arange(K + 1))
+            rare_per_hap_info = [
+                snp_sorted[bounds[k]:bounds[k + 1]] for k in range(K)
+            ]
+            pos_all, ref_all, alt_all = pos, ref_allele, alt_allele
+            pos = pos[snp_is_common]
+            ref_allele = np.asarray(ref_allele)[snp_is_common]
+            alt_allele = np.asarray(alt_allele)[snp_is_common]
+            af = af_all[snp_is_common]
+        else:
+            af = af_all
+        nSNPs = len(pos)
     else:
-        af = af_all
+        if haps is None:
+            assert rhb_t is not None
+            haps = unpack_bits_32(rhb_t, len(pos))
+        K = haps.shape[0]
+        af_all = haps.mean(axis=0).astype(np.float64)
 
-    nSNPs = haps.shape[1]
-    rhb_t_common = pack_bits_32(haps)
+        if impute_rare_common:
+            maf = np.minimum(af_all, 1 - af_all)
+            snp_is_common = maf >= rare_af_threshold
+            # rare carriers, per haplotype, as indices into the ALL-SNP axis
+            rare_idx = np.flatnonzero(~snp_is_common)
+            rare_per_hap_info = [
+                rare_idx[haps[k, rare_idx] == 1].astype(np.int64)
+                for k in range(K)
+            ]
+            pos_all, ref_all, alt_all = pos, ref_allele, alt_allele
+            af_full = af_all
+            pos = pos[snp_is_common]
+            ref_allele = np.asarray(ref_allele)[snp_is_common]
+            alt_allele = np.asarray(alt_allele)[snp_is_common]
+            haps = haps[:, snp_is_common]
+            af = af_full[snp_is_common]
+        else:
+            af = af_all
+
+        nSNPs = haps.shape[1]
+        rhb_t_common = pack_bits_32(haps)
     grid, L_grid, nGrids = assign_positions_to_grid(pos)
     cM_grid = interpolate_genetic_map(gmap_pos, gmap_cm, L_grid, expRate)
     sigma = sigma_from_cm_grid(nGen, cM_grid, L_grid, expRate, minRate, maxRate)

@@ -218,3 +218,76 @@ def test_sample_names_roundtrip(hla_world, tmp_path):
     prep2 = PreparedReference.load(str(p))
     assert [str(x) for x in prep2.sample_names] == \
         [str(x) for x in prep.sample_names]
+
+
+def test_alt_contig_reads_and_kmer_placement(hla_world, rng, tmp_path):
+    """Second read source (HLA alt contigs): extraction filters mirror
+    filter_that2; unplaced reads are kmer-seeded onto the allele alignment
+    (incl. reverse complements) and drive typing to the right allele."""
+    from quilt_tpu.hla.typing import (
+        build_seed_index, place_read_by_kmers, revcomp_codes,
+        type_hla_sample,
+    )
+    from quilt_tpu.io.bam import load_hla_alt_contig_reads
+    from quilt_tpu.io.bam_writer import BamWriter
+    gene, db, prep, hap_allele = hla_world
+    hla = prepare_hla_reference(db, prep, k=8)
+    true_allele = 3
+    L = 90
+
+    def allele_read(start_off):
+        seq = db.seqs[true_allele, start_off:start_off + L].copy()
+        return seq
+
+    # --- kmer placement: forward and revcomp reads recover their offset
+    seed_idx = build_seed_index(db, hla.k)
+    for start in (50, 400, 1200):
+        seq = allele_read(start)
+        st, v = place_read_by_kmers(seq, seed_idx, hla.k)
+        assert st == start and v >= 2
+        st_r, v_r = place_read_by_kmers(revcomp_codes(seq), seed_idx, hla.k)
+        # revcomp of the read should NOT place well forward
+        assert v_r <= v
+
+    # --- BAM with an alt contig holding the gene reads
+    bam = str(tmp_path / "alt.bam")
+    contig = "HLA-A*01:01:01:01"
+    with BamWriter(bam, "chr6", 50_000,
+                   extra_contigs=[(contig, 5000), ("chr7", 1000)]) as w:
+        n_alt = 0
+        for i, start in enumerate(range(100, 1900, 150)):
+            seq_codes = allele_read(start)
+            seq = "".join("ACGT"[b] if b < 4 else "N" for b in seq_codes)
+            w.write_read(f"alt{i}", 10 + i, seq, [30] * L, tid=1)
+            n_alt += 1
+        # filtered out: mate on chr7 (another primary chromosome)
+        w.write_read("bad_mate", 20, "ACGT" * 22 + "AC", [30] * 90,
+                     tid=1, next_tid=2, next_pos=100)
+        # filtered out: XA alt-mapping to chr1
+        w.write_read("bad_xa", 30, "ACGT" * 22 + "AC", [30] * 90,
+                     tid=1, xa="chr1,+5000,90M,0;")
+        # kept: XA within the gene region on chr6
+        seq_codes = allele_read(700)
+        seq = "".join("ACGT"[b] if b < 4 else "N" for b in seq_codes)
+        w.write_read("ok_xa", 40, seq, [30] * L, tid=1,
+                     xa=f"chr6,+{gene.start + 700},90M,1;")
+        n_alt += 1
+    out = load_hla_alt_contig_reads(
+        bam, "A", "chr6", gene.start, gene.end
+    )
+    qnames = [qn for qn, _s, _q in out]
+    assert "bad_mate" not in qnames and "bad_xa" not in qnames
+    assert "ok_xa" in qnames
+    assert len(out) == n_alt
+
+    # --- typing from alt-contig reads alone (pos0=-1 -> kmer placement),
+    # with some reads reverse-complemented
+    gene_reads = []
+    for i, (qn, seq, q) in enumerate(out):
+        if i % 3 == 0:
+            seq = revcomp_codes(seq)
+            q = q[::-1]
+        gene_reads.append(GeneRead(pos0=-1, seq=seq, qual=q))
+    res = type_hla_sample(hla, gene_reads, kmer_min_fraction=0.3)
+    got = {res.bestallele1, res.bestallele2}
+    assert db.allele_names[true_allele] in got

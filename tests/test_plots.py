@@ -58,6 +58,24 @@ def test_heuristic_comparison_plot(rng, tmp_path):
             f.endswith(".tsv")]
     assert tsvs, files
     txt = (tmp_path / "plots" / tsvs[0]).read_text()
-    assert "full-panel top-K" in txt and "mspbwt" in txt
-    # 3 seek iterations per strategy
-    assert txt.count("\n") >= 1 + 2 * 3
+    # strategy panel: QUILT1 top-K + mspbwt under both match approaches
+    assert "QUILT1 top-K" in txt
+    assert "mspbwt A" in txt and "mspbwt B" in txt
+    # 3 seek iterations per strategy, 3 strategies
+    assert txt.count("\n") >= 1 + 3 * 3
+
+
+def test_read_flip_and_hclass_plots(tmp_path, rng):
+    """Read-flip and H_class diagnostic exports (plotting_functions.R
+    :553-734 equivalents) produce files from recorded label data."""
+    from quilt_tpu.out.plots import plot_hclass, plot_read_label_flips
+    lab = rng.integers(0, 2, size=(3, 4, 50))
+    out = plot_read_label_flips(str(tmp_path), "S0", "reg", lab)
+    assert (tmp_path / "plots" / "readflips.S0.reg.npz").exists()
+    H = rng.integers(0, 3, size=(4, 50))
+    out2 = plot_hclass(str(tmp_path), "S0", "reg", H)
+    assert (tmp_path / "plots" / "hclass.S0.reg.npz").exists()
+    import numpy as np
+    z = np.load(tmp_path / "plots" / "readflips.S0.reg.npz")
+    assert z["flip_fraction"].shape == (3, 50)
+    assert float(z["flip_fraction"].max()) <= 0.5
