@@ -90,19 +90,20 @@ def main():
     # warm-up (compile + panel upload). NOTE on sync: over the axon tunnel
     # jax.block_until_ready returns at ENQUEUE, not completion — round-1
     # numbers (BENCH_r01: 3.5e12) timed dispatch latency only. Honest
-    # timing: enqueue n_rep calls, then drain by reducing each call's tiny
-    # [B] log-likelihood output to one scalar (forces execution of the
-    # full dependency chain; D2H is 4 bytes, not the 1.2 GB dosages).
+    # timing: per-call drain by reducing the tiny [B] log-likelihood output
+    # to one scalar (forces execution of the full dependency chain; D2H is
+    # 4 bytes, not the 1.2 GB dosages). Per-call sync IS the production
+    # pattern: the engine consumes each FB result on host (hap re-selection)
+    # before issuing the next call. (Back-to-back async enqueue measures
+    # ~5x slower per call through the tunnel's dispatch path — a transport
+    # artifact, not kernel time; see BENCHMARKS.md.)
     out = fb_full_batched(gl, inputs, K_top=8, return_arrays=False)
     float(out[1].sum())
     n_rep = 6
     t0 = time.time()
-    lls = []
     for _ in range(n_rep):
         out = fb_full_batched(gl, inputs, K_top=8, return_arrays=False)
-        lls.append(out[1])
-    import jax.numpy as _jnp
-    float(_jnp.stack(lls).sum())         # one drain for all n_rep calls
+        float(out[1].sum())              # drain this call
     dt = (time.time() - t0) / n_rep
     # sanity on results (fetch once, outside the timed loop)
     dosage = np.asarray(out[0])[:, :nSNPs]

@@ -277,6 +277,13 @@ def cmd_impute(args, quilt2: bool = False) -> int:
     # (QUILT2 defaults use_mspbwt=TRUE and impute_rare_common=TRUE; applied
     # as impute2/prepare2 subparser defaults so explicit flags still win —
     # reference: QUILT2.R:456-460,497-502)
+    if cfg.distributed_nproc > 1:
+        # multi-host: connect the process group before any jax use
+        from .dist.hosts import init_multihost
+        init_multihost(
+            cfg.distributed_coordinator or "localhost:12321",
+            cfg.distributed_nproc, cfg.distributed_rank,
+        )
     region_name = cfg.chr
     if cfg.regionStart is not None:
         region_name += f".{cfg.regionStart}.{cfg.regionEnd}"
@@ -339,19 +346,20 @@ def cmd_impute(args, quilt2: bool = False) -> int:
     # (reference clamps the buffered region end to the @SQ length,
     # quilt.R:646 via quilt_get_chromosome_length)
     from .io.bam import bam_chromosome_length
+    first_bam = bam_files[0]
     try:
-        chrlen = bam_chromosome_length(bam_files[0], prep.chrom)
+        chrlen = bam_chromosome_length(first_bam, prep.chrom)
     except Exception:
         chrlen = None
     if chrlen is None:
         print_message(
             f"Warning: chromosome {prep.chrom} not in the header of "
-            f"{bam_files[0]}; reads will not be found"
+            f"{first_bam}; reads will not be found"
         )
     elif int(prep.pos[-1]) > chrlen:
         print_message(
             f"Warning: prepared region extends to {int(prep.pos[-1])} "
-            f"beyond {prep.chrom} length {chrlen} in {bam_files[0]}"
+            f"beyond {prep.chrom} length {chrlen} in {first_bam}"
         )
     rc_mode = cfg.impute_rare_common and prep.pos_all is not None
     load_pos = prep.pos_all if rc_mode else prep.pos
@@ -369,15 +377,27 @@ def cmd_impute(args, quilt2: bool = False) -> int:
         seed=cfg.seed, cram_fasta=cfg.reference or None,
         useSoftClippedBases=cfg.useSoftClippedBases,
     )
-    if cfg.nCores > 1 and len(bam_files) > 1:
+    local_bams = set(range(len(bam_files)))
+    if cfg.distributed_nproc > 1:
+        # per-host BAM ingest: each process reads only its sample shard
+        import jax
+        from .dist.hosts import sample_shards
+        local_bams = set(int(x) for x in sample_shards(
+            len(bam_files), jax.process_count()
+        )[jax.process_index()])
+    if cfg.nCores > 1 and len(local_bams) > 1:
         # host-side read-extraction parallelism (the TPU-era remnant of the
         # reference's mclapply fork parallelism, quilt.R:691-694; device work
         # is batched instead, engine/batch.py)
         from concurrent.futures import ProcessPoolExecutor
         with ProcessPoolExecutor(max_workers=cfg.nCores) as ex:
-            samples = list(ex.map(_load_one, bam_files))
+            loaded = dict(zip(
+                sorted(local_bams),
+                ex.map(_load_one, [bam_files[i] for i in sorted(local_bams)]),
+            ))
     else:
-        samples = [_load_one(b) for b in bam_files]
+        loaded = {i: _load_one(bam_files[i]) for i in sorted(local_bams)}
+    samples = [loaded.get(i) for i in range(len(bam_files))]
     ff_values = None
     if cfg.method == "nipt":
         if not cfg.fflist:

@@ -149,6 +149,11 @@ class ImputeConfig:
     precision: str = "float32"
     mesh_data: int = 1                # data-parallel axis size
     mesh_panel: int = 1               # panel(K)-sharding axis size
+    # multi-host execution (jax.distributed; dist/hosts.py): samples are
+    # data-parallel across processes, process 0 writes the merged VCF
+    distributed_nproc: int = 1        # number of cooperating processes
+    distributed_rank: int = 0         # this process's id (0-based)
+    distributed_coordinator: str = "" # coordinator host:port (rank 0's)
 
     def resolved_n_burn_in_seek_its(self) -> int:
         if self.n_burn_in_seek_its is None:

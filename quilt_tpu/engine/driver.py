@@ -74,6 +74,7 @@ def quilt_impute(
         samples_all = list(samples)
         samples = [
             restrict_reads_to_common(r, prep.snp_is_common, prep.grid)
+            if r is not None else None
             for r in samples_all
         ]
     else:
@@ -88,10 +89,28 @@ def quilt_impute(
     af_sum = np.zeros(nSNPs)
     hwe_counts = np.zeros((nSNPs, 3), dtype=np.int64)
     allele_count = np.zeros((nSNPs, 2))
-    results: List[SampleResult] = []
-    columns: List[List[str]] = []
+    results: List[Optional[SampleResult]] = []
+    columns: List[Optional[List[str]]] = []
     r2s: List[float] = []
     n_imputed = 0
+
+    # multi-host data parallelism over DCN (dist/hosts.py): each process
+    # imputes its contiguous sample shard; aggregates reduce and columns
+    # gather before the process-0 VCF write
+    import jax as _jax
+    nproc = _jax.process_count()
+    multihost = nproc > 1
+    if multihost:
+        from ..dist.hosts import sample_shards
+        pid = _jax.process_index()
+        local_set = set(int(i) for i in sample_shards(N, nproc)[pid])
+        print_message(
+            f"Multi-host: process {pid}/{nproc} imputes "
+            f"{len(local_set)}/{N} samples"
+        )
+    else:
+        pid = 0
+        local_set = set(range(N))
 
     # multi-sample device batching (production path): the Gibbs sweep cost
     # is nearly flat in batch size, so samples x chains share one kernel call
@@ -116,15 +135,16 @@ def quilt_impute(
         # fractions stay exact
         if method == "nipt":
             order: Dict[float, List[int]] = {}
-            for i in range(N):
+            for i in sorted(local_set):
                 order.setdefault(float(ff_values[i]), []).append(i)
             index_groups = [g for v in order.values() for g in
                             [v[j:j + cfg.sample_batch]
                              for j in range(0, len(v), cfg.sample_batch)]]
         else:
+            local_sorted = sorted(local_set)
             index_groups = [
-                list(range(s0, min(s0 + cfg.sample_batch, N)))
-                for s0 in range(0, N, cfg.sample_batch)
+                local_sorted[s0:s0 + cfg.sample_batch]
+                for s0 in range(0, len(local_sorted), cfg.sample_batch)
             ]
         for group in index_groups:
             if len(group) == 1 and rare_common:
@@ -145,6 +165,10 @@ def quilt_impute(
                 precomputed[i] = batch_res[gi]
 
     for i, reads in enumerate(samples):
+        if i not in local_set:
+            results.append(None)
+            columns.append(None)
+            continue
         if i in precomputed:
             res = precomputed[i]
         else:
@@ -241,11 +265,30 @@ def quilt_impute(
                 msg += f", PSE: {pse['pse']:.4f} ({pse.get('phase_sites', 0)} het sites)"
             print_message(msg)
 
+    if multihost:
+        # DCN reduction of the INFO/EAF/HWE accumulators + column gather,
+        # so the merged VCF is bit-identical to a single-process run
+        from ..dist.hosts import allgather_columns, reduce_sum_across_hosts
+        red = reduce_sum_across_hosts({
+            "eij_sum": eij_sum, "var_sum": var_sum, "af_sum": af_sum,
+            "hwe_counts": hwe_counts, "allele_count": allele_count,
+            "n_imputed": np.array(n_imputed, dtype=np.int64),
+        })
+        eij_sum, var_sum, af_sum = red["eij_sum"], red["var_sum"], red["af_sum"]
+        hwe_counts, allele_count = red["hwe_counts"], red["allele_count"]
+        n_imputed = int(red["n_imputed"])
+        local_cols = {
+            i: columns[i] for i in local_set if columns[i] is not None
+        }
+        columns = allgather_columns(local_cols, N)
+
     denom = max(n_imputed, 1)
     eaf = af_sum / denom
     info = info_score(eij_sum, var_sum, denom)
     hwe = hwe_from_counts(hwe_counts)
 
+    if multihost and pid != 0:
+        output_filename = None          # process 0 writes the merged VCF
     vcf_path = None
     if output_filename:
         vcf_path = output_filename
@@ -297,7 +340,7 @@ def quilt_impute(
                 cfg, use_mspbwt=True, heuristic_approach=other,
                 make_plots=False)
         for i, res in enumerate(results):
-            if not res.imputed or res.seek_dosages is None:
+            if res is None or not res.imputed or res.seek_dosages is None:
                 continue
             traces = {
                 cur: [r2_simple(truth_gen[:, i], d)
@@ -343,7 +386,7 @@ def quilt_impute(
             wanted = [o for o in cfg.RData_objects_to_save if o in exportable]
         dump = {}
         for i, res in enumerate(results):
-            if not res.imputed:
+            if res is None or not res.imputed:
                 continue
             for obj in wanted:
                 val = getattr(res, obj, None)

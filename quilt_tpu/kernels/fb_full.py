@@ -51,6 +51,7 @@ class FBInputs:
     esc_bits: np.ndarray      # uint8 [nnz, 32]
     trans: np.ndarray         # f32 [nGrids, 2]; row g = (stay, jump) INTO g
     thin_flag: np.ndarray     # int32 [nGrids]; slot index at thinned grids else -1
+    words: np.ndarray         # int32 [nGrids, K_pad] packed panel bits
     K: int
     K_pad: int
     nGrids: int
@@ -74,6 +75,8 @@ class FBInputs:
                           "esc_bits", "trans", "thin_flag")
             }
             self._dev["capture_flag"] = jnp.asarray(cap)
+            self._dev["words"] = jnp.asarray(self.words)
+            self._dev["trans2"] = jnp.asarray(self.trans.T.copy())
         return self._dev
 
     @classmethod
@@ -110,6 +113,17 @@ class FBInputs:
         if thinned_grids is not None:
             for i, g in enumerate(thinned_grids):
                 thin_flag[int(g)] = i
+        # packed panel bits [Gp, K_pad] for the fused Pallas path: exact
+        # reconstruction from the compressed panel (table words + escapes)
+        dhm = panel.hapMatcher.astype(np.int32)               # [K, nGrids]
+        w = panel.distinctHapsB[
+            np.maximum(dhm - 1, 0), np.arange(nGrids)[None, :]
+        ]
+        w = np.where(dhm > 0, w, np.uint32(0))
+        if len(panel.esc_k):
+            w[panel.esc_k, panel.esc_grid] = panel.esc_word
+        words = np.zeros((Gp, K_pad), dtype=np.uint32)
+        words[:nGrids, :K] = w.T
         return cls(
             dh=dh, ie=ie, dh_bits=dh_bits,
             esc_grid=panel.esc_grid.astype(np.int32),
@@ -117,6 +131,7 @@ class FBInputs:
             esc_word=panel.esc_word.astype(np.uint32),
             esc_bits=esc_bits,
             trans=trans_full, thin_flag=thin_flag,
+            words=words.view(np.int32),
             K=K, K_pad=K_pad, nGrids=Gp, S=S, nSNPs=panel.nSNPs,
             nMaxDH=panel.nMaxDH, nnz=len(panel.esc_k),
         )
@@ -404,6 +419,27 @@ _fb_core = partial(
 )(_fb_core_impl)
 
 
+def _fb_mode() -> str:
+    """QUILT_FB env: auto (Pallas on TPU, XLA elsewhere) | pallas | xla |
+    interpret (Pallas interpreter, for CPU tests)."""
+    import os
+
+    return os.environ.get("QUILT_FB", "auto")
+
+
+def _pallas_ok(inputs: "FBInputs", B: int) -> bool:
+    from .fb_pallas import pick_grid_chunk, _round_up
+
+    mode = _fb_mode()
+    if mode == "xla":
+        return False
+    if mode not in ("pallas", "interpret") and jax.default_backend() != "tpu":
+        return False
+    return (
+        pick_grid_chunk(_round_up(max(B, 1), 16), inputs.K_pad) is not None
+    )
+
+
 def fb_full_batched(
     gl: np.ndarray,                  # [B, 2, nSNPs] float
     inputs: FBInputs,
@@ -424,6 +460,33 @@ def fb_full_batched(
         gl_pad = np.ones((B, 2, S), dtype=np.float32)
         gl_pad[:, :, : gl.shape[2]] = np.asarray(gl)
     dev = inputs.device()
+    if _pallas_ok(inputs, B):
+        from .fb_pallas import fb_pallas_core, pick_grid_chunk, _round_up
+
+        dosage, log_like, tv, ti, gamma_cap = fb_pallas_core(
+            jnp.asarray(gl_pad),
+            dev["words"],
+            dev["trans2"],
+            dev["thin_flag"],
+            dev["capture_flag"],
+            K=inputs.K,
+            K_pad=inputs.K_pad,
+            K_top=K_top,
+            ref_error=ref_error,
+            CG=pick_grid_chunk(_round_up(max(B, 1), 16), inputs.K_pad),
+            interpret=_fb_mode() == "interpret",
+        )
+        if return_arrays:
+            out = (
+                np.asarray(dosage)[:, : inputs.nSNPs],
+                np.asarray(log_like),
+                np.asarray(tv),
+                np.asarray(ti),
+            )
+            if inputs.capture_grid >= 0:
+                return out + (np.asarray(gamma_cap)[:, : inputs.K],)
+            return out
+        return dosage, log_like, tv, ti, gamma_cap
     dosage, log_like, tv, ti, gamma_cap = _fb_core(
         jnp.asarray(gl_pad),
         dev["dh"],
