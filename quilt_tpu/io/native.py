@@ -28,8 +28,8 @@ def _build_lib() -> Optional[str]:
         return out
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src,
-             "-o", out, "-lz"],
+            ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
+             src, "-o", out, "-lz"],
             check=True, capture_output=True, timeout=120,
         )
         print_message(f"Built native IO library {out}")
@@ -120,14 +120,36 @@ def get_lib():
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32),
             ]
+            lib.qio_compress_panel.argtypes = [
+                ctypes.POINTER(ctypes.c_uint32), ctypes.c_int64,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_uint8),
+                ctypes.POINTER(ctypes.c_uint32),
+            ]
+            # stale-binary guard: the committed .so may predate these
+            # bindings when no compiler is available to rebuild it
+            try:
+                lib.qio_abi_version.restype = ctypes.c_int64
+                if lib.qio_abi_version() < 3:
+                    raise OSError("abi too old")
+            except (AttributeError, OSError):
+                print_message(
+                    "Native IO library predates these bindings and no "
+                    "rebuild happened; using Python IO"
+                )
+                return None
             _LIB = lib
     return _LIB
 
 
-def mspbwt_build_native(hm: np.ndarray, grids: np.ndarray, egs: int):
+def mspbwt_build_native(hm: np.ndarray, grids: np.ndarray, egs: int,
+                        want_occ: bool = True):
     """Native fast path of panel.mspbwt.build_mspbwt_indices's per-index
-    loop. Returns (Y, C, cp_cols, A_cp)."""
+    loop. Returns (Y, C, cp_cols, A_cp, occ); occ is the per-column stable
+    argsort (occurrence lists per symbol bucket) used for O(log K) rank
+    queries, or None when not requested."""
     lib = get_lib()
     assert lib is not None
     hm = np.ascontiguousarray(hm, dtype=np.uint8)
@@ -141,6 +163,7 @@ def mspbwt_build_native(hm: np.ndarray, grids: np.ndarray, egs: int):
     Y = np.empty((T, K), dtype=np.uint8)
     C = np.zeros((T, 257), dtype=np.int32)
     A_cp = np.empty((len(cp_cols), K), dtype=np.int32)
+    occ = np.empty((T, K), dtype=np.int32) if want_occ else None
     lib.qio_mspbwt_build(
         hm.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         K, nGrids,
@@ -151,8 +174,31 @@ def mspbwt_build_native(hm: np.ndarray, grids: np.ndarray, egs: int):
         A_cp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         cp_cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         len(cp_cols),
+        occ.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+        if occ is not None else None,
     )
-    return Y, C, cp_cols, A_cp
+    return Y, C, cp_cols, A_cp, occ
+
+
+def compress_panel_native(rhb_t: np.ndarray, nMaxDH: int, n_threads: int = 0):
+    """Native distinct-haplotype compression (qio_compress_panel).
+    Returns (hapMatcher uint8 [K, nGrids], distinctB uint32 [nMaxDH, nGrids])
+    identical to the NumPy per-grid np.unique path."""
+    lib = get_lib()
+    assert lib is not None
+    rhb_t = np.ascontiguousarray(rhb_t, dtype=np.uint32)
+    K, nGrids = rhb_t.shape
+    if n_threads <= 0:
+        n_threads = min(os.cpu_count() or 1, 16)
+    hapMatcher = np.zeros((K, nGrids), dtype=np.uint8)
+    distinctB = np.zeros((nMaxDH, nGrids), dtype=np.uint32)
+    lib.qio_compress_panel(
+        rhb_t.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        K, nGrids, nMaxDH, n_threads,
+        hapMatcher.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        distinctB.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+    )
+    return hapMatcher, distinctB
 
 
 def native_available() -> bool:

@@ -14,6 +14,7 @@
 #include <cstdio>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -1085,13 +1086,25 @@ void qio_reads_free(void* h) { delete (QioReads*)h; }
 // for the NumPy loop on this host.
 // ---------------------------------------------------------------------------
 
+// ABI version gate: io/native.py refuses a stale committed .so whose entry
+// points don't match these bindings (the library is normally rebuilt from
+// this source on import when the mtime is newer).
+int64_t qio_abi_version() { return 3; }
+
 void qio_mspbwt_build(
     const uint8_t* hm, int64_t K, int64_t nGrids,
     const int32_t* grids, int64_t T, int64_t egs,
     uint8_t* Y,            // out [T, K]
     int32_t* C,            // out [T, 257]
     int32_t* A_cp,         // out [n_cp, K], checkpoints at
-    const int32_t* cp_cols, int64_t n_cp)
+    const int32_t* cp_cols, int64_t n_cp,
+    int32_t* occ)          // out [T, K] stable argsort of each Y column
+                           // (occurrence lists per symbol bucket; may be
+                           // null). rank(p, s) at column t is then
+                           // searchsorted(occ[t, C[t,s]:C[t,s+1]], p) —
+                           // the O(log K) occurrence-checkpoint query of
+                           // the reference's Algorithm-5 index structures
+                           // (mspbwt Rcpp_ms_BuildIndices_Algorithm5).
 {
     (void)egs;
     // blocked gather of the grid subset, transposed: X[t][k] = hm[k][grids[t]]
@@ -1122,13 +1135,112 @@ void qio_mspbwt_build(
         Ct[0] = 0;
         for (int s = 0; s < 256; ++s) Ct[s + 1] = Ct[s] + counts[s];
         for (int s = 0; s <= 256; ++s) pos[s] = Ct[s];
-        for (int64_t k = 0; k < K; ++k) A2[pos[y[k]]++] = A[k];
+        if (occ) {
+            int32_t* occ_t = occ + (size_t)t * K;
+            for (int64_t k = 0; k < K; ++k) {
+                int32_t p = pos[y[k]]++;
+                A2[p] = A[k];
+                occ_t[p] = (int32_t)k;
+            }
+        } else {
+            for (int64_t k = 0; k < K; ++k) A2[pos[y[k]]++] = A[k];
+        }
         std::swap(A, A2);
         if (cp_i < n_cp && cp_cols[cp_i] == (int32_t)t) {
             memcpy(A_cp + (size_t)cp_i * K, A.data(), K * sizeof(int32_t));
             cp_i++;
         }
     }
+}
+
+// ---------------------------------------------------------------------------
+// Distinct-haplotype panel compression (STITCH::make_rhb_t_equality
+// equivalent, consumed at quilt-prepare-reference.R:416-428). Per grid:
+// hash-count the 32-bit words, rank distinct words by (count desc, word
+// asc) — identical tie-breaking to the NumPy np.unique + stable argsort
+// path — keep the top nMaxDH, write the rank column. Rank 0 marks escape
+// entries; the caller derives the escape COO from hapMatcher==0 in NumPy.
+// Grids are partitioned across hardware threads.
+// ---------------------------------------------------------------------------
+
+static void compress_grid_range(
+    const uint32_t* rhb_t, int64_t K, int64_t nGrids, int64_t nMaxDH,
+    int64_t g0, int64_t g1, uint8_t* hapMatcher, uint32_t* distinctB)
+{
+    // open-addressing hash: word -> slot holding (word, count, rank)
+    int64_t cap = 1;
+    while (cap < 2 * K) cap <<= 1;
+    std::vector<uint32_t> h_word(cap), h_count(cap);
+    std::vector<int32_t> h_state(cap, -1);   // generation tag per grid
+    std::vector<uint8_t> h_rank(cap);
+    std::vector<int64_t> slots;              // distinct slots this grid
+    slots.reserve(1024);
+    std::vector<uint32_t> col(K);
+    for (int64_t g = g0; g < g1; ++g) {
+        for (int64_t k = 0; k < K; ++k)
+            col[k] = rhb_t[(size_t)k * nGrids + g];
+        slots.clear();
+        int32_t gen = (int32_t)g;
+        for (int64_t k = 0; k < K; ++k) {
+            uint32_t w = col[k];
+            uint64_t hsh = (uint64_t)w * 0x9E3779B97F4A7C15ull;
+            int64_t i = (int64_t)(hsh >> 32) & (cap - 1);
+            while (true) {
+                if (h_state[i] != gen) {
+                    h_state[i] = gen;
+                    h_word[i] = w;
+                    h_count[i] = 1;
+                    slots.push_back(i);
+                    break;
+                }
+                if (h_word[i] == w) { h_count[i]++; break; }
+                i = (i + 1) & (cap - 1);
+            }
+        }
+        // rank distinct: count desc, word asc (== np.unique value order +
+        // stable argsort by -count)
+        std::sort(slots.begin(), slots.end(),
+                  [&](int64_t a, int64_t b) {
+                      if (h_count[a] != h_count[b])
+                          return h_count[a] > h_count[b];
+                      return h_word[a] < h_word[b];
+                  });
+        int64_t nkeep = std::min<int64_t>((int64_t)slots.size(), nMaxDH);
+        for (size_t si = 0; si < slots.size(); ++si)
+            h_rank[slots[si]] = (si < (size_t)nkeep) ? (uint8_t)(si + 1) : 0;
+        for (int64_t d = 0; d < nkeep; ++d)
+            distinctB[(size_t)d * nGrids + g] = h_word[slots[d]];
+        for (int64_t k = 0; k < K; ++k) {
+            uint32_t w = col[k];
+            uint64_t hsh = (uint64_t)w * 0x9E3779B97F4A7C15ull;
+            int64_t i = (int64_t)(hsh >> 32) & (cap - 1);
+            while (h_word[i] != w || h_state[i] != gen)
+                i = (i + 1) & (cap - 1);
+            hapMatcher[(size_t)k * nGrids + g] = h_rank[i];
+        }
+    }
+}
+
+void qio_compress_panel(
+    const uint32_t* rhb_t, int64_t K, int64_t nGrids, int64_t nMaxDH,
+    int64_t n_threads,
+    uint8_t* hapMatcher,   // out [K, nGrids], 0 = escape
+    uint32_t* distinctB)   // out [nMaxDH, nGrids] (zero-initialized)
+{
+    if (n_threads <= 1 || nGrids < 4) {
+        compress_grid_range(rhb_t, K, nGrids, nMaxDH, 0, nGrids,
+                            hapMatcher, distinctB);
+        return;
+    }
+    std::vector<std::thread> threads;
+    int64_t per = (nGrids + n_threads - 1) / n_threads;
+    for (int64_t ti = 0; ti < n_threads; ++ti) {
+        int64_t g0 = ti * per, g1 = std::min(g0 + per, nGrids);
+        if (g0 >= g1) break;
+        threads.emplace_back(compress_grid_range, rhb_t, K, nGrids, nMaxDH,
+                             g0, g1, hapMatcher, distinctB);
+    }
+    for (auto& t : threads) t.join();
 }
 
 }  // extern "C"

@@ -57,6 +57,13 @@ class MsIndex:
     cp_cols: np.ndarray      # int32 [n_cp] columns t with A checkpoint AFTER t
     A_cp: np.ndarray         # int32 [n_cp, K] prefix arrays at checkpoints
     egs: int = 32
+    # occurrence lists: occ[t, C[t,s]:C[t,s+1]] = increasing positions of
+    # symbol s in Y[t]. Gives the O(log K) insertion-point update of the
+    # reference's Algorithm-5 occurrence structures (mspbwt
+    # Rcpp_ms_BuildIndices_Algorithm5, used at mspbwt.R:29,106) instead of
+    # an O(K) per-column count. None => fall back to the scan (old / very
+    # large indices where the 4x memory is not worth it).
+    occ: Optional[np.ndarray] = None     # int32 [T, K]
 
 
 def build_mspbwt_indices(
@@ -75,13 +82,18 @@ def build_mspbwt_indices(
     for i in range(n_indices):
         grids = np.arange(i, nGrids, n_indices, dtype=np.int32)
         T = len(grids)
+        # occ quadruples the index memory; skip it past ~2 GB per index
+        # (the rank query then falls back to the O(K) scan)
+        want_occ = int(T) * int(K) * 4 <= 2 << 30
         if use_native:
             # C++ build (quilt_io.cpp:qio_mspbwt_build): blocked subset
             # transpose + counting-sort loop — seconds at K=100k x 10k grids
             from ..io.native import mspbwt_build_native
-            Y, C, cp_cols, A_cp = mspbwt_build_native(hapMatcher, grids, egs)
+            Y, C, cp_cols, A_cp, occ = mspbwt_build_native(
+                hapMatcher, grids, egs, want_occ=want_occ
+            )
             out.append(MsIndex(grids=grids, Y=Y, C=C, cp_cols=cp_cols,
-                               A_cp=A_cp, egs=egs))
+                               A_cp=A_cp, egs=egs, occ=occ))
             continue
         # NumPy fallback (identical outputs; tests/test_mspbwt.py asserts)
         X = np.asfortranarray(hapMatcher[:, grids])
@@ -90,11 +102,14 @@ def build_mspbwt_indices(
         cp_cols = []
         A_cp = []
         A = np.arange(K, dtype=np.int32)
+        occ = np.empty((T, K), dtype=np.int32) if want_occ else None
         for t in range(T):
             y = X[A, t]
             Y[t] = y
             C[t, 1:] = np.cumsum(np.bincount(y, minlength=256))
             order = np.argsort(y, kind="stable")     # radix for uint8
+            if occ is not None:
+                occ[t] = order
             A = A[order]
             if (t + 1) % egs == 0 or t == T - 1:
                 cp_cols.append(t)
@@ -103,7 +118,7 @@ def build_mspbwt_indices(
             grids=grids, Y=Y, C=C,
             cp_cols=np.asarray(cp_cols, dtype=np.int32),
             A_cp=np.stack(A_cp) if A_cp else np.zeros((0, K), np.int32),
-            egs=egs,
+            egs=egs, occ=occ,
         ))
     return out
 
@@ -145,11 +160,17 @@ def match_z(
                 matches[key] = int(L)
 
     p = 0
+    occ = index.occ
     A_run = np.arange(K, dtype=np.int32) if every_column else None
     for t in range(T):
         y = Y[t]
         zt = int(z[t])
-        p = int(C[t, zt]) + int(np.count_nonzero(y[:p] == zt))
+        if occ is not None:
+            # O(log K) rank via the occurrence lists (Algorithm-5 style)
+            lo, hi_b = int(C[t, zt]), int(C[t, zt + 1])
+            p = lo + int(np.searchsorted(occ[t, lo:hi_b], p))
+        else:
+            p = int(C[t, zt]) + int(np.count_nonzero(y[:p] == zt))
         if every_column:
             A_run = A_run[np.argsort(y, kind="stable")]
             lo, hi = max(p - scan, 0), min(p + scan, K)
@@ -301,6 +322,8 @@ def save_ms_indices_into(d: dict, ms_indices: List[MsIndex]) -> None:
         d[f"msi_{i}_cp_cols"] = idx.cp_cols
         d[f"msi_{i}_A_cp"] = idx.A_cp
         d[f"msi_{i}_egs"] = np.array(idx.egs)
+        if idx.occ is not None:
+            d[f"msi_{i}_occ"] = idx.occ
 
 
 def load_ms_indices_from(z) -> List[MsIndex]:
@@ -318,6 +341,7 @@ def load_ms_indices_from(z) -> List[MsIndex]:
             cp_cols=z[f"msi_{i}_cp_cols"],
             A_cp=z[f"msi_{i}_A_cp"],
             egs=int(z[f"msi_{i}_egs"]),
+            occ=z[f"msi_{i}_occ"] if f"msi_{i}_occ" in z else None,
         )
         for i in range(n)
     ]

@@ -132,7 +132,7 @@ def test_native_build_matches_numpy(rng):
     for i, n_idx in [(0, 2), (1, 2)]:
         grids = np.arange(i, nGrids, n_idx, dtype=np.int32)
         egs = 5
-        Yn, Cn, cpn, An = mspbwt_build_native(hm, grids, egs)
+        Yn, Cn, cpn, An, occn = mspbwt_build_native(hm, grids, egs)
         # numpy reference
         X = np.asfortranarray(hm[:, grids])
         T = len(grids)
