@@ -558,10 +558,11 @@ def cmd_hla(args) -> int:
                 GeneRead(pos0=p0, seq=seq, qual=q)
                 for (_qn, p0, seq, q) in raw
             ]
-            if use_alt and not bam.endswith(".cram"):
+            if use_alt:
                 # second read source: reads mapped to the gene's HLA alt
                 # contigs (get_that2 / filter_that2, hla_functions.R:544-669);
-                # placed on the allele alignment by kmer seeding
+                # placed on the allele alignment by kmer seeding. BAM and
+                # CRAM inputs both supported (CRAM seeks via .crai)
                 alt_raw = load_hla_alt_contig_reads(
                     bam, gene.name, gene.chrom, gene.start, gene.end,
                     contig_names=[

@@ -101,16 +101,20 @@ def _read_bam_stream(path: str):
             del data[:4 + block_size]
 
 
-def _iter_alignments(path: str, cram_fasta: Optional[str] = None):
+def _iter_alignments(path: str, cram_fasta: Optional[str] = None,
+                     region=None):
     """Yield (header_text, refs, parsed_record) for BAM or CRAM input;
     parsed_record matches _parse_record's tuple shape. CRAM decoding is
     native (io/cram.py); `cram_fasta` supplies the reference FASTA for
     reference-based CRAM slices (the reference's `reference` parameter,
-    QUILT/R/quilt.R:14)."""
+    QUILT/R/quilt.R:14). `region` = (chrom, start1, end1) enables .crai
+    container seeks for CRAM inputs (candidates; caller still filters)."""
     if path.endswith(".cram"):
         from .cram import read_cram
 
-        header_text, refs, records = read_cram(path, fasta=cram_fasta or None)
+        header_text, refs, records = read_cram(
+            path, fasta=cram_fasta or None, region=region
+        )
         for r in records:
             yield header_text, refs, (
                 r.ref_id, r.pos0, r.mapq, r.flag, r.l_seq, r.tlen, r.qname,
@@ -251,7 +255,12 @@ def load_bam_reads(
     groups: Dict[str, BamRead] = {}
     target_tid = None
     n_rec = 0
-    for header_text, refs, parsed in _iter_alignments(path, cram_fasta):
+    read_region = (
+        (chrom, int(snp_pos[0]), int(snp_pos[-1])) if nSNPs else None
+    )
+    for header_text, refs, parsed in _iter_alignments(
+        path, cram_fasta, region=read_region
+    ):
         if target_tid is None:
             target_tid = next(
                 (i for i, (name, _l) in enumerate(refs) if name == chrom), -1
@@ -367,7 +376,9 @@ def load_bam_sequences(
     decode_code = {1: 0, 2: 1, 4: 2, 8: 3}
     out = []
     target_tid = None
-    for header_text, refs, parsed in _iter_alignments(path):
+    for header_text, refs, parsed in _iter_alignments(
+        path, region=(chrom, start, end)
+    ):
         if target_tid is None:
             target_tid = next(
                 (i for i, (name, _l) in enumerate(refs) if name == chrom), -1
@@ -397,6 +408,27 @@ _PRIMARY_CHROM_NAMES = frozenset(
 )
 
 
+def _xa_outside_region(xa: str, chrom: str, regstart: int, regend: int,
+                       l_seq: int) -> bool:
+    """True when any XA alternative mapping points to another primary
+    chromosome or to `chrom` outside the region (filter_that2,
+    hla_functions.R:647-661)."""
+    for entry in xa.rstrip(";").split(";"):
+        fields = entry.split(",")
+        if len(fields) < 2:
+            continue
+        xchrom = fields[0]
+        try:
+            xpos = abs(int(fields[1]))
+        except ValueError:
+            continue
+        if xchrom in _PRIMARY_CHROM_NAMES and xchrom != chrom:
+            return True
+        if xchrom == chrom and (xpos < regstart - l_seq or xpos > regend):
+            return True
+    return False
+
+
 def load_hla_alt_contig_reads(
     path: str,
     gene_name: str,
@@ -423,6 +455,48 @@ def load_hla_alt_contig_reads(
     prefix = f"HLA-{gene_name}"
     want: Optional[set] = set(contig_names) if contig_names else None
     out = []
+    if path.endswith(".cram"):
+        # CRAM source: header pass resolves the alt-contig names, then a
+        # .crai-indexed (or container-skipping) pass decodes only those
+        # containers; mate/XA filters mirror the BAM branch below
+        from .cram import read_cram
+
+        _h, refs, _r = read_cram(path, header_only=True)
+        names = {
+            nm for nm, _l in refs
+            if (nm in want if want is not None else nm.startswith(prefix))
+        }
+        if not names:
+            return []
+        tid_ok = {i for i, (nm, _l) in enumerate(refs) if nm in names}
+        _h, refs, records = read_cram(path, ref_filter=names)
+        for r in records:
+            if r.ref_id not in tid_ok:
+                continue
+            if r.flag & (FLAG_UNMAPPED | FLAG_SECONDARY | FLAG_QCFAIL
+                         | FLAG_DUP | FLAG_SUPP):
+                continue
+            if 0 <= r.next_ref < len(refs):
+                mate_name = refs[r.next_ref][0]
+                if mate_name in _PRIMARY_CHROM_NAMES and mate_name != chrom:
+                    continue
+                if mate_name == chrom and (
+                    r.next_pos + 1 + r.l_seq + 1000 <= regstart
+                    or r.next_pos + 1 - 1000 >= regend
+                ):
+                    continue
+            xa = _get_tag(bytes(r.tags), b"XA")
+            if xa and _xa_outside_region(xa, chrom, regstart, regend,
+                                         r.l_seq):
+                continue
+            seq = np.empty(r.l_seq, dtype=np.uint8)
+            for qi in range(r.l_seq):
+                nib = r.seq_packed[qi >> 1]
+                base = (nib >> 4) if qi % 2 == 0 else (nib & 0xF)
+                seq[qi] = decode_code.get(base, 4)
+            out.append((r.qname, seq,
+                        np.frombuffer(bytes(r.qual), dtype=np.uint8)))
+        return out
     match_tids = None
     refs_cache = None
     for header_text, refs, rec in _read_bam_stream(path):
@@ -463,27 +537,8 @@ def load_hla_alt_contig_reads(
         # alternative-mapping filter (filter_that2 :647-661): XA entries on
         # another primary chromosome, or on `chrom` outside the region
         xa = _get_tag(bytes(tags), b"XA")
-        if xa:
-            bad = False
-            for entry in xa.rstrip(";").split(";"):
-                fields = entry.split(",")
-                if len(fields) < 2:
-                    continue
-                xchrom = fields[0]
-                try:
-                    xpos = abs(int(fields[1]))
-                except ValueError:
-                    continue
-                if xchrom in _PRIMARY_CHROM_NAMES and xchrom != chrom:
-                    bad = True
-                    break
-                if xchrom == chrom and (
-                    xpos < regstart - l_seq or xpos > regend
-                ):
-                    bad = True
-                    break
-            if bad:
-                continue
+        if xa and _xa_outside_region(xa, chrom, regstart, regend, l_seq):
+            continue
         seq = np.empty(l_seq, dtype=np.uint8)
         for qi in range(l_seq):
             nib = seq_bytes[qi >> 1]

@@ -25,6 +25,7 @@ is skipped on read.
 """
 from __future__ import annotations
 
+import os
 import struct
 import zlib
 from dataclasses import dataclass, field
@@ -716,6 +717,8 @@ class CramRecord:
     seq_packed: bytes
     qual: bytes
     tags: bytes
+    next_ref: int = -1      # mate ref id (detached records; NS series)
+    next_pos: int = -1      # mate 0-based position (NP series)
 
 
 def _decode_slice(ch, sdec, slice_rid, slice_start, n_records, counter,
@@ -740,12 +743,14 @@ def _decode_slice(ch, sdec, slice_rid, slice_start, n_records, counter,
         else:
             qname = f"q{counter + ir}"
         tlen = 0
+        next_ref, next_pos = -1, -1
         if cf & 0x2:            # detached: explicit mate info
             sdec.read_int(S["MF"])
             if not ch.rn_preserved:
                 qname = sdec.read_bytes(S["RN"]).decode()
-            sdec.read_int(S["NS"])
-            sdec.read_int(S["NP"])
+            ns = sdec.read_int(S["NS"])
+            next_ref = ns if ns < 0x7FFFFFFF else -1
+            next_pos = sdec.read_int(S["NP"]) - 1
             tlen = sdec.read_int(S["TS"])
         elif cf & 0x4:
             sdec.read_int(S["NF"])
@@ -857,7 +862,7 @@ def _decode_slice(ch, sdec, slice_rid, slice_start, n_records, counter,
             cigar = tuple(n << 4 | _CIGAR_OP[op] for n, op in merged)
             records.append(CramRecord(
                 rid, ap - 1, mapq, bf, rl, tlen, qname, cigar,
-                _pack_seq(bytes(seq)), qual, tags,
+                _pack_seq(bytes(seq)), qual, tags, next_ref, next_pos,
             ))
         else:                   # unmapped
             seq = bytes(sdec.read_byte(S["BA"]) for _ in range(rl))
@@ -865,7 +870,7 @@ def _decode_slice(ch, sdec, slice_rid, slice_start, n_records, counter,
                 qual = sdec.read_bytes(S["QS"], rl)
             records.append(CramRecord(
                 rid, ap - 1, 0, bf, rl, tlen, qname, (),
-                _pack_seq(seq), qual, tags,
+                _pack_seq(seq), qual, tags, next_ref, next_pos,
             ))
     return records
 
@@ -893,12 +898,37 @@ def _load_fasta(path: str) -> Dict[str, bytes]:
     return seqs
 
 
+def read_crai(path: str) -> List[Tuple[int, int, int, int, int, int]]:
+    """Parse a .crai index: gzipped text lines of
+    (seq_id, aln_start, aln_span, container_offset, slice_offset,
+    slice_size) — htslib's CRAM index format (SAMv3 spec section 4)."""
+    import gzip
+
+    out = []
+    with gzip.open(path, "rt") as fh:
+        for line in fh:
+            p = line.split()
+            if len(p) >= 6:
+                out.append(tuple(int(x) for x in p[:6]))
+    return out
+
+
 def read_cram(path: str, fasta: Optional[str] = None,
-              header_only: bool = False):
+              header_only: bool = False,
+              region: Optional[Tuple[str, int, int]] = None,
+              ref_filter: Optional[set] = None):
     """Parse a CRAM file; returns (sam_header_text, refs, records) where
     refs is [(name, length)] from the SAM header and records is a list of
     CramRecord. `fasta` supplies the reference for reference-based slices
-    (same requirement as samtools view of a CRAM)."""
+    (same requirement as samtools view of a CRAM).
+
+    With `region` = (chrom, start1, end1) or `ref_filter` = {contig
+    names}, a sibling .crai index (reference: htslib CRAI region queries,
+    used by the reference via samtools/STITCH — SURVEY section 2.9) lets
+    the reader seek straight to the overlapping containers; candidate
+    records still need positional filtering downstream, exactly like the
+    BAM linear-index chunk semantics. Without an index the whole file is
+    scanned and records filtered by slice metadata."""
     ref_seqs = _load_fasta(fasta) if fasta else {}
     with open(path, "rb") as fh:
         magic = fh.read(6)
@@ -931,14 +961,8 @@ def read_cram(path: str, fasta: Optional[str] = None,
         records: List[CramRecord] = []
         if header_only:
             return header_text, refs, records
-        counter = 0
-        while True:
-            hd = _parse_container_header(fh)
-            if hd is None:
-                break
-            body = fh.read(hd.length)
-            if hd.ref_seq_id == -1 and hd.n_records == 0 and hd.n_bases == 0:
-                continue        # EOF container
+
+        def decode_container_body(body: bytes, counter: int) -> int:
             off = 0
             blk, off = _parse_block(body, off)
             if blk.content_type != CT_COMPRESSION_HEADER:
@@ -988,6 +1012,63 @@ def read_cram(path: str, fasta: Optional[str] = None,
                     ref_offset,
                 ))
                 counter += s_nrec
+            return counter
+
+        want_rids: Optional[set] = None
+        if region is not None or ref_filter is not None:
+            name_to_rid = {nm: i for i, (nm, _l) in enumerate(refs)}
+            if region is not None:
+                want_rids = {name_to_rid.get(region[0], -9)}
+            else:
+                want_rids = {
+                    name_to_rid[n] for n in ref_filter if n in name_to_rid
+                }
+            crai_path = path + ".crai"
+            if os.path.exists(crai_path):
+                # index-driven container seeks (htslib CRAI semantics)
+                sel = set()
+                for (sid, st, span, coff, _soff, _ssz) in read_crai(
+                    crai_path
+                ):
+                    if sid not in want_rids:
+                        continue
+                    if region is not None and not (
+                        st <= region[2] and st + max(span, 1) > region[1]
+                    ):
+                        continue
+                    sel.add(coff)
+                counter = 0
+                for coff in sorted(sel):
+                    fh.seek(coff)
+                    hd = _parse_container_header(fh)
+                    if hd is None:
+                        continue
+                    body = fh.read(hd.length)
+                    if (hd.ref_seq_id == -1 and hd.n_records == 0
+                            and hd.n_bases == 0):
+                        continue
+                    counter = decode_container_body(body, counter)
+                return header_text, refs, records
+
+        counter = 0
+        while True:
+            hd = _parse_container_header(fh)
+            if hd is None:
+                break
+            if (want_rids is not None and hd.ref_seq_id >= 0
+                    and hd.ref_seq_id not in want_rids):
+                fh.seek(hd.length, 1)       # unindexed scan: skip container
+                continue
+            if (region is not None and hd.ref_seq_id >= 0
+                    and hd.start > 0 and not (
+                        hd.start <= region[2]
+                        and hd.start + max(hd.span, 1) > region[1])):
+                fh.seek(hd.length, 1)
+                continue
+            body = fh.read(hd.length)
+            if hd.ref_seq_id == -1 and hd.n_records == 0 and hd.n_bases == 0:
+                continue        # EOF container
+            counter = decode_container_body(body, counter)
     return header_text, refs, records
 
 
@@ -1006,15 +1087,28 @@ class CramWriter:
               "TL", "FN", "FC", "FP", "BB", "MQ", "QS"]
 
     def __init__(self, path: str, chrom: str, chrom_len: int,
-                 sample: str = "S1", extra_header: str = ""):
+                 sample: str = "S1", extra_header: str = "",
+                 contigs: Optional[List[Tuple[str, int]]] = None,
+                 write_index: bool = True,
+                 max_container_records: int = 10000):
+        """`contigs` adds further reference sequences after `chrom`
+        (tid 0); write_read(..., tid=) targets them. A sibling .crai is
+        written at close unless write_index=False; containers flush every
+        `max_container_records` reads (htslib default 10k records)."""
+        self.max_container_records = max_container_records
+        self.path = path
         self.fh = open(path, "wb")
         self.chrom = chrom
         self.records: List[dict] = []
         self.counter = 0
+        self.crai: List[Tuple[int, int, int, int, int, int]] = []
+        self.write_index = write_index
+        sq = f"@SQ\tSN:{chrom}\tLN:{chrom_len}\n"
+        for nm, ln in (contigs or []):
+            sq += f"@SQ\tSN:{nm}\tLN:{ln}\n"
         header = (
-            "@HD\tVN:1.6\tSO:coordinate\n"
-            f"@SQ\tSN:{chrom}\tLN:{chrom_len}\n"
-            f"@RG\tID:rg1\tSM:{sample}\n" + extra_header
+            "@HD\tVN:1.6\tSO:coordinate\n" + sq
+            + f"@RG\tID:rg1\tSM:{sample}\n" + extra_header
         )
         self.fh.write(b"CRAM\x03\x00" + b"quilt_tpu".ljust(20, b"\x00"))
         txt = header.encode()
@@ -1024,17 +1118,31 @@ class CramWriter:
 
     def write_read(self, qname: str, pos1: int, seq: str, qual: List[int],
                    flag: int = 0x1 | 0x40, mapq: int = 60, tlen: int = 0,
-                   mate_pos1: int = 0):
+                   mate_pos1: int = 0, tid: int = 0, mate_tid: int = -1):
         self.records.append(dict(
             qname=qname, pos=pos1, seq=seq.encode(),
             qual=bytes(qual), flag=flag, mapq=mapq, tlen=tlen,
-            mate_pos=mate_pos1,
+            mate_pos=mate_pos1, tid=tid, mate_tid=mate_tid,
         ))
+        if len(self.records) >= self.max_container_records:
+            self._flush()
 
     def _flush(self):
-        if not self.records:
+        # one single-reference container per tid run (slices are
+        # single-rid in this writer)
+        all_recs = sorted(self.records, key=lambda r: (r["tid"], r["pos"]))
+        self.records = []
+        i = 0
+        while i < len(all_recs):
+            j = i
+            while j < len(all_recs) and all_recs[j]["tid"] == all_recs[i]["tid"]:
+                j += 1
+            self._flush_one(all_recs[i]["tid"], all_recs[i:j])
+            i = j
+
+    def _flush_one(self, tid: int, recs: List[dict]):
+        if not recs:
             return
-        recs = sorted(self.records, key=lambda r: r["pos"])
         ids = {k: i + 1 for i, k in enumerate(self.SERIES)}
         streams: Dict[int, bytearray] = {i: bytearray() for i in ids.values()}
 
@@ -1053,7 +1161,7 @@ class CramWriter:
             put_int("RG", 0)
             streams[ids["RN"]] += r["qname"].encode() + b"\x00"
             put_int("MF", 0)
-            put_int("NS", 0)
+            put_int("NS", r["mate_tid"])
             put_int("NP", r["mate_pos"])
             put_int("TS", r["tlen"])
             put_int("TL", 0)
@@ -1085,7 +1193,7 @@ class CramWriter:
         n = len(recs)
         span = end - start + 1
         content_ids = sorted(streams)
-        sh = (write_itf8(0) + write_itf8(start) + write_itf8(span)
+        sh = (write_itf8(tid) + write_itf8(start) + write_itf8(span)
               + write_itf8(n) + write_ltf8(self.counter)
               + write_itf8(len(content_ids) + 1)
               + write_itf8(len(content_ids))
@@ -1097,16 +1205,30 @@ class CramWriter:
             blocks.append(
                 _emit_block(METHOD_GZIP, CT_EXTERNAL, i, bytes(streams[i]))
             )
+        container_off = self.fh.tell()
         self.fh.write(
-            _emit_container(0, start, span, n, self.counter, nbases, blocks)
+            _emit_container(tid, start, span, n, self.counter, nbases,
+                            blocks)
         )
+        # .crai row: slice offset is from the end of the container header
+        # (== start of the compression-header block), size spans the
+        # slice's blocks
+        self.crai.append((
+            tid, start, span, container_off, len(ch_blk),
+            sum(len(b) for b in blocks[1:]),
+        ))
         self.counter += n
-        self.records = []
 
     def close(self):
         self._flush()
         self.fh.write(_eof_container())
         self.fh.close()
+        if self.write_index:
+            import gzip
+
+            with gzip.open(self.path + ".crai", "wt") as fh:
+                for row in self.crai:
+                    fh.write("\t".join(str(x) for x in row) + "\n")
 
     def __enter__(self):
         return self

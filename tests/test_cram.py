@@ -255,3 +255,59 @@ def test_cram_reads_match_bam(rng, tmp_path):
     np.testing.assert_array_equal(rb.u, rc.u)
     np.testing.assert_array_equal(rb.bq, rc.bq)
     np.testing.assert_array_equal(rb.wif0, rc.wif0)
+
+
+def test_crai_region_query_matches_full(tmp_path, rng):
+    """Indexed region reads == full-scan reads filtered (mirrors
+    test_native_bam_indexed_region_matches_full for the CRAM path)."""
+    path = str(tmp_path / "r.cram")
+    with CramWriter(path, "chr20", 100_000, max_container_records=50) as w:
+        for i in range(300):
+            pos = 100 + i * 300
+            w.write_read(f"r{i}", pos, "ACGT" * 25, [30] * 100)
+    import os
+    assert os.path.exists(path + ".crai")
+    _h, refs, rec_all = read_cram(path)
+    _h, refs, rec_q = read_cram(path, region=("chr20", 30_000, 60_000))
+    assert 0 < len(rec_q) < len(rec_all)
+    # candidates are container-level; every read in the window is present
+    in_window = {r.qname for r in rec_all
+                 if r.pos0 + 100 >= 30_000 and r.pos0 < 60_000}
+    assert in_window <= {r.qname for r in rec_q}
+    # and equality of decoded content for shared reads
+    by_name = {r.qname: r for r in rec_all}
+    for r in rec_q:
+        assert by_name[r.qname].seq_packed == r.seq_packed
+    # wrong chromosome -> nothing
+    _h, _r, rec_none = read_cram(path, region=("chrX", 1, 1_000_000))
+    assert rec_none == []
+
+
+def test_cram_alt_contig_reads(tmp_path):
+    """HLA alt-contig extraction from a CRAM with a .crai, incl. the
+    mate filters of filter_that2 (hla_functions.R:614-669)."""
+    from quilt_tpu.io.bam import load_hla_alt_contig_reads
+
+    path = str(tmp_path / "h.cram")
+    with CramWriter(path, "chr6", 1_000_000,
+                    contigs=[("HLA-A*01:01:01:01", 3500),
+                             ("chr7", 500_000)]) as w:
+        # primary-region reads
+        w.write_read("p0", 29_900_000 % 900_000, "ACGT" * 25, [30] * 100,
+                     tid=0)
+        # alt-contig read, mate on chr6 inside region -> kept
+        w.write_read("alt_keep", 120, "ACGT" * 25, [30] * 100, tid=1,
+                     mate_tid=0, mate_pos1=29_000)
+        # alt-contig read, mate on another primary chromosome -> dropped
+        w.write_read("alt_drop", 140, "ACGT" * 25, [30] * 100, tid=1,
+                     mate_tid=2, mate_pos1=1000)
+        # alt-contig read, no mate info -> kept
+        w.write_read("alt_nomate", 160, "TTTT" * 25, [30] * 100, tid=1)
+    out = load_hla_alt_contig_reads(path, "A", "chr6", 28_000, 31_000)
+    names = {q for q, _s, _q in out}
+    assert "alt_keep" in names and "alt_nomate" in names
+    assert "alt_drop" not in names
+    for q, seq, qual in out:
+        assert len(seq) == 100 and len(qual) == 100
+        if q == "alt_nomate":
+            assert (seq == 3).all()          # T = code 3
