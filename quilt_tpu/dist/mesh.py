@@ -203,7 +203,7 @@ def fb_full_sharded(
 
 
 def shard_gibbs_batch(mesh: Mesh, batch_axis0: dict, uniforms=None,
-                      block_u=None):
+                      block_u=None, resample_u=None):
     """Place Gibbs-sweep arrays with the chain/batch axis sharded over the
     mesh. The sweep is embarrassingly parallel over chains (shared-nothing,
     the TPU analogue of the reference's fork-per-sample, quilt.R:692), so
@@ -222,7 +222,7 @@ def shard_gibbs_batch(mesh: Mesh, batch_axis0: dict, uniforms=None,
     elif B % n_data == 0:
         axes = ("data",)
     else:
-        return batch_axis0, uniforms, block_u
+        return batch_axis0, uniforms, block_u, resample_u
     spec0 = lambda nd: NamedSharding(
         mesh, P(axes, *([None] * (nd - 1)))
     )
@@ -237,4 +237,8 @@ def shard_gibbs_batch(mesh: Mesh, batch_axis0: dict, uniforms=None,
         block_u = jax.device_put(
             block_u, NamedSharding(mesh, P(None, None, None, axes))
         )
-    return out, uniforms, block_u
+    if resample_u is not None:
+        resample_u = jax.device_put(
+            resample_u, NamedSharding(mesh, P(None, axes, None))
+        )
+    return out, uniforms, block_u, resample_u

@@ -129,18 +129,22 @@ def impute_samples_batched(
         ) if Kp_sub != which_b.shape[1] else which_b
         bits = _gather_unpack(rhb_dev, jnp.asarray(which_p))
         key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         uniforms = _device_uniforms(k1, (n_its, Bb, ginputs_b.R))
         block_u = _device_uniforms(k2, (n_its, max(len(bnd), 1), 3, Bb))
         block_u = block_u[:, : len(bnd)]
+        resample_u = (
+            _device_uniforms(k3, (n_its, Bb, ginputs_b.R))
+            if (nl == 3 and len(bnd)) else None
+        )
         if ctx.mesh is not None:
             # chains are shared-nothing: shard the batch axis over the mesh
             # and let XLA partition the sweep (no collectives needed)
             from ..dist.mesh import shard_gibbs_batch
-            sharded, uniforms, block_u = shard_gibbs_batch(
+            sharded, uniforms, block_u, resample_u = shard_gibbs_batch(
                 ctx.mesh, {"bits": bits, "H0": jnp.asarray(H0_b),
                            "first": jnp.asarray(first_b)},
-                uniforms=uniforms, block_u=block_u,
+                uniforms=uniforms, block_u=block_u, resample_u=resample_u,
             )
             bits, H0_b, first_b = (
                 sharded["bits"], sharded["H0"], sharded["first"]
@@ -153,6 +157,7 @@ def impute_samples_batched(
                 K_real=which_b.shape[1], max_diff=max_diff,
                 ref_error=prep.ref_error,
                 boundaries=bnd, block_u=block_u, do_block=do_block_np,
+                resample_u=resample_u,
             )
             if not uf.any():
                 break

@@ -298,6 +298,12 @@ def impute_one_sample(
         bits = _unpack_subset(jnp.asarray(rhb_sub))
         uniforms = rng.random((n_its, B, R)).astype(np.float32)
         block_u = rng.random((n_its, len(bnd), 3, B)).astype(np.float32)
+        # uniforms for resample_H_using_H_class at block iterations (NIPT
+        # within-block move set; kernels/gibbs.py:nipt_block_within)
+        resample_u = (
+            rng.random((n_its, B, R)).astype(np.float32)
+            if (nl == 3 and len(bnd)) else None
+        )
         for attempt in range(11):
             with ctx.timers.section("gibbs_sweep"):
                 gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
@@ -308,6 +314,7 @@ def impute_one_sample(
                     K_real=Ksub,
                     max_diff=max_diff, ref_error=prep.ref_error,
                     boundaries=bnd, block_u=block_u, do_block=do_block_np,
+                    resample_u=resample_u,
                 )
             if not uf.any():
                 break

@@ -91,8 +91,11 @@ def _perm_block_probs(cmat, ns, clp, perm_mask):
         ],
         axis=-1,
     )
-    cls_t = clp[jnp.asarray(nipt_tables.CLASS_PERM)]          # [6, 8]
-    ht = jnp.einsum("...c,rc->...r", ns, cls_t)
+    # reference pairing: ns[CLASS_PERM[r, c]] * clp[c] (see
+    # nipt.perm_choice_probs_np; differs from the transposed pairing for
+    # the two 3-cycle relabellings)
+    ns_t = jnp.take(ns, jnp.asarray(nipt_tables.CLASS_PERM), axis=-1)
+    ht = jnp.einsum("...rc,c->...r", ns_t, clp)
     lw = fb + ht
     lw = lw - lw.max(axis=-1, keepdims=True)
     w = jnp.exp(jnp.clip(lw, -100.0, None)) * perm_mask
@@ -113,6 +116,16 @@ def _entire_probs(rc, log_p):
     lw = lw - lw.max(axis=-1, keepdims=True)
     w = jnp.exp(jnp.clip(lw, -100.0, None))
     return w / w.sum(axis=-1, keepdims=True)
+
+
+def _block_within_default(flag: Optional[bool]) -> bool:
+    """Within-block NIPT moves (reference default block_approach=6) unless
+    QUILT_TPU_BLOCK=suffix selects the shard suffix formulation."""
+    if flag is not None:
+        return bool(flag)
+    import os
+
+    return os.environ.get("QUILT_TPU_BLOCK", "within") != "suffix"
 
 
 def _sample_idx(probs, u):
@@ -226,9 +239,200 @@ def _build_log_emat_grid(log_em, H, wif0, read_mask, G, nl):
     return emg
 
 
+def nipt_block_within(
+    lemg,            # [G, B, 3, K] f32 log grid emissions
+    beta,            # [G, B, 3, K]
+    H,               # [R, B] int read labels
+    Hc,              # [R, B] int read classes
+    wif0,            # [B, R] central grid per read
+    read_mask,       # [B, R] bool
+    log_em_all,      # [B, K, R] log read emissions
+    trans,           # [G, 2]
+    boundaries,      # [NB] suffix-start boundaries (<=0 = pad)
+    block_u_it,      # [NB, 3, B] uniforms for this iteration
+    clp,             # [8] per-class log label probability
+    perm_mask,       # [6] allowed-relabelling mask
+    rlc,             # [7, 3] read-label-class probability rows
+    K_real: int,
+    resample_u_it=None,   # [B, R] uniforms for the H_class label resample
+    rebuild_fn=None,      # (H [R, B]) -> lemg; default _build_log_emat_grid
+):
+    """WITHIN-block 6-permutation relabelling + read-label resample
+    from H_class: the production NIPT move set of
+    Rcpp_block_gibbs_resampler with block_approach=6 and
+    resample_H_using_H_class=TRUE (gibbs-nipt-block.cpp:1636-1974;
+    per-block decision Rcpp_consider_block_relabelling :590-954;
+    oracle mirror oracle/block_gibbs.py:block_gibbs_within).
+
+    One scan over grids carries the 6-relabelling forward bank
+    (alphaStore) and per-block log-normalizer/class-count accumulators;
+    at each block end the relabelling is sampled from the in-block
+    forward x stale-beta junction plus the H_class count term, and the
+    bank collapses to the accepted slice so the next block enters
+    consistently. Afterwards labels/classes/emissions permute per
+    block, labels optionally resample from H_class, and a full
+    forward+backward re-run restores alpha/beta (reference
+    :1900-1965)."""
+    G, B, _, K = lemg.shape
+    R = H.shape[0]
+    NB = boundaries.shape[0]
+    wif0_r = wif0.T
+    km = (jnp.arange(K) < K_real).astype(jnp.float32)
+    k_mask = jnp.arange(K) < K_real
+    invs_t = jnp.asarray(nipt_tables.INVS)
+    perms_t = jnp.asarray(nipt_tables.PERMS)
+    clsperm_t = jnp.asarray(nipt_tables.CLASS_PERM)
+
+    def emg_to_e(lemg_g):
+        lm = jnp.where(k_mask[None, None, :], lemg_g, -jnp.inf)
+        mx = lm.max(axis=2, keepdims=True)
+        return jnp.exp(lm - mx) * km[None, None, :], mx[:, :, 0]
+
+    # block topology from the suffix-start boundaries (pads -> G)
+    bb = jnp.where(boundaries > 0, boundaries, G)
+    bb = jnp.sort(bb)
+    gidx = jnp.arange(G)
+    block_of_g = (gidx[:, None] >= bb[None, :]).sum(axis=1)   # [G]
+    is_end = jnp.concatenate(
+        [jnp.isin(gidx[:-1] + 1, bb), jnp.array([True])]
+    )
+    # per-grid class-count contributions ns_g [G, B, 8]
+    oh_c = jax.nn.one_hot(Hc, 8, dtype=jnp.float32)           # [R, B, 8]
+    oh_c = oh_c * read_mask.T[:, :, None]
+    oh_g = jax.nn.one_hot(wif0_r, G, dtype=jnp.float32)       # [R, B, G]
+    ns_g = jnp.einsum("rbg,rbc->gbc", oh_g, oh_c)
+    # per-block uniforms: slot [j, 0] for j < NB, slot [NB-1, 1] for
+    # the final (suffix) block
+    u_blocks = jnp.concatenate(
+        [block_u_it[:, 0], block_u_it[NB - 1:NB, 1]], axis=0
+    )                                                          # [NB+1, B]
+
+    def scan_step(carry, g):
+        aS, lgS, ns_acc = carry       # [B,6,3,K], [B,6,3], [B,8]
+        lemg_g = jax.lax.dynamic_index_in_dim(lemg, g, 0, False)
+        beta_g = jax.lax.dynamic_index_in_dim(beta, g, 0, False)
+        e_g, _ = emg_to_e(lemg_g)                              # [B,3,K]
+        e_perm = e_g[:, invs_t]                                # [B,6,3,K]
+        t = trans[g]
+        is_first = (g == 0).astype(jnp.float32)
+        a_raw = e_perm * (
+            t[0] * aS + (t[1] + is_first) / K_real
+        )
+        s = a_raw.sum(axis=3, keepdims=True)
+        s = jnp.maximum(s, 1e-30)
+        aS = a_raw / s
+        lgS = lgS + jnp.log(s[..., 0])
+        ns_acc = ns_acc + ns_g[g]
+
+        def decide(args):
+            aS, lgS, ns_acc = args
+            junction = jnp.einsum(
+                "brik,bik->bri", aS, beta_g * km[None, None, :]
+            )
+            lw = jnp.log(jnp.maximum(junction, 1e-30)).sum(axis=2) \
+                + lgS.sum(axis=2)                              # [B, 6]
+            ns_t = jnp.take(ns_acc, clsperm_t, axis=-1)        # [B,6,8]
+            lw = lw + jnp.einsum("brc,c->br", ns_t, clp)
+            lw = lw - lw.max(axis=1, keepdims=True)
+            w = jnp.exp(jnp.clip(lw, -100.0, None)) * perm_mask
+            w = w / w.sum(axis=1, keepdims=True)
+            j = jnp.minimum(block_of_g[g], NB)
+            chosen = _sample_idx(w, u_blocks[j])               # [B]
+            aS_sel = jnp.take_along_axis(
+                aS, chosen[:, None, None, None], axis=1
+            )                                                  # [B,1,3,K]
+            aS = jnp.broadcast_to(aS_sel, aS.shape)
+            return (aS, jnp.zeros_like(lgS), jnp.zeros_like(ns_acc),
+                    chosen)
+
+        def no_decide(args):
+            aS, lgS, ns_acc = args
+            return aS, lgS, ns_acc, jnp.zeros((B,), jnp.int32)
+
+        aS, lgS, ns_acc, chosen = jax.lax.cond(
+            is_end[g], decide, no_decide, (aS, lgS, ns_acc)
+        )
+        return (aS, lgS, ns_acc), chosen
+
+    aS0 = jnp.zeros((B, 6, 3, K), dtype=jnp.float32)
+    carry0 = (aS0, jnp.zeros((B, 6, 3), jnp.float32),
+              jnp.zeros((B, 8), jnp.float32))
+    _, chosen_g = jax.lax.scan(scan_step, carry0, jnp.arange(G))
+    # chosen decision of each grid's block = the choice emitted at the
+    # block's END grid
+    ends_g = jnp.where(
+        block_of_g < NB, bb[jnp.minimum(block_of_g, NB - 1)] - 1, G - 1
+    )                                                          # [G]
+    perm_g = jnp.take_along_axis(
+        chosen_g, jnp.broadcast_to(ends_g[:, None], (G, B)), axis=0
+    )                                                          # [G, B]
+    perm_r = jnp.take_along_axis(perm_g, jnp.clip(wif0_r, 0, G - 1),
+                                 axis=0)                       # [R, B]
+    H = perms_t[perm_r, jnp.clip(H, 0, 2)]
+    Hc = clsperm_t[perm_r, Hc]
+    inv_sel = invs_t[perm_g]                                   # [G,B,3]
+    lemg = jnp.take_along_axis(lemg, inv_sel[:, :, :, None], axis=2)
+
+    # resample H from H_class (rcpp_sample_H_using_H_class) and
+    # rebuild the grid emissions from the read emissions
+    if resample_u_it is not None:
+        # class -> P(label) rows: classes 1..6 are make_rlc rows 0..5,
+        # classes 0 and 7 the full prior row 6
+        rlc_cls = rlc[jnp.array([6, 0, 1, 2, 3, 4, 5, 6])]     # [8, 3]
+        cdf = jnp.cumsum(rlc_cls[Hc], axis=-1)                 # [R,B,3]
+        H_new = jnp.clip(
+            (resample_u_it.T[:, :, None] >= cdf).sum(axis=-1), 0, 2
+        )
+        H = jnp.where(read_mask.T, H_new, H).astype(jnp.int32)
+        if rebuild_fn is not None:
+            lemg = rebuild_fn(H)
+        else:
+            lemg = _build_log_emat_grid(
+                log_em_all, H.T, wif0, read_mask, G, 3
+            )
+
+    # full forward + backward re-run under the accepted labels
+    def fwd(carry, g):
+        a = carry
+        lemg_g = jax.lax.dynamic_index_in_dim(lemg, g, 0, False)
+        e_g, _ = emg_to_e(lemg_g)
+        t = trans[g]
+        is_first = (g == 0).astype(jnp.float32)
+        raw = e_g * (t[0] * a + (t[1] + is_first) / K_real)
+        s = jnp.maximum(raw.sum(axis=2, keepdims=True), 1e-30)
+        a = raw / s
+        return a, a
+
+    _, alphas = jax.lax.scan(
+        fwd, jnp.zeros((B, 3, K), jnp.float32), jnp.arange(G)
+    )
+
+    def bwd(beta_next, g):
+        gn = jnp.minimum(g + 1, G - 1)
+        lemg_n = jax.lax.dynamic_index_in_dim(lemg, gn, 0, False)
+        t = jax.lax.dynamic_index_in_dim(trans, gn, 0, False)
+        e_n, _ = emg_to_e(lemg_n)
+        etb = e_n * beta_next
+        b_new = t[0] * etb + t[1] * etb.sum(
+            axis=2, keepdims=True
+        ) / K_real
+        b_new = jnp.where(g == G - 1, jnp.ones_like(b_new), b_new)
+        mx = jnp.max(b_new, axis=2, keepdims=True)
+        b_new = b_new / jnp.where(mx > 0, mx, 1.0)
+        return b_new, b_new
+
+    _, betas_rev = jax.lax.scan(
+        bwd, jnp.ones((B, 3, K), jnp.float32),
+        jnp.arange(G - 1, -1, -1),
+    )
+    beta = betas_rev[::-1]
+    return lemg, beta, alphas, H, Hc
+
+
 @partial(
     jax.jit,
-    static_argnames=("nl", "iterative_init", "K_real", "W", "do_entire"),
+    static_argnames=("nl", "iterative_init", "K_real", "W", "do_entire",
+                     "block_within"),
 )
 def _gibbs_core(
     eMatRead: jnp.ndarray,     # [B, K, R] f32
@@ -255,6 +459,10 @@ def _gibbs_core(
     W: int,                    # max reads per grid (H_class scan width)
     do_entire: bool,
     ref_error: float = 0.001,
+    resample_u: Optional[jnp.ndarray] = None,  # [n_its, B, R] for the
+                                               # H_class label resample
+    block_within: bool = True, # within-block moves (reference default) vs
+                               # the shard suffix formulation
 ):
     B, K, R = eMatRead.shape
     S = bits.shape[2]
@@ -434,6 +642,19 @@ def _gibbs_core(
 
         return jax.lax.fori_loop(
             0, NB, bound_body, (lemg, beta, alphas, H, Hc)
+        )
+
+    def block_moves_nipt_within(it, lemg, beta, alphas, H, Hc):
+        """Closure adapter for nipt_block_within (the production NIPT
+        within-block move set); `alphas` is recomputed inside."""
+        del alphas
+        return nipt_block_within(
+            lemg, beta, H, Hc, wif0, read_mask, log_em_all, trans,
+            boundaries, block_u[it], clp, perm_mask, rlc, K_real,
+            resample_u_it=(
+                resample_u[it] if (resample_u is not None and W > 0)
+                else None
+            ),
         )
 
     def entire_move(it, lemg, beta, alphas, H, Hc):
@@ -649,9 +870,13 @@ def _gibbs_core(
             )
         if NB > 0:
             if nl == 3:
+                nipt_move = (
+                    block_moves_nipt_within if block_within
+                    else block_moves_nipt
+                )
                 lemg, beta, alphas, H, Hc = jax.lax.cond(
                     do_block[it],
-                    lambda args: block_moves_nipt(it, *args),
+                    lambda args: nipt_move(it, *args),
                     lambda args: args,
                     (lemg, beta, alphas, H, Hc),
                 )
@@ -749,6 +974,8 @@ def run_gibbs_chains(
     do_block: Optional[np.ndarray] = None,
     relabel_u: Optional[np.ndarray] = None,
     do_entire: bool = False,
+    resample_u: Optional[np.ndarray] = None,
+    block_within: Optional[bool] = None,
 ):
     """Run B independent Gibbs chains; returns numpy outputs
     (gp, gpF, hap_dos, H, per_it_ll, underflow, H_class).
@@ -788,6 +1015,7 @@ def run_gibbs_chains(
                 K_real=K_real, max_diff=max_diff, ref_error=ref_error,
                 eMatRead=eMatRead, boundaries=boundaries, block_u=block_u,
                 do_block=do_block, relabel_u=relabel_u, do_entire=do_entire,
+                resample_u=resample_u, block_within=block_within,
             )
     if n_latent == 2:
         prior = np.array([0.5, 0.5], dtype=np.float32)
@@ -862,6 +1090,11 @@ def run_gibbs_chains(
         W=W,
         do_entire=bool(do_entire),
         ref_error=ref_error,
+        resample_u=(
+            jnp.asarray(resample_u, dtype=np.float32)
+            if resample_u is not None else None
+        ),
+        block_within=_block_within_default(block_within),
     )
     return (
         np.asarray(gp),

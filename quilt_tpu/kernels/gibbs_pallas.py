@@ -42,6 +42,12 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _block_within_default_pallas(flag):
+    from .gibbs import _block_within_default
+
+    return _block_within_default(flag)
+
+
 # ---------------------------------------------------------------------------
 # forward sweep kernel
 # ---------------------------------------------------------------------------
@@ -552,7 +558,7 @@ def _block_moves_nipt_padded(
     jax.jit,
     static_argnames=(
         "nl", "iterative_init", "K_real", "n_its", "do_block", "prior_t",
-        "ref_error", "do_entire",
+        "ref_error", "do_entire", "block_within",
     ),
 )
 def _gibbs_core_pallas(
@@ -575,7 +581,7 @@ def _gibbs_core_pallas(
     clp,              # [8] f32
     perm_mask,        # [6] f32
     nl, iterative_init, K_real, n_its, do_block, prior_t, ref_error,
-    do_entire,
+    do_entire, resample_u=None, block_within=True,
 ):
     B, K, R = lem_all.shape
     G, W = r_pad.shape[0], r_pad.shape[1]
@@ -649,7 +655,52 @@ def _gibbs_core_pallas(
                 alphas, beta, lem_pad, H_pad, live, prior, rlc
             )
         if do_block[it] and NB > 0:
-            if nl == 3:
+            if nl == 3 and block_within:
+                # production within-block move set (shared implementation,
+                # kernels/gibbs.py:nipt_block_within) on the padded layout
+                from .gibbs import nipt_block_within
+
+                lemg4 = jnp.transpose(
+                    lemg.reshape(G, nl, B, K), (0, 2, 1, 3)
+                )
+                beta4 = jnp.transpose(
+                    beta.reshape(G, nl, B, K), (0, 2, 1, 3)
+                )
+                H_rb = H_pad.reshape(G * W, B)
+                Hc_rb = Hc_pad.reshape(G * W, B)
+                wif_slots = jnp.broadcast_to(
+                    jnp.repeat(jnp.arange(G, dtype=jnp.int32), W)[None, :],
+                    (B, G * W),
+                )
+                mask_rb = jnp.transpose(live.reshape(G * W, B))
+
+                def rebuild(Hn):
+                    Hp = Hn.reshape(G, W, B)
+                    oh = jax.nn.one_hot(Hp, nl, dtype=jnp.float32)
+                    oh = oh * valid.astype(jnp.float32)[..., None]
+                    lg = jnp.einsum(
+                        "gwbn,gwbk->gnbk", oh,
+                        lem_pad.astype(jnp.float32),
+                    )
+                    return jnp.transpose(lg, (0, 2, 1, 3))
+
+                ru_it = None
+                if resample_u is not None:
+                    ru_slot = to_slots(resample_u[it], 0.0)   # [G, W, B]
+                    ru_it = jnp.transpose(ru_slot.reshape(G * W, B))
+                lemg4, beta4, _al4, H_rb, Hc_rb = nipt_block_within(
+                    lemg4, beta4, H_rb, Hc_rb, wif_slots, mask_rb, None,
+                    trans, boundaries, block_u[it], clp, perm_mask, rlc,
+                    K_real, resample_u_it=ru_it, rebuild_fn=rebuild,
+                )
+                lemg = jnp.transpose(lemg4, (0, 2, 1, 3)).reshape(G, BN, K)
+                beta = jnp.transpose(beta4, (0, 2, 1, 3)).reshape(G, BN, K)
+                alphas = jnp.transpose(_al4, (0, 2, 1, 3)).reshape(
+                    G, BN, K
+                )
+                H_pad = H_rb.reshape(G, W, B)
+                Hc_pad = Hc_rb.reshape(G, W, B)
+            elif nl == 3:
                 lemg, beta, alphas, H_pad, Hc_pad = _block_moves_nipt_padded(
                     lemg, beta, alphas, H_pad, Hc_pad, valid, boundaries,
                     block_u[it], B, K_real, clp, perm_mask,
@@ -778,6 +829,8 @@ def run_gibbs_chains_pallas(
     do_block=None,
     relabel_u=None,
     do_entire=False,
+    resample_u=None,
+    block_within=None,
 ):
     """Drop-in replacement for kernels.gibbs.run_gibbs_chains on TPU."""
     from . import nipt as nipt_tables
@@ -886,6 +939,11 @@ def run_gibbs_chains_pallas(
         prior_t=prior_t,
         ref_error=float(ref_error),
         do_entire=bool(do_entire),
+        resample_u=(
+            jnp.asarray(resample_u, dtype=jnp.float32)
+            if resample_u is not None else None
+        ),
+        block_within=_block_within_default_pallas(block_within),
     )
     return (
         np.asarray(gp),

@@ -136,7 +136,11 @@ def perm_choice_probs_np(
         for i in range(3):
             lw[r] += np.log(max(cmat[i, INVS[r, i]], 1e-300))
         for c in range(1, 7):
-            lw[r] += ns[c] * clp[CLASS_PERM[r, c]]
+            # reference pairing: count of the class that MAPS TO c times
+            # clp[c] (rcpp_calculate_block_read_label_probabilities_using_
+            # H_class, gibbs-nipt-block.cpp:252-281: n_j = ns[rr(ir,j)];
+            # differs from ns[c]*clp[CLASS_PERM[c]] for the two 3-cycles)
+            lw[r] += ns[CLASS_PERM[r, c]] * clp[c]
     lw -= lw.max()
     lw = np.clip(lw, -100.0, None)
     w = np.exp(lw)

@@ -53,6 +53,170 @@ def _pairs(nl: int) -> List[Tuple[int, int]]:
     return [(0, 1)] if nl == 2 else [(0, 1), (0, 2), (1, 2)]
 
 
+def block_ranges(boundaries: np.ndarray, G: int):
+    """Inclusive [start, end] block ranges from suffix-start boundaries."""
+    b = np.asarray([x for x in boundaries if 0 < x < G], dtype=np.int64)
+    starts = np.concatenate([[0], b])
+    ends = np.concatenate([b - 1, [G - 1]])
+    return starts, ends
+
+
+def class_label_probs(ff: float) -> np.ndarray:
+    """[8, 3] P(label | H_class): the sampling table of
+    rcpp_sample_H_using_H_class (gibbs-nipt-block.cpp:213-248)."""
+    p = np.array([0.5, 0.5 - ff * 0.5, ff * 0.5])
+    t = np.zeros((8, 3))
+    t[0] = p
+    t[7] = p
+    t[1] = (1, 0, 0)
+    t[2] = (0, 1, 0)
+    t[3] = (0, 0, 1)
+    t[4] = (p[0], p[1], 0)
+    t[5] = (p[0], 0, p[2])
+    t[6] = (0, p[1], p[2])
+    s = t.sum(axis=1, keepdims=True)
+    return t / np.where(s > 0, s, 1.0)
+
+
+def sample_H_using_H_class(
+    H_class: np.ndarray, uniforms: np.ndarray, ff: float
+) -> np.ndarray:
+    """Resample read labels from their class-conditional distribution
+    (rcpp_sample_H_using_H_class, gibbs-nipt-block.cpp:213-248)."""
+    t = class_label_probs(ff)
+    cdf = np.cumsum(t[H_class], axis=-1)            # [R, 3]
+    return (uniforms[:, None] >= cdf).sum(axis=-1).clip(0, 2).astype(np.int64)
+
+
+def block_gibbs_within(
+    H: np.ndarray,
+    H_class: np.ndarray,
+    reads,
+    eMatRead: np.ndarray,        # [K, R]
+    eMatGrid: np.ndarray,        # [3, K, G] (updated in place)
+    alpha: np.ndarray,           # [3, K, G] (updated in place)
+    beta: np.ndarray,            # [3, K, G] (updated in place)
+    c: np.ndarray,               # [3, G] (updated in place)
+    trans: np.ndarray,           # [2, G-1]
+    ff: float,
+    boundaries: np.ndarray,
+    uniforms_block: np.ndarray,  # [n_blocks]
+    uniforms_H: Optional[np.ndarray] = None,   # [R] for the final resample
+    resample_H: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """WITHIN-block 6-permutation relabelling + final H resample from
+    H_class: the NIPT production move set of Rcpp_block_gibbs_resampler
+    with block_approach=6 and resample_H_using_H_class=TRUE
+    (gibbs-nipt-block.cpp:1636-1974; per-block decision
+    Rcpp_consider_block_relabelling :590-954). Blocks are processed
+    sequentially; each decision compares, for every relabelling ir, the
+    in-block forward restarted from the entering alpha under row-permuted
+    emissions against the (stale) beta at the block end, plus the H_class
+    count likelihood of the block's reads, then re-runs the in-block
+    forward under the accepted relabelling so the next block sees a
+    consistent entering state. The final backward re-run restores beta."""
+    nl, K, G = eMatGrid.shape
+    assert nl == 3
+    wif0 = reads.wif0[: len(H)]
+    clp = nipt.class_log_p(ff)
+    starts, ends = block_ranges(boundaries, G)
+    H = H.copy()
+    H_class = H_class.copy()
+
+    def fwd_span(i_src: int, i_dst: int, gs: int, ge: int):
+        """Forward for (new) hap i_dst over [gs, ge] using hap i_src's
+        emissions; returns (alpha at ge normalized, sum log c inside,
+        trajectory, per-grid c)."""
+        traj = np.empty((ge - gs + 1, K))
+        traj_c = np.empty(ge - gs + 1)
+        logc = 0.0
+        for g in range(gs, ge + 1):
+            if g == 0:
+                a = eMatGrid[i_src, :, 0] / K
+            elif g == gs:
+                a = eMatGrid[i_src, :, g] * (
+                    trans[0, g - 1] * alpha[i_dst, :, g - 1]
+                    + trans[1, g - 1] / K
+                )
+            else:
+                a = eMatGrid[i_src, :, g] * (
+                    trans[0, g - 1] * a + trans[1, g - 1] / K
+                )
+            cc = 1.0 / a.sum()
+            a = a * cc
+            logc += np.log(cc)
+            traj[g - gs] = a
+            traj_c[g - gs] = cc
+        return a, logc, traj, traj_c
+
+    for jb in range(len(starts)):
+        gs, ge = int(starts[jb]), int(ends[jb])
+        lw = np.zeros(6)
+        finals = {}
+        for ir in range(6):
+            for i in range(3):
+                src = int(nipt.INVS[ir, i])
+                a_end, logc_in, _t, _tc = fwd_span(src, i, gs, ge)
+                finals[(ir, i)] = a_end
+                lw[ir] += np.log(
+                    max((a_end * beta[i, :, ge]).sum(), 1e-300)
+                ) - logc_in
+        in_blk = (wif0 >= gs) & (wif0 <= ge)
+        ns = np.array([((H_class == cc) & in_blk).sum() for cc in range(8)],
+                      dtype=np.float64)
+        for ir in range(6):
+            for cc in range(1, 7):
+                lw[ir] += ns[nipt.CLASS_PERM[ir, cc]] * clp[cc]
+        lw -= lw.max()
+        lw = np.clip(lw, -100.0, None)
+        w = np.exp(lw)
+        if ff <= 0.0:
+            w[[1, 3, 4, 5]] = 0.0
+        w = w / w.sum()
+        r_idx = nipt.sample_index_np(w, uniforms_block[jb])
+        if r_idx > 0:
+            H[in_blk] = nipt.PERMS[r_idx][H[in_blk]]
+            H_class[in_blk] = nipt.CLASS_PERM[r_idx][H_class[in_blk]]
+            inv = nipt.INVS[r_idx]
+            eMatGrid[:, :, gs:ge + 1] = eMatGrid[inv][:, :, gs:ge + 1]
+        # re-run the in-block forward under the accepted labels so the
+        # next block's entering alpha is consistent (reference :850-925)
+        for i in range(3):
+            _a, _lc, traj, traj_c = fwd_span(i, i, gs, ge)
+            alpha[i, :, gs:ge + 1] = traj.T
+            c[i, gs:ge + 1] = traj_c
+
+    if resample_H and ff > 0.0:
+        if uniforms_H is None:
+            uniforms_H = np.full(len(H), 0.5)
+        H = sample_H_using_H_class(H_class, uniforms_H, ff)
+        # rebuild eMatGrid + full forward (reference :1900-1942)
+        eMatGrid[:] = 1.0
+        for r in range(len(H)):
+            eMatGrid[H[r], :, wif0[r]] *= eMatRead[:, r]
+        for i in range(3):
+            a = None
+            for g in range(G):
+                if g == 0:
+                    raw = eMatGrid[i, :, 0] / K
+                else:
+                    raw = eMatGrid[i, :, g] * (
+                        trans[0, g - 1] * a + trans[1, g - 1] / K
+                    )
+                c[i, g] = 1.0 / raw.sum()
+                a = raw * c[i, g]
+                alpha[i, :, g] = a
+    # final backward re-run (reference :1945-1965)
+    for i in range(3):
+        beta[i, :, G - 1] = c[i, G - 1]
+        for g in range(G - 2, -1, -1):
+            etb = eMatGrid[i, :, g + 1] * beta[i, :, g + 1]
+            beta[i, :, g] = c[i, g] * (
+                trans[0, g] * etb + trans[1, g] * etb.mean()
+            )
+    return H, H_class
+
+
 def block_gibbs_resample(
     H: np.ndarray,
     reads,

@@ -77,6 +77,8 @@ def gibbs_sample_one_chain(
     eMatRead: Optional[np.ndarray] = None,
     relabel_uniforms: Optional[np.ndarray] = None,   # [n_its] entire-relabel
     do_entire_relabelling: bool = False,
+    block_within: bool = False,
+    resample_uniforms: Optional[np.ndarray] = None,  # [n_its, R]
 ) -> GibbsResult:
     K, nSNPs = hap_alleles.shape
     nReads = reads.nReads
@@ -264,7 +266,23 @@ def gibbs_sample_one_chain(
         ):
             H_class = compute_H_class()
         # optional block-Gibbs escape moves
-        if is_block_it:
+        if is_block_it and block_within and n_latent == 3:
+            # production move set: within-block relabelling + H resample
+            # (Rcpp_block_gibbs_resampler, block_approach=6)
+            from .block_gibbs import block_gibbs_within, detect_boundaries
+            i_block = list(block_gibbs_iterations).index(it + 1)
+            bu = block_uniforms[i_block]
+            bnd = detect_boundaries(smooth_cm, block_gibbs_quantile_prob)
+            u_blocks = np.concatenate([bu[:, 0], bu[-1:, 1]])
+            ru = (resample_uniforms[it]
+                  if resample_uniforms is not None else None)
+            H, H_class = block_gibbs_within(
+                H=H, H_class=H_class, reads=reads, eMatRead=eMatRead,
+                eMatGrid=eMatGrid, alpha=alpha, beta=beta, c=c, trans=trans,
+                ff=ff, boundaries=bnd, uniforms_block=u_blocks,
+                uniforms_H=ru, resample_H=ru is not None,
+            )
+        elif is_block_it:
             from .block_gibbs import block_gibbs_resample
             i_block = list(block_gibbs_iterations).index(it + 1)
             bu = block_uniforms[i_block] if block_uniforms is not None else None

@@ -169,6 +169,7 @@ def test_block_gibbs_nipt_6perm_matches_oracle(rng):
         first_read=np.zeros(1, dtype=np.int32), n_latent=3, ff=ff,
         n_burn_in=n_its - 1, iterative_init=True, K_real=K,
         boundaries=boundaries.astype(np.int32), block_u=bu, do_block=do_block,
+        block_within=False,     # this test pins the shard suffix variant
     )
     assert not uf[0]
     em_o = oracle.eMatRead
@@ -244,3 +245,84 @@ def test_entire_relabelling_kernel_matches_oracle(rng):
     informative = em_o.min(axis=0) < 0.5
     agree = (H[0, : reads.nReads] == oracle.H)[informative].mean()
     assert agree > 0.95, f"label agreement with entire relabelling {agree}"
+
+
+def test_block_gibbs_nipt_within_matches_oracle(rng):
+    """WITHIN-block relabelling + resample_H_using_H_class (the reference's
+    production NIPT move set, Rcpp_block_gibbs_resampler block_approach=6):
+    device kernel vs the sequential NumPy oracle."""
+    K, nSNPs = 40, 288
+    ff = 0.25
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    truth = simulate_truth_mosaic(rng, haps, n_latent=3)
+    reads, sim = simulate_sample_reads(
+        rng, truth, pos, grid, coverage=4.0, read_length_bp=800, phred=28,
+        ff=ff,
+    )
+    sigma = rng.uniform(0.9, 0.999, nGrids - 1)
+    trans = trans_rates(sigma)
+    smooth = make_smoothed_rate(sigma, L_grid, 5000)
+    boundaries = detect_boundaries(smooth, 0.7)
+    assert len(boundaries) >= 1
+    n_its = 8
+    block_its = [3, 5]
+    uniforms = rng.random((n_its, reads.nReads))
+    block_u = rng.random((len(block_its), len(boundaries), 3))
+    resample_u_full = rng.random((n_its, reads.nReads))
+    H_init = rng.choice(3, size=reads.nReads,
+                        p=[0.5, (1 - ff) / 2, ff / 2]).astype(np.int64)
+    oracle = gibbs_sample_one_chain(
+        reads=reads, hap_alleles=haps, grid=grid, trans=trans, n_latent=3,
+        ff=ff, uniforms=uniforms, H_init=H_init, nGrids=nGrids,
+        iterative_init=True, first_read_init=0,
+        n_burn_in_its=n_its - 1, n_sample_its=1,
+        block_gibbs_iterations=block_its,
+        smooth_cm=smooth,
+        block_uniforms=block_u,
+        block_gibbs_quantile_prob=0.7,
+        block_within=True,
+        resample_uniforms=resample_u_full,
+    )
+    inputs = GibbsInputs.build(reads, trans, nGrids)
+    R = inputs.R
+    u_pad = np.zeros((n_its, 1, R), dtype=np.float32)
+    u_pad[:, 0, : reads.nReads] = uniforms
+    ru_pad = np.zeros((n_its, 1, R), dtype=np.float32)
+    ru_pad[:, 0, : reads.nReads] = resample_u_full
+    bu = np.zeros((n_its, len(boundaries), 3, 1), dtype=np.float32)
+    do_block = np.zeros(n_its, dtype=bool)
+    for i, bit in enumerate(block_its):
+        do_block[bit - 1] = True
+        bu[bit - 1, :, 0, 0] = block_u[i, :, 0]
+        bu[bit - 1, :, 1, 0] = block_u[i, :, 1]
+    H0 = np.zeros((1, R), dtype=np.int32)
+    H0[0, : reads.nReads] = H_init
+    preads = PaddedReads.build(reads, ref_error=0.001)
+    S = nGrids * 32
+    bits = np.zeros((1, K, S), dtype=np.uint8)
+    bits[0, :, :nSNPs] = haps
+    gp, gpF, hap_dos, H, ll, uf, Hcls = run_gibbs_chains(
+        bits=bits, preads=preads, inputs=inputs, uniforms=u_pad, H0=H0,
+        first_read=np.zeros(1, dtype=np.int32), n_latent=3, ff=ff,
+        n_burn_in=n_its - 1, iterative_init=True, K_real=K,
+        boundaries=boundaries.astype(np.int32), block_u=bu, do_block=do_block,
+        block_within=True, resample_u=ru_pad,
+    )
+    assert not uf[0]
+    em_o = oracle.eMatRead
+    informative = em_o.min(axis=0) < 0.5
+    agree = (H[0, : reads.nReads] == oracle.H)[informative].mean()
+    assert agree > 0.95, f"within-block label agreement {agree}"
+    cls_agree = (
+        Hcls[0, : reads.nReads] == oracle.H_class
+    )[informative].mean()
+    assert cls_agree > 0.9, f"H_class agreement {cls_agree}"
+    dos_k = gp[0, 1, :nSNPs] + 2 * gp[0, 2, :nSNPs]
+    dos_o = oracle.genProbs[1] + 2 * oracle.genProbs[2]
+    r2 = np.corrcoef(dos_k, dos_o)[0, 1] ** 2
+    assert r2 > 0.99, f"maternal dosage r2 vs oracle {r2}"
+    fet_k = gpF[0, 1, :nSNPs] + 2 * gpF[0, 2, :nSNPs]
+    fet_o = oracle.genProbsF[1] + 2 * oracle.genProbsF[2]
+    r2f = np.corrcoef(fet_k, fet_o)[0, 1] ** 2
+    assert r2f > 0.98, f"fetal dosage r2 vs oracle {r2f}"

@@ -49,6 +49,9 @@ def _run_both(nl, ff, with_block, B, seed, iterative=True):
         db = np.zeros(n_its, bool)
         db[[2, 4]] = True
         kw["do_block"] = db
+        if nl == 3:
+            # exercise resample_H_using_H_class in both backends
+            kw["resample_u"] = rng.random((n_its, B, R)).astype(np.float32)
     res = {}
     for backend in ["xla", "pallas"]:
         os.environ["QUILT_TPU_GIBBS"] = backend
