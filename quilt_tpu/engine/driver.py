@@ -246,6 +246,18 @@ def quilt_impute(
                 plot_hclass(
                     cfg.outputdir, sample_names[i], region_name, res.H_class
                 )
+            if ctx.boundaries is not None and len(ctx.boundaries):
+                # block-Gibbs diagnostics (reference:
+                # plot_attempt_to_reblock_snps, gibbs-nipt-block.R:2006-2315)
+                from ..out.plots import plot_block_gibbs
+                plot_block_gibbs(
+                    cfg.outputdir, sample_names[i], region_name,
+                    L_grid=prep.L_grid, smooth_rate=ctx.smooth_cm,
+                    boundaries=ctx.boundaries,
+                    read_label_usage=res.read_label_usage,
+                    read_grids=samples[i].wif0 if samples[i] is not None
+                    else None,
+                )
         if truth_gen is not None:
             r2 = r2_simple(truth_gen[:, i], res.dosage)
             r2s.append(r2)
@@ -346,6 +358,12 @@ def quilt_impute(
                 cur: [r2_simple(truth_gen[:, i], d)
                       for d in res.seek_dosages],
             }
+            if not cfg.use_mspbwt:
+                # the reference's 5-row panel captures zilong A and B as
+                # the current non-mspbwt selection at two pipeline points
+                # (functions.R:752-778) — both rows duplicate that trace
+                traces["zilong A (= current)"] = traces[cur]
+                traces["zilong B (= current)"] = traces[cur]
             for label, vcfg in variants.items():
                 res_alt = impute_one_sample(
                     ctx, samples[i], vcfg, seed=cfg.seed + i,

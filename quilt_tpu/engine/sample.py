@@ -53,6 +53,7 @@ class RegionContext:
     trans_all: Optional[np.ndarray] = None    # rare/common: all-SNP trans
     nGrids_all: int = 0
     boundaries: Optional[np.ndarray] = None   # block-Gibbs suffix starts
+    smooth_cm: Optional[np.ndarray] = None    # block-defining smoothed rate
     hla_capture: bool = False
     timers: Optional[object] = None           # SectionTimers (or None)
     mesh: Optional[object] = None             # jax Mesh (multi-chip)
@@ -132,7 +133,7 @@ class RegionContext:
             prep=prep, trans=trans, fb_inputs=fb_inputs, thinned_grids=thinned,
             n_latent=n_latent, Ksub=Ksub, Knew=Knew, n_seek_its=n_seek,
             n_burn_in_seek_its=n_burn, trans_all=trans_all,
-            nGrids_all=nGrids_all, boundaries=boundaries,
+            nGrids_all=nGrids_all, boundaries=boundaries, smooth_cm=smooth,
             hla_capture=hla_capture,
             timers=SectionTimers(cfg.print_extra_timing_information),
             mesh=mesh, sharded_fb=sharded_fb,

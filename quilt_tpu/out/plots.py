@@ -238,3 +238,100 @@ def plot_hclass(
     plt.close(fig)
     print_message(f"Wrote {out}")
     return out
+
+
+def plot_block_gibbs(
+    outdir: str,
+    sample_name: str,
+    region_name: str,
+    L_grid: np.ndarray,               # [nGrids] grid physical positions
+    smooth_rate: np.ndarray,          # [nGrids-1] smoothed recomb rate
+    boundaries: np.ndarray,           # block-Gibbs boundary grid indices
+    quantile_prob: float = 0.9,
+    read_label_usage: Optional[np.ndarray] = None,  # [n_its, C, R]
+    read_grids: Optional[np.ndarray] = None,        # [R] wif0 per read
+    export_data: bool = True,
+) -> Optional[str]:
+    """Block-Gibbs diagnostics: the block-defining smoothed recombination
+    rate with its quantile threshold and chosen boundaries, plus read
+    labels around the blocks.
+
+    Light equivalent of the reference's plot_attempt_to_reblock_snps
+    (QUILT/R/gibbs-nipt-block.R:2006-2315), which draws the blocked SNPs,
+    break threshold/smoothed rate, and before/after read labels; here the
+    recorded per-seek-iteration labels (record_read_label_usage) play the
+    before/after role."""
+    os.makedirs(os.path.join(outdir, "plots"), exist_ok=True)
+    base = os.path.join(
+        outdir, "plots", f"blockgibbs.{sample_name}.{region_name}"
+    )
+    L_grid = np.asarray(L_grid)
+    smooth_rate = np.asarray(smooth_rate)
+    boundaries = np.asarray(boundaries, dtype=int)
+    thresh = (
+        np.quantile(smooth_rate, quantile_prob) if len(smooth_rate) else 0.0
+    )
+    if export_data:
+        data = {
+            "L_grid": L_grid, "smooth_rate": smooth_rate,
+            "boundaries": boundaries, "break_thresh": np.array(thresh),
+        }
+        if read_label_usage is not None:
+            data["read_label_usage"] = read_label_usage
+        if read_grids is not None:
+            data["read_grids"] = read_grids
+        np.savez_compressed(base + ".npz", **data)
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    n_rows = 2 if read_label_usage is not None else 1
+    fig, axes = plt.subplots(
+        n_rows, 1, figsize=(12, 4 * n_rows), squeeze=False
+    )
+    ax = axes[0, 0]
+    mid = 0.5 * (L_grid[:-1] + L_grid[1:])
+    ax.plot(mid, smooth_rate, lw=1, label="smoothed rate")
+    ax.axhline(thresh, color="red", ls="--", lw=1,
+               label=f"{quantile_prob:.0%} quantile")
+    for b in boundaries:
+        if 0 < b < len(L_grid):
+            ax.axvline(L_grid[b], color="grey", ls=":", lw=1)
+    ax.set_xlabel("position (bp)")
+    ax.set_ylabel("recombination rate")
+    ax.set_title(
+        f"block-Gibbs blocks: {sample_name} {region_name} "
+        f"({len(boundaries)} boundaries)"
+    )
+    ax.legend(fontsize=8)
+    if read_label_usage is not None and read_grids is not None:
+        ax = axes[1, 0]
+        lab = np.asarray(read_label_usage)
+        pos_r = L_grid[np.clip(read_grids, 0, len(L_grid) - 1)]
+        for t in (0, lab.shape[0] - 1):
+            maj = (
+                lab[t].mean(axis=0)
+                if lab.max() <= 1
+                else np.array([
+                    np.bincount(lab[t, :, r]).argmax()
+                    for r in range(lab.shape[2])
+                ])
+            )
+            ax.scatter(
+                pos_r, maj + (0.05 if t else -0.05), s=4, alpha=0.5,
+                label=f"seek it {t + 1}",
+            )
+        for b in boundaries:
+            if 0 < b < len(L_grid):
+                ax.axvline(L_grid[b], color="grey", ls=":", lw=1)
+        ax.set_xlabel("position (bp)")
+        ax.set_ylabel("read label (majority)")
+        ax.legend(fontsize=8)
+    fig.tight_layout()
+    out = base + ".png"
+    fig.savefig(out, dpi=110)
+    plt.close(fig)
+    print_message(f"Wrote {out}")
+    return out

@@ -79,3 +79,26 @@ def test_read_flip_and_hclass_plots(tmp_path, rng):
     z = np.load(tmp_path / "plots" / "readflips.S0.reg.npz")
     assert z["flip_fraction"].shape == (3, 50)
     assert float(z["flip_fraction"].max()) <= 0.5
+
+
+def test_block_gibbs_plot(tmp_path, rng):
+    """Block-Gibbs diagnostics (plot_attempt_to_reblock_snps equivalent,
+    gibbs-nipt-block.R:2006-2315) render from recorded run data."""
+    from quilt_tpu.out.plots import plot_block_gibbs
+
+    nGrids = 40
+    L_grid = np.sort(rng.choice(np.arange(1, 2_000_000), nGrids,
+                                replace=False))
+    smooth = rng.random(nGrids - 1)
+    boundaries = np.array([10, 25])
+    lab = rng.integers(0, 2, (3, 4, 50))
+    out = plot_block_gibbs(
+        str(tmp_path), "S0", "chr20.1.100", L_grid=L_grid,
+        smooth_rate=smooth, boundaries=boundaries,
+        read_label_usage=lab,
+        read_grids=rng.integers(0, nGrids, 50),
+    )
+    import os
+    assert os.path.exists(str(tmp_path) + "/plots/blockgibbs.S0.chr20.1.100.npz")
+    if out is not None:
+        assert os.path.exists(out)
