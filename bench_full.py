@@ -55,9 +55,9 @@ def main():
     float(out[1].sum())
     n_rep = 6
     t0 = time.time()
-    lls = [fb_full_batched(gl, inputs, K_top=8, return_arrays=False)[1]
-           for _ in range(n_rep)]
-    float(jnp.stack(lls).sum())
+    for _ in range(n_rep):
+        out = fb_full_batched(gl, inputs, K_top=8, return_arrays=False)
+        float(out[1].sum())          # per-call drain (production pattern)
     dt = (time.time() - t0) / n_rep
     results["fb_kernel"] = {
         "cells_per_s": 2.0 * B * K * nGrids_fb / dt,
@@ -85,7 +85,7 @@ def main():
         regionStart=None, regionEnd=None, buffer=0, nGen=100,
         ref_error=0.001,
     )
-    N = 8
+    N = int(os.environ.get("QUILT_BENCH_N", "8"))   # batch-scaling knob
     samples = []
     n_reads_total = 0
     for i in range(N):
@@ -100,6 +100,7 @@ def main():
         nGibbsSamples=7, n_seek_its=3, Ksubset=600, Knew=600,
         small_ref_panel_gibbs_iterations=20, seed=1, sample_batch=N,
         override_default_params_for_small_ref_panel=False,
+        make_plots=False,
     )
     names = [f"S{i}" for i in range(N)]
     quilt_impute(prep, samples, names, cfg)            # warm-up (compiles)
@@ -136,21 +137,31 @@ def main():
     sub = np.concatenate(
         [sub, np.repeat(sub[:1], Kp - Ksub, axis=0)], axis=0
     )
-    bits = np.broadcast_to(
-        unpack_bits_32(sub, nGrids * 32)[None], (C, Kp, nGrids * 32)
-    ).copy()
-    uniforms = rng.random((n_its, C, ginputs.R)).astype(np.float32)
-    H0 = rng.choice(2, size=(C, ginputs.R)).astype(np.int32)
+    import jax.numpy as jnp
+    # device-resident inputs (as the engine holds them); uploading the
+    # [C, K, S] bits through the tunnel per call times the link
+    bits1_dev = jnp.asarray(unpack_bits_32(sub, nGrids * 32))
+    bits = jax.device_put(
+        jnp.broadcast_to(bits1_dev[None], (C, Kp, nGrids * 32))
+    ).block_until_ready()
+    uniforms = jnp.asarray(
+        rng.random((n_its, C, ginputs.R)).astype(np.float32)
+    )
+    H0 = jnp.asarray(rng.choice(2, size=(C, ginputs.R)).astype(np.int32))
     first = rng.integers(0, reads0.nReads, C).astype(np.int32)
     args = dict(
         bits=bits, preads=preads, inputs=ginputs, uniforms=uniforms,
         H0=H0, first_read=first, n_latent=2, ff=0.0, n_burn_in=n_its - 1,
-        iterative_init=True, K_real=Ksub,
+        iterative_init=True, K_real=Ksub, return_arrays=False,
     )
-    run_gibbs_chains(**args)                           # warm-up
+    out_g = run_gibbs_chains(**args)                   # warm-up
+    float(out_g[4].sum())
+    reps = 3
     t0 = time.time()
-    run_gibbs_chains(**args)
-    dt = time.time() - t0
+    for _ in range(reps):
+        out_g = run_gibbs_chains(**args)
+        float(out_g[4].sum())
+    dt = (time.time() - t0) / reps
     results["gibbs_sweep"] = {
         "seconds_per_21_sweep_call": dt,
         "read_resamples_per_s": n_its * C * reads0.nReads / dt,

@@ -150,6 +150,10 @@ def impute_samples_batched(
                 sharded["bits"], sharded["H0"], sharded["first"]
             )
         for attempt in range(11):
+            # device-resident outputs: the batched path consumes only the
+            # read labels (and, under mspbwt, the hap dosages) host-side;
+            # fetching gp/gpF/hap_dos every call would move ~30 MB per
+            # iteration through the host link for nothing
             gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
                 bits=bits, preads=preads_b, inputs=ginputs_b,
                 uniforms=uniforms, H0=H0_b, first_read=first_b, n_latent=nl,
@@ -158,15 +162,16 @@ def impute_samples_batched(
                 ref_error=prep.ref_error,
                 boundaries=bnd, block_u=block_u, do_block=do_block_np,
                 resample_u=resample_u,
+                return_arrays=False,
             )
-            if not uf.any():
+            if not np.asarray(uf).any():
                 break
             max_diff = max(1.0, max_diff / 10.0)
             print_message(
                 f"Underflow; retrying batch with "
                 f"maxDifferenceBetweenReads={max_diff}"
             )
-        return gp, gpF, hap_dos, Hn, max_diff
+        return gp, gpF, hap_dos, np.asarray(Hn), max_diff
 
     # mspbwt mode has no FBInputs; S_pad only feeds the FB path's GL build
     S_pad = ctx.fb_inputs.S if ctx.fb_inputs is not None else nGrids * 32
@@ -188,13 +193,19 @@ def impute_samples_batched(
         )
         if ctx.sharded_fb is not None:
             res_fb = ctx.sharded_fb(np.asarray(gls))
+            dosage = res_fb[0]
+            tv, ti = res_fb[2], res_fb[3]
         else:
+            # dosages stay DEVICE-resident: only the (small) thinned top-K
+            # lists cross to the host for the selection loop; the hap
+            # dosages feed device-side accumulation and are fetched once
+            # at the end of the seek loop
             res_fb = fb_full_batched(
                 gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
-                ref_error=prep.ref_error,
+                ref_error=prep.ref_error, return_arrays=False,
             )
-        dosage = res_fb[0]
-        tv, ti = res_fb[2], res_fb[3]
+            dosage = res_fb[0][:, :nSNPs]
+            tv, ti = np.asarray(res_fb[2]), np.asarray(res_fb[3])
         hap_dos = dosage.reshape(Bb, nl, nSNPs)
         new_sets = np.empty_like(which_b)
         for b in range(Bb):
@@ -303,7 +314,7 @@ def impute_samples_batched(
         )
         if cfg.use_mspbwt:
             from ..panel.mspbwt import select_new_haps_mspbwt
-            hap_dos = hap_dos_g[:, :, :nSNPs]
+            hap_dos = np.asarray(hap_dos_g)[:, :, :nSNPs]
             for b in range(B):
                 n_keep = ctx.Ksub - ctx.Knew
                 prev_sel = rng.choice(which_haps[b], size=n_keep, replace=False)
@@ -318,20 +329,30 @@ def impute_samples_batched(
                 H, which_haps, row_to_sample
             )
         if i_it > ctx.n_burn_in_seek_its:
+            # device-side accumulation (reassignment keeps jnp arrays; an
+            # in-place += on a numpy accumulator would fetch per iteration)
             h1 = hap_dos[:, 0].reshape(S, C, nSNPs)
             h2 = hap_dos[:, 1].reshape(S, C, nSNPs)
-            dosage_acc += (h1 + h2).sum(axis=1)
-            gp_acc[:, 0] += ((1 - h1) * (1 - h2)).sum(axis=1)
-            gp_acc[:, 1] += (h1 * (1 - h2) + (1 - h1) * h2).sum(axis=1)
-            gp_acc[:, 2] += (h1 * h2).sum(axis=1)
+            dosage_acc = dosage_acc + (h1 + h2).sum(axis=1)
+            gp0 = gp_acc[:, 0] + ((1 - h1) * (1 - h2)).sum(axis=1)
+            gp1 = gp_acc[:, 1] + (h1 * (1 - h2) + (1 - h1) * h2).sum(axis=1)
+            gp2 = gp_acc[:, 2] + (h1 * h2).sum(axis=1)
+            gp_acc = jnp.stack([gp0, gp1, gp2], axis=1)
             if nl == 3:
                 h3 = hap_dos[:, 2].reshape(S, C, nSNPs)
-                fet_dosage_acc += (h1 + h3).sum(axis=1)
-                fet_gp_acc[:, 0] += ((1 - h1) * (1 - h3)).sum(axis=1)
-                fet_gp_acc[:, 1] += (h1 * (1 - h3) + (1 - h1) * h3).sum(axis=1)
-                fet_gp_acc[:, 2] += (h1 * h3).sum(axis=1)
+                fet_dosage_acc = fet_dosage_acc + (h1 + h3).sum(axis=1)
+                f0 = fet_gp_acc[:, 0] + ((1 - h1) * (1 - h3)).sum(axis=1)
+                f1 = fet_gp_acc[:, 1] + (
+                    h1 * (1 - h3) + (1 - h1) * h3
+                ).sum(axis=1)
+                f2 = fet_gp_acc[:, 2] + (h1 * h3).sum(axis=1)
+                fet_gp_acc = jnp.stack([f0, f1, f2], axis=1)
             n_acc += C
         hap_dos_final = hap_dos
+    hap_dos_final = np.asarray(hap_dos_final)
+    dosage_acc, gp_acc = np.asarray(dosage_acc), np.asarray(gp_acc)
+    fet_dosage_acc = np.asarray(fet_dosage_acc)
+    fet_gp_acc = np.asarray(fet_gp_acc)
 
     if rare_common:
         gp_a, gpF_a, hd_a = run_all_snp_gibbs(
@@ -391,7 +412,7 @@ def impute_samples_batched(
         )
         if cfg.use_mspbwt:
             from ..panel.mspbwt import select_new_haps_mspbwt
-            hap_dos_ph_b = hap_dos_p[:, :, :nSNPs]
+            hap_dos_ph_b = np.asarray(hap_dos_p)[:, :, :nSNPs]
             for b in range(B):
                 n_keep = ctx.Ksub - ctx.Knew
                 prev_sel = rng.choice(wh_p[b], size=n_keep, replace=False)
@@ -404,6 +425,7 @@ def impute_samples_batched(
             hap_dos_ph = hap_dos_ph_b
         else:
             hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, row_to_sample)
+    hap_dos_ph = np.asarray(hap_dos_ph)
 
     if rare_common:
         # final phased all-SNP Gibbs; rows are replicated x C, take row 0

@@ -130,6 +130,23 @@ def quilt_impute(
     precomputed: Dict[int, SampleResult] = {}
     if use_batched:
         from .batch import impute_samples_batched
+        # clamp the device batch so the fused Gibbs sweep keeps its VMEM
+        # envelope (chains = samples x nGibbsSamples rows; oversize groups
+        # would silently fall back to the much slower XLA sweep)
+        from ..kernels.common import pad_to_multiple as _ptm
+        from ..kernels.gibbs_pallas import max_pallas_chains
+        nl_eff = 3 if method == "nipt" else 2
+        cap_chains = max_pallas_chains(
+            _ptm(max(cfg.Ksubset, 1), 128), nl_eff
+        )
+        group_cap = max(1, cap_chains // max(cfg.nGibbsSamples, 1))
+        sample_batch = min(cfg.sample_batch, group_cap)
+        if sample_batch < cfg.sample_batch:
+            print_message(
+                f"Clamping sample_batch {cfg.sample_batch} -> "
+                f"{sample_batch} (fused Gibbs VMEM envelope at "
+                f"Ksubset={cfg.Ksubset})"
+            )
         # NIPT batches share one ff (the kernel's class tables are
         # ff-shaped); group sample indices by ff so per-sample fetal
         # fractions stay exact
@@ -138,13 +155,13 @@ def quilt_impute(
             for i in sorted(local_set):
                 order.setdefault(float(ff_values[i]), []).append(i)
             index_groups = [g for v in order.values() for g in
-                            [v[j:j + cfg.sample_batch]
-                             for j in range(0, len(v), cfg.sample_batch)]]
+                            [v[j:j + sample_batch]
+                             for j in range(0, len(v), sample_batch)]]
         else:
             local_sorted = sorted(local_set)
             index_groups = [
-                local_sorted[s0:s0 + cfg.sample_batch]
-                for s0 in range(0, len(local_sorted), cfg.sample_batch)
+                local_sorted[s0:s0 + sample_batch]
+                for s0 in range(0, len(local_sorted), sample_batch)
             ]
         for group in index_groups:
             if len(group) == 1 and rare_common:

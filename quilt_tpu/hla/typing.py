@@ -220,6 +220,45 @@ def type_hla_sample(
     else:
         prior = np.full(A, 1.0 / A)
 
+    def _pair_read_logsum(LL: np.ndarray) -> np.ndarray:
+        """sum_r log P(read r | a1, a2) over the full A x A pair matrix,
+        as a chunked device reduction (full IPD-IMGT allele counts reach
+        A > 4,000 for HLA-B — the per-read Python loop this replaces was
+        O(R * A^2) NumPy transients; reference caps work via kmer
+        pre-filters, hla_functions.R:669-710)."""
+        import jax
+        import jax.numpy as jnp
+
+        R, A = LL.shape
+        m = LL.max(axis=1, keepdims=True)             # per-read scale
+        E = (0.5 * np.exp(LL - m)).astype(np.float32)
+        C = int(max(1, min(32, (1 << 27) // max(A * A, 1))))
+        n_chunks = (R + C - 1) // C
+        Ep = np.zeros((n_chunks * C, A), dtype=np.float32)
+        Ep[:R] = E
+        Ed = jnp.asarray(Ep).reshape(n_chunks, C, A)
+        valid = jnp.asarray(
+            (np.arange(n_chunks * C) < R).astype(np.float32)
+        ).reshape(n_chunks, C)
+
+        @jax.jit
+        def accumulate(Ed, valid):
+            def body(acc, xs):
+                e, v = xs
+                # f32-safe floor (1e-300 would round to 0 -> log = -inf);
+                # pairs below exp(-85) are decisively rejected either way
+                pair = jnp.log(jnp.maximum(
+                    e[:, :, None] + e[:, None, :], 1e-37
+                ))
+                return acc + (pair * v[:, None, None]).sum(axis=0), None
+
+            acc0 = jnp.zeros((A, A), dtype=jnp.float32)
+            acc, _ = jax.lax.scan(body, acc0, (Ed, valid))
+            return acc
+
+        return np.asarray(accumulate(Ed, valid), dtype=np.float64) \
+            + float(m.sum())
+
     def pair_posteriors(use_reads: bool, use_prior: bool):
         # vectorized over the full A x A pair matrix: per read r,
         # log P(r | a1, a2) = logsumexp(ll[a1] - log2, ll[a2] - log2)
@@ -233,10 +272,7 @@ def type_hla_sample(
             logw += np.where(np.eye(A, dtype=bool), 0.0, np.log(2.0))
         if use_reads and logliks:
             LL = np.stack(logliks)                    # [R, A]
-            m = LL.max(axis=1, keepdims=True)         # per-read scale
-            E = 0.5 * np.exp(LL - m)                  # [R, A]
-            for r in range(LL.shape[0]):
-                logw += m[r, 0] + np.log(E[r][:, None] + E[r][None, :])
+            logw += _pair_read_logsum(LL)
         iu = np.triu_indices(A)
         vals = logw[iu]
         vals = vals - vals.max()

@@ -427,17 +427,27 @@ def _fb_mode() -> str:
     return os.environ.get("QUILT_FB", "auto")
 
 
-def _pallas_ok(inputs: "FBInputs", B: int) -> bool:
+def _pallas_plan(inputs: "FBInputs", B: int):
+    """(B_chunk, CG) for the fused Pallas path, or None for the XLA path.
+
+    Large batches split into row chunks so the kernel's VMEM working set
+    stays within budget (the engine batches samples x chains x latent
+    haps; at K=5120 the kernel takes 32 rows per call)."""
     from .fb_pallas import pick_grid_chunk, _round_up
 
     mode = _fb_mode()
     if mode == "xla":
-        return False
+        return None
     if mode not in ("pallas", "interpret") and jax.default_backend() != "tpu":
-        return False
-    return (
-        pick_grid_chunk(_round_up(max(B, 1), 16), inputs.K_pad) is not None
-    )
+        return None
+    for b_chunk in (128, 64, 32, 16):
+        if b_chunk > _round_up(max(B, 1), 16):
+            continue
+        cg = pick_grid_chunk(b_chunk, inputs.K_pad)
+        if cg is not None:
+            return b_chunk, cg
+    cg = pick_grid_chunk(16, inputs.K_pad)
+    return (16, cg) if cg is not None else None
 
 
 def fb_full_batched(
@@ -460,22 +470,35 @@ def fb_full_batched(
         gl_pad = np.ones((B, 2, S), dtype=np.float32)
         gl_pad[:, :, : gl.shape[2]] = np.asarray(gl)
     dev = inputs.device()
-    if _pallas_ok(inputs, B):
-        from .fb_pallas import fb_pallas_core, pick_grid_chunk, _round_up
+    plan = _pallas_plan(inputs, B)
+    if plan is not None:
+        from .fb_pallas import fb_pallas_core
 
-        dosage, log_like, tv, ti, gamma_cap = fb_pallas_core(
-            jnp.asarray(gl_pad),
-            dev["words"],
-            dev["trans2"],
-            dev["thin_flag"],
-            dev["capture_flag"],
-            K=inputs.K,
-            K_pad=inputs.K_pad,
-            K_top=K_top,
-            ref_error=ref_error,
-            CG=pick_grid_chunk(_round_up(max(B, 1), 16), inputs.K_pad),
-            interpret=_fb_mode() == "interpret",
-        )
+        b_chunk, cg = plan
+        gl_dev = jnp.asarray(gl_pad)
+        parts = []
+        for b0 in range(0, B, b_chunk):
+            parts.append(fb_pallas_core(
+                gl_dev[b0:b0 + b_chunk],
+                dev["words"],
+                dev["trans2"],
+                dev["thin_flag"],
+                dev["capture_flag"],
+                K=inputs.K,
+                K_pad=inputs.K_pad,
+                K_top=K_top,
+                ref_error=ref_error,
+                CG=cg,
+                interpret=_fb_mode() == "interpret",
+            ))
+        if len(parts) == 1:
+            dosage, log_like, tv, ti, gamma_cap = parts[0]
+        else:
+            dosage = jnp.concatenate([p[0] for p in parts], axis=0)
+            log_like = jnp.concatenate([p[1] for p in parts], axis=0)
+            tv = jnp.concatenate([p[2] for p in parts], axis=1)
+            ti = jnp.concatenate([p[3] for p in parts], axis=1)
+            gamma_cap = jnp.concatenate([p[4] for p in parts], axis=0)
         if return_arrays:
             out = (
                 np.asarray(dosage)[:, : inputs.nSNPs],

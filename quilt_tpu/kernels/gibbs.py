@@ -976,6 +976,7 @@ def run_gibbs_chains(
     do_entire: bool = False,
     resample_u: Optional[np.ndarray] = None,
     block_within: Optional[bool] = None,
+    return_arrays: bool = True,
 ):
     """Run B independent Gibbs chains; returns numpy outputs
     (gp, gpF, hap_dos, H, per_it_ll, underflow, H_class).
@@ -998,7 +999,7 @@ def run_gibbs_chains(
         on_tpu = jax.default_backend() == "tpu"
         want_pallas = backend == "pallas" or on_tpu
         layout_ok = padded_layout_ok(
-            inputs, B=np.shape(bits)[0], K=np.shape(bits)[1]
+            inputs, B=np.shape(bits)[0], K=np.shape(bits)[1], nl=n_latent
         )
         if want_pallas and not layout_ok:
             from ..utils import print_message
@@ -1016,6 +1017,7 @@ def run_gibbs_chains(
                 eMatRead=eMatRead, boundaries=boundaries, block_u=block_u,
                 do_block=do_block, relabel_u=relabel_u, do_entire=do_entire,
                 resample_u=resample_u, block_within=block_within,
+                return_arrays=return_arrays,
             )
     if n_latent == 2:
         prior = np.array([0.5, 0.5], dtype=np.float32)
@@ -1096,6 +1098,8 @@ def run_gibbs_chains(
         ),
         block_within=_block_within_default(block_within),
     )
+    if not return_arrays:
+        return gp, gpF, hap_dos, H, ll, uf, H_class
     return (
         np.asarray(gp),
         np.asarray(gpF),

@@ -790,19 +790,31 @@ def _gibbs_core_pallas(
 _MAX_PAD_BYTES = 8 << 30     # HBM cap for the grid-padded emission tensor
 
 
-def padded_layout_ok(inputs, B: int = 8, K: int = 768) -> bool:
-    """True when the grid-padded layout fits the Pallas kernel's budget.
-
-    The VMEM limit is handled by W-chunk tiling inside _fwd_sweep (any
-    reads-per-grid density runs); the only remaining constraint is the HBM
-    footprint of the [G, W, B, K] bf16 emission tensor, which wastes
-    space proportional to max/mean reads-per-grid."""
+def padded_layout_ok(inputs, B: int = 8, K: int = 768, nl: int = 2) -> bool:
+    """True when the grid-padded layout fits the Pallas kernel's budgets:
+    the HBM footprint of the [G, W, B, K] bf16 emission tensor (wastes
+    space proportional to max/mean reads-per-grid) and the per-step VMEM
+    working set of the fused forward sweep (~6 [BN, K] f32 planes plus the
+    double-buffered emission chunk)."""
     W = int(inputs.read_count.max()) if inputs.read_count.size else 0
     if W <= 0:
         return False
     G = int(inputs.G)
-    bytes_needed = 2 * G * _round_up(W, _MAX_W) * B * K
-    return bytes_needed <= _MAX_PAD_BYTES
+    # mirror the kernel's actual slot padding: W is only rounded up to the
+    # chunk width when it EXCEEDS one chunk (run_gibbs_chains_pallas)
+    W_alloc = W if W <= _MAX_W else _round_up(W, _MAX_W)
+    bytes_needed = 2 * G * W_alloc * B * K
+    if bytes_needed > _MAX_PAD_BYTES:
+        return False
+    vmem_est = 6 * nl * B * K * 4 + 4 * min(W_alloc, _MAX_W) * B * K * 2
+    return vmem_est <= 12 << 20
+
+
+def max_pallas_chains(K_pad: int, nl: int, W: int = 16) -> int:
+    """Largest chain batch the fused sweep runs without the XLA fallback
+    (used by the engine to clamp sample_batch * nGibbsSamples)."""
+    per_row = 6 * nl * K_pad * 4 + 4 * min(max(W, 1), _MAX_W) * K_pad * 2
+    return max((12 << 20) // per_row, 1)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -831,6 +843,7 @@ def run_gibbs_chains_pallas(
     do_entire=False,
     resample_u=None,
     block_within=None,
+    return_arrays=True,
 ):
     """Drop-in replacement for kernels.gibbs.run_gibbs_chains on TPU."""
     from . import nipt as nipt_tables
@@ -890,8 +903,11 @@ def run_gibbs_chains_pallas(
     i_of_r = np.clip(i_of_r, 0, W - 1)
     idx_back = (g_of_r * W + i_of_r).astype(np.int32)        # [B, R]
 
-    skip_r = np.asarray(
-        (np.asarray(eMatRead) > 1.0 - 1e-12).all(axis=1) | ~m_np
+    # skip mask computed on device: a host round-trip of the [B, K, R]
+    # eMatRead through the tunnel would dominate the whole call
+    skip_r = (
+        (jnp.asarray(eMatRead) > 1.0 - 1e-12).all(axis=1)
+        | ~jnp.asarray(m_np)
     )
 
     if boundaries is None or len(boundaries) == 0:
@@ -945,6 +961,8 @@ def run_gibbs_chains_pallas(
         ),
         block_within=_block_within_default_pallas(block_within),
     )
+    if not return_arrays:
+        return gp, gpF, hap_dos, H, ll, uf, H_class
     return (
         np.asarray(gp),
         np.asarray(gpF),
