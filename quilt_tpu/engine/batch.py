@@ -66,6 +66,22 @@ def impute_samples_batched(
     prep = ctx.prep
     nSNPs, nGrids, K, nl = prep.nSNPs, prep.nGrids, prep.K, ctx.n_latent
     rng = np.random.default_rng(seed)
+    # per-stage wall-time attribution (print_extra_timing_information):
+    # sections drain the device queue at their boundary so async dispatch
+    # time lands on the stage that issued it
+    timers = ctx.timers
+    timing = timers is not None and getattr(timers, "enabled", False)
+
+    def _sec(name):
+        if timing:
+            return timers.section(name)
+        import contextlib
+        return contextlib.nullcontext()
+
+    def _drain(x):
+        if timing and x is not None:
+            jax.block_until_ready(x)
+        return x
     S = len(reads_list)
     C = cfg.nGibbsSamples
     B = S * C
@@ -75,6 +91,8 @@ def impute_samples_batched(
     ok = [r.nReads >= cfg.minimum_number_of_sample_reads for r in reads_list]
     reads_sorted = [r.sorted_by_grid() for r in reads_list]
 
+    _inputs_sec = _sec("inputs_build")
+    _inputs_sec.__enter__()
     ginputs1 = GibbsInputs.build_batched(reads_sorted, ctx.trans, nGrids)
     ginputs = ginputs1.repeat_rows(C)
     R = ginputs.R
@@ -90,6 +108,7 @@ def impute_samples_batched(
         lpr=np.repeat(preads1.lpr, C, axis=0),
         lpa=np.repeat(preads1.lpa, C, axis=0),
     )
+    _inputs_sec.__exit__(None, None, None)
     n_its = cfg.small_ref_panel_gibbs_iterations + 1
     if nl == 2:
         label_prior = np.array([0.5, 0.5])
@@ -127,16 +146,19 @@ def impute_samples_batched(
         which_p = np.concatenate(
             [which_b] + [which_b[:, :1]] * (Kp_sub - which_b.shape[1]), axis=1
         ) if Kp_sub != which_b.shape[1] else which_b
-        bits = _gather_unpack(rhb_dev, jnp.asarray(which_p))
-        key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
-        k1, k2, k3 = jax.random.split(key, 3)
-        uniforms = _device_uniforms(k1, (n_its, Bb, ginputs_b.R))
-        block_u = _device_uniforms(k2, (n_its, max(len(bnd), 1), 3, Bb))
-        block_u = block_u[:, : len(bnd)]
-        resample_u = (
-            _device_uniforms(k3, (n_its, Bb, ginputs_b.R))
-            if (nl == 3 and len(bnd)) else None
-        )
+        with _sec("gibbs:bits_gather"):
+            bits = _drain(_gather_unpack(rhb_dev, jnp.asarray(which_p)))
+        with _sec("gibbs:rng"):
+            key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
+            k1, k2, k3 = jax.random.split(key, 3)
+            uniforms = _device_uniforms(k1, (n_its, Bb, ginputs_b.R))
+            block_u = _device_uniforms(k2, (n_its, max(len(bnd), 1), 3, Bb))
+            block_u = block_u[:, : len(bnd)]
+            resample_u = (
+                _device_uniforms(k3, (n_its, Bb, ginputs_b.R))
+                if (nl == 3 and len(bnd)) else None
+            )
+            _drain(uniforms)
         if ctx.mesh is not None:
             # chains are shared-nothing: shard the batch axis over the mesh
             # and let XLA partition the sweep (no collectives needed)
@@ -154,24 +176,31 @@ def impute_samples_batched(
             # read labels (and, under mspbwt, the hap dosages) host-side;
             # fetching gp/gpF/hap_dos every call would move ~30 MB per
             # iteration through the host link for nothing
-            gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
-                bits=bits, preads=preads_b, inputs=ginputs_b,
-                uniforms=uniforms, H0=H0_b, first_read=first_b, n_latent=nl,
-                ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,
-                K_real=which_b.shape[1], max_diff=max_diff,
-                ref_error=prep.ref_error,
-                boundaries=bnd, block_u=block_u, do_block=do_block_np,
-                resample_u=resample_u,
-                return_arrays=False,
-            )
-            if not np.asarray(uf).any():
+            with _sec("gibbs:sweep_kernel"):
+                gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
+                    bits=bits, preads=preads_b, inputs=ginputs_b,
+                    uniforms=uniforms, H0=H0_b, first_read=first_b,
+                    n_latent=nl,
+                    ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,
+                    K_real=which_b.shape[1], max_diff=max_diff,
+                    ref_error=prep.ref_error,
+                    boundaries=bnd, block_u=block_u, do_block=do_block_np,
+                    resample_u=resample_u,
+                    return_arrays=False,
+                )
+                _drain(hap_dos)
+            with _sec("gibbs:uf_fetch"):
+                uf_any = bool(np.asarray(uf).any())
+            if not uf_any:
                 break
             max_diff = max(1.0, max_diff / 10.0)
             print_message(
                 f"Underflow; retrying batch with "
                 f"maxDifferenceBetweenReads={max_diff}"
             )
-        return gp, gpF, hap_dos, np.asarray(Hn), max_diff
+        with _sec("gibbs:H_fetch"):
+            Hn = np.asarray(Hn)
+        return gp, gpF, hap_dos, Hn, max_diff
 
     # mspbwt mode has no FBInputs; S_pad only feeds the FB path's GL build
     S_pad = ctx.fb_inputs.S if ctx.fb_inputs is not None else nGrids * 32
@@ -187,37 +216,42 @@ def impute_samples_batched(
     def run_fb_and_select(H_b, which_b, row_to_sample):
         Bb = H_b.shape[0]
         pd = preads_dev if Bb == B else preads1_dev
-        gls = gls_from_labels_device(
-            pd["u"], pd["pr"], pd["pa"], jnp.asarray(H_b), nl, S_pad,
-            minGLValue=cfg.minGLValue,
-        )
+        with _sec("fb:gl_build"):
+            gls = _drain(gls_from_labels_device(
+                pd["u"], pd["pr"], pd["pa"], jnp.asarray(H_b), nl, S_pad,
+                minGLValue=cfg.minGLValue,
+            ))
         if ctx.sharded_fb is not None:
-            res_fb = ctx.sharded_fb(np.asarray(gls))
-            dosage = res_fb[0]
-            tv, ti = res_fb[2], res_fb[3]
+            with _sec("fb:kernel"):
+                res_fb = ctx.sharded_fb(np.asarray(gls))
+                dosage = res_fb[0]
+                tv, ti = res_fb[2], res_fb[3]
         else:
             # dosages stay DEVICE-resident: only the (small) thinned top-K
             # lists cross to the host for the selection loop; the hap
             # dosages feed device-side accumulation and are fetched once
             # at the end of the seek loop
-            res_fb = fb_full_batched(
-                gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
-                ref_error=prep.ref_error, return_arrays=False,
-            )
-            dosage = res_fb[0][:, :nSNPs]
-            tv, ti = np.asarray(res_fb[2]), np.asarray(res_fb[3])
+            with _sec("fb:kernel"):
+                res_fb = fb_full_batched(
+                    gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
+                    ref_error=prep.ref_error, return_arrays=False,
+                )
+                dosage = _drain(res_fb[0])[:, :nSNPs]
+            with _sec("fb:topk_fetch"):
+                tv, ti = np.asarray(res_fb[2]), np.asarray(res_fb[3])
         hap_dos = dosage.reshape(Bb, nl, nSNPs)
-        new_sets = np.empty_like(which_b)
-        for b in range(Bb):
-            n_keep = ctx.Ksub - ctx.Knew
-            prev_sel = rng.choice(which_b[b], size=n_keep, replace=False)
-            li, lv = _gather_topk_lists(
-                tv, ti, ctx.thinned_grids, nl, b, tv.shape[2]
-            )
-            new = select_new_haps_from_topk(
-                li, lv, ctx.Knew, K, prev_sel, rng, cfg.K_top_matches
-            )
-            new_sets[b] = np.sort(np.concatenate([prev_sel, new]))
+        with _sec("fb:select_host"):
+            new_sets = np.empty_like(which_b)
+            for b in range(Bb):
+                n_keep = ctx.Ksub - ctx.Knew
+                prev_sel = rng.choice(which_b[b], size=n_keep, replace=False)
+                li, lv = _gather_topk_lists(
+                    tv, ti, ctx.thinned_grids, nl, b, tv.shape[2]
+                )
+                new = select_new_haps_from_topk(
+                    li, lv, ctx.Knew, K, prev_sel, rng, cfg.K_top_matches
+                )
+                new_sets[b] = np.sort(np.concatenate([prev_sel, new]))
         return hap_dos, new_sets
 
     # rare/common (QUILT2 impute_rare_common): the final all-SNP Gibbs
@@ -263,10 +297,11 @@ def impute_samples_batched(
         """Batched final all-SNP Gibbs (rare/common mode). `which_b` and
         `hap_dos_common` have B = S*C rows (phasing rows replicated x C so
         the compiled shapes are shared with the main call)."""
-        bits_np = build_subset_bits_all(
-            prep.rhb_t, which_b, prep.snp_is_common,
-            prep.rare_per_hap_info, nGrids_all,
-        )
+        with _sec("rare:bits_build"):
+            bits_np = build_subset_bits_all(
+                prep.rhb_t, which_b, prep.snp_is_common,
+                prep.rare_per_hap_info, nGrids_all,
+            )
         Ksub = which_b.shape[1]
         Kp = pad_to_multiple(Ksub, 128)
         if Kp != Ksub:
@@ -280,13 +315,15 @@ def impute_samples_batched(
             )
         uniforms = rng.random((n_its, B, ginputs_all.R)).astype(np.float32)
         for attempt in range(11):
-            gp_a, gpF_a, hd_a, Hn, ll, uf, Hcls = run_gibbs_chains(
-                bits=bits_np, preads=preads_all, inputs=ginputs_all,
-                uniforms=uniforms, H0=H0_all,
-                first_read=np.zeros(B, dtype=np.int32), n_latent=nl, ff=ff,
-                n_burn_in=n_its - 1, iterative_init=False, K_real=Ksub,
-                max_diff=max_diff, ref_error=prep.ref_error,
-            )
+            with _sec("rare:sweep_kernel"):
+                gp_a, gpF_a, hd_a, Hn, ll, uf, Hcls = run_gibbs_chains(
+                    bits=bits_np, preads=preads_all, inputs=ginputs_all,
+                    uniforms=uniforms, H0=H0_all,
+                    first_read=np.zeros(B, dtype=np.int32), n_latent=nl,
+                    ff=ff,
+                    n_burn_in=n_its - 1, iterative_init=False, K_real=Ksub,
+                    max_diff=max_diff, ref_error=prep.ref_error,
+                )
             if not uf.any():
                 break
             max_diff = max(1.0, max_diff / 10.0)
@@ -314,16 +351,20 @@ def impute_samples_batched(
         )
         if cfg.use_mspbwt:
             from ..panel.mspbwt import select_new_haps_mspbwt
-            hap_dos = np.asarray(hap_dos_g)[:, :, :nSNPs]
-            for b in range(B):
-                n_keep = ctx.Ksub - ctx.Knew
-                prev_sel = rng.choice(which_haps[b], size=n_keep, replace=False)
-                new = select_new_haps_mspbwt(
-                    prep.ms_indices, prep.panel, hap_dos[b], ctx.Knew, K,
-                    prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
-                    heuristic_approach=cfg.heuristic_approach,
-                )
-                which_haps[b] = np.sort(np.concatenate([prev_sel, new]))
+            with _sec("select:mspbwt"):
+                hap_dos = np.asarray(hap_dos_g)[:, :, :nSNPs]
+                for b in range(B):
+                    n_keep = ctx.Ksub - ctx.Knew
+                    prev_sel = rng.choice(
+                        which_haps[b], size=n_keep, replace=False
+                    )
+                    new = select_new_haps_mspbwt(
+                        prep.ms_indices, prep.panel, hap_dos[b], ctx.Knew, K,
+                        prev_sel, rng, mspbwtL=cfg.mspbwtL,
+                        mspbwtM=cfg.mspbwtM,
+                        heuristic_approach=cfg.heuristic_approach,
+                    )
+                    which_haps[b] = np.sort(np.concatenate([prev_sel, new]))
         else:
             hap_dos, which_haps = run_fb_and_select(
                 H, which_haps, row_to_sample
@@ -331,28 +372,33 @@ def impute_samples_batched(
         if i_it > ctx.n_burn_in_seek_its:
             # device-side accumulation (reassignment keeps jnp arrays; an
             # in-place += on a numpy accumulator would fetch per iteration)
-            h1 = hap_dos[:, 0].reshape(S, C, nSNPs)
-            h2 = hap_dos[:, 1].reshape(S, C, nSNPs)
-            dosage_acc = dosage_acc + (h1 + h2).sum(axis=1)
-            gp0 = gp_acc[:, 0] + ((1 - h1) * (1 - h2)).sum(axis=1)
-            gp1 = gp_acc[:, 1] + (h1 * (1 - h2) + (1 - h1) * h2).sum(axis=1)
-            gp2 = gp_acc[:, 2] + (h1 * h2).sum(axis=1)
-            gp_acc = jnp.stack([gp0, gp1, gp2], axis=1)
-            if nl == 3:
-                h3 = hap_dos[:, 2].reshape(S, C, nSNPs)
-                fet_dosage_acc = fet_dosage_acc + (h1 + h3).sum(axis=1)
-                f0 = fet_gp_acc[:, 0] + ((1 - h1) * (1 - h3)).sum(axis=1)
-                f1 = fet_gp_acc[:, 1] + (
-                    h1 * (1 - h3) + (1 - h1) * h3
+            with _sec("accumulate"):
+                h1 = hap_dos[:, 0].reshape(S, C, nSNPs)
+                h2 = hap_dos[:, 1].reshape(S, C, nSNPs)
+                dosage_acc = dosage_acc + (h1 + h2).sum(axis=1)
+                gp0 = gp_acc[:, 0] + ((1 - h1) * (1 - h2)).sum(axis=1)
+                gp1 = gp_acc[:, 1] + (
+                    h1 * (1 - h2) + (1 - h1) * h2
                 ).sum(axis=1)
-                f2 = fet_gp_acc[:, 2] + (h1 * h3).sum(axis=1)
-                fet_gp_acc = jnp.stack([f0, f1, f2], axis=1)
+                gp2 = gp_acc[:, 2] + (h1 * h2).sum(axis=1)
+                gp_acc = jnp.stack([gp0, gp1, gp2], axis=1)
+                if nl == 3:
+                    h3 = hap_dos[:, 2].reshape(S, C, nSNPs)
+                    fet_dosage_acc = fet_dosage_acc + (h1 + h3).sum(axis=1)
+                    f0 = fet_gp_acc[:, 0] + ((1 - h1) * (1 - h3)).sum(axis=1)
+                    f1 = fet_gp_acc[:, 1] + (
+                        h1 * (1 - h3) + (1 - h1) * h3
+                    ).sum(axis=1)
+                    f2 = fet_gp_acc[:, 2] + (h1 * h3).sum(axis=1)
+                    fet_gp_acc = jnp.stack([f0, f1, f2], axis=1)
+                _drain(gp_acc)
             n_acc += C
         hap_dos_final = hap_dos
-    hap_dos_final = np.asarray(hap_dos_final)
-    dosage_acc, gp_acc = np.asarray(dosage_acc), np.asarray(gp_acc)
-    fet_dosage_acc = np.asarray(fet_dosage_acc)
-    fet_gp_acc = np.asarray(fet_gp_acc)
+    with _sec("final_fetch"):
+        hap_dos_final = np.asarray(hap_dos_final)
+        dosage_acc, gp_acc = np.asarray(dosage_acc), np.asarray(gp_acc)
+        fet_dosage_acc = np.asarray(fet_dosage_acc)
+        fet_gp_acc = np.asarray(fet_gp_acc)
 
     if rare_common:
         gp_a, gpF_a, hd_a = run_all_snp_gibbs(
@@ -375,25 +421,26 @@ def impute_samples_batched(
         n_all_acc += C
 
     # per-sample consensus
-    cons_list = []
-    for s in range(S):
-        nr = reads_sorted[s].nReads
-        labels_all = H[s * C:(s + 1) * C, :nr].T.astype(np.int64)
-        conf_all = np.zeros_like(labels_all, dtype=bool)
-        for c in range(C):
-            em = emat_read_vs_dosages(
-                reads_sorted[s], hap_dos_final[s * C + c]
-            )
-            conf_all[:, c] = read_confidence(em)
-        if nl == 3:
-            labels2 = labels_all.copy()
-            conf2 = conf_all & (labels_all != 2)
-            labels2[labels_all == 2] = 1
-            cons = consensus_read_labels(labels2, conf2)
-            cons[labels_all[:, C - 1] == 2] = 2
-        else:
-            cons = consensus_read_labels(labels_all, conf_all)
-        cons_list.append(cons)
+    with _sec("consensus"):
+        cons_list = []
+        for s in range(S):
+            nr = reads_sorted[s].nReads
+            labels_all = H[s * C:(s + 1) * C, :nr].T.astype(np.int64)
+            conf_all = np.zeros_like(labels_all, dtype=bool)
+            for c in range(C):
+                em = emat_read_vs_dosages(
+                    reads_sorted[s], hap_dos_final[s * C + c]
+                )
+                conf_all[:, c] = read_confidence(em)
+            if nl == 3:
+                labels2 = labels_all.copy()
+                conf2 = conf_all & (labels_all != 2)
+                labels2[labels_all == 2] = 1
+                cons = consensus_read_labels(labels2, conf2)
+                cons[labels_all[:, C - 1] == 2] = 2
+            else:
+                cons = consensus_read_labels(labels_all, conf_all)
+            cons_list.append(cons)
 
     # phasing pass: one chain per sample; rows are replicated x C so the
     # main chains' compiled kernel shapes are reused (sweep cost is flat in

@@ -37,6 +37,8 @@ class ImputeOutput:
     eaf: np.ndarray
     info: np.ndarray
     r2_per_sample: Optional[List[float]] = None
+    # per-stage wall-time breakdown (print_extra_timing_information)
+    timing: Optional[Dict] = None
 
 
 def quilt_impute(
@@ -215,12 +217,13 @@ def quilt_impute(
         hwe_counts[np.arange(nSNPs), gp.argmax(axis=0)] += 1
         allele_count += res.allele_count
         if method == "nipt":
-            columns.append(
-                nipt_sample_column(
-                    res.mat_gp, res.fet_gp, res.mat_dosage, res.fet_dosage,
-                    res.phased_haps,
+            with ctx.timers.section("vcf:columns"):
+                columns.append(
+                    nipt_sample_column(
+                        res.mat_gp, res.fet_gp, res.mat_dosage,
+                        res.fet_dosage, res.phased_haps,
+                    )
                 )
-            )
         else:
             ohd = None
             if (cfg.addOptimalHapsToVCF and truth_haps is not None
@@ -231,13 +234,16 @@ def quilt_impute(
                 ohd = optimal_hap_dosages(
                     ctx, samples[i], cfg, truth_haps[:, i]
                 )
-            columns.append(
-                diploid_sample_column(
-                    res.gp, res.phased_haps, res.dosage,
-                    output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
-                    ohd=ohd,
+            with ctx.timers.section("vcf:columns"):
+                columns.append(
+                    diploid_sample_column(
+                        res.gp, res.phased_haps, res.dosage,
+                        output_gt_phased_genotypes=(
+                            cfg.output_gt_phased_genotypes
+                        ),
+                        ohd=ohd,
+                    )
                 )
-            )
         if (cfg.make_plots or cfg.plot_per_sample_likelihoods) and cfg.outputdir:
             # plot_per_sample_likelihoods draws the same diagnostic panel,
             # which includes the per-iteration likelihood traces
@@ -321,6 +327,8 @@ def quilt_impute(
     vcf_path = None
     if output_filename:
         vcf_path = output_filename
+        _vcf_sec = ctx.timers.section("vcf:write")
+        _vcf_sec.__enter__()
         write_quilt_vcf(
             vcf_path,
             chrom=prep.chrom,
@@ -338,6 +346,7 @@ def quilt_impute(
             output_gt_phased_genotypes=cfg.output_gt_phased_genotypes,
             with_ohd=cfg.addOptimalHapsToVCF and truth_haps is not None,
         )
+        _vcf_sec.__exit__(None, None, None)
         print_message(f"Wrote {vcf_path}")
     if (cfg.make_heuristic_plot and truth_gen is not None and cfg.outputdir
             and not rare_common):
@@ -435,10 +444,14 @@ def quilt_impute(
             )
         np.savez_compressed(out_npz, **dump)
         print_message(f"Wrote output objects to {out_npz}")
+    timing = None
     if ctx.timers is not None:
         ctx.timers.report()
+        if getattr(ctx.timers, "enabled", False):
+            timing = ctx.timers.as_dict()
     print_message(f"Done QUILT ({time.time() - t0:.1f}s)")
     return ImputeOutput(
         results=results, vcf_path=vcf_path, eaf=eaf, info=info,
         r2_per_sample=r2s if truth_gen is not None else None,
+        timing=timing,
     )

@@ -11,6 +11,7 @@
 """
 from __future__ import annotations
 
+import functools
 from dataclasses import dataclass
 
 import jax
@@ -113,6 +114,9 @@ class PaddedReads:
         )
 
 
+@functools.partial(
+    jax.jit, static_argnames=("read_chunk", "R_out")
+)
 def emat_read_from_bits(
     bits: jnp.ndarray,          # [B, K, S] uint8 subset panel alleles
     u_pad: jnp.ndarray,         # [R, J] or [B, R, J] int32
@@ -120,6 +124,7 @@ def emat_read_from_bits(
     la: jnp.ndarray,
     max_diff: float,
     read_chunk: int = 512,
+    R_out: int = 0,
 ) -> jnp.ndarray:
     """eMatRead [B, K, R] float32.
 
@@ -128,6 +133,10 @@ def emat_read_from_bits(
     rescale_eMatRead_t + maxDifferenceBetweenReads clamp,
     copied-from-stitch.cpp:190-226). With 3D inputs, each batch row carries
     its own reads (multi-sample batching).
+
+    Jitted (the eager lax.scan re-traced per call, dominating the Gibbs
+    call's dispatch overhead); R_out > R right-pads the read axis with 1.0
+    inside the jit so callers avoid a separate eager pad.
     """
     B, K, S = bits.shape
     per_row = u_pad.ndim == 3
@@ -178,7 +187,12 @@ def emat_read_from_bits(
     logs = jnp.moveaxis(logs, 0, 2).reshape(B, K, Rpad)[:, :, :R]
     logs = logs - logs.max(axis=1, keepdims=True)
     em = jnp.exp(logs)
-    return jnp.maximum(em, 1.0 / max_diff).astype(jnp.float32)
+    em = jnp.maximum(em, 1.0 / max_diff).astype(jnp.float32)
+    if R_out and R_out > R:
+        em = jnp.pad(
+            em, ((0, 0), (0, 0), (0, R_out - R)), constant_values=1.0
+        )
+    return em
 
 
 def emat_dh_from_gl(
@@ -222,6 +236,9 @@ def emissions_for_words(
     return jnp.exp(jnp.log(jnp.maximum(term, 1e-30)).sum(axis=-1))
 
 
+@functools.partial(
+    jax.jit, static_argnames=("n_latent", "S", "minGLValue", "chunk")
+)
 def gls_from_labels_device(
     u_pad: jnp.ndarray,      # [B, R, J]
     lpr: jnp.ndarray,
@@ -232,7 +249,8 @@ def gls_from_labels_device(
     minGLValue: float = 1e-10,
     chunk: int = 256,
 ) -> jnp.ndarray:
-    """Chunked-scan implementation of the device GL builder."""
+    """Chunked-scan implementation of the device GL builder (jitted; the
+    eager lax.scan re-traced per call)."""
     B, R, J = u_pad.shape
     n_chunks = (R + chunk - 1) // chunk
     Rp = n_chunks * chunk

@@ -562,9 +562,8 @@ def _block_moves_nipt_padded(
     ),
 )
 def _gibbs_core_pallas(
-    lem_all,          # [B, K, R] f32 log eMatRead
+    em_all,           # [B, K, R] f32 eMatRead (probability domain)
     bits,             # [B, K, S] uint8
-    skip_r,           # [B, R] bool
     r_pad,            # [G, W, B] int32 (-1 = empty slot)
     cnt_max,          # [G, 1] int32
     idx_bGW,          # [B, G*W] int32 (clipped gather index into R)
@@ -583,10 +582,14 @@ def _gibbs_core_pallas(
     nl, iterative_init, K_real, n_its, do_block, prior_t, ref_error,
     do_entire, resample_u=None, block_within=True,
 ):
-    B, K, R = lem_all.shape
+    B, K, R = em_all.shape
     G, W = r_pad.shape[0], r_pad.shape[1]
     BN = nl * B
     S = bits.shape[2]
+    # log emission + uninformative-read skip mask, fused into this jit so
+    # the dispatch path issues ONE device call per sweep
+    lem_all = jnp.log(em_all)
+    skip_r = (em_all > 1.0 - 1e-12).all(axis=1) | ~valid_r
     prior = jnp.asarray(prior_t, dtype=jnp.float32)
     log_prior = jnp.log(prior)
     trans_t = jnp.transpose(trans)                          # (2, G) for SMEM
@@ -855,60 +858,75 @@ def run_gibbs_chains_pallas(
         prior_t = (0.5, 0.5)
     else:
         prior_t = (0.5, (1 - ff) / 2, ff / 2)
-    if eMatRead is None:
-        eMatRead = emat_read_from_bits(
-            jnp.asarray(bits),
-            jnp.asarray(preads.u_pad),
-            jnp.asarray(preads.lr),
-            jnp.asarray(preads.la),
-            max_diff,
-        )
-        R = inputs.R
-        if eMatRead.shape[2] < R:
-            eMatRead = jnp.pad(
-                eMatRead,
-                ((0, 0), (0, 0), (0, R - eMatRead.shape[2])),
-                constant_values=1.0,
-            )
+    if not isinstance(bits, jax.Array):
+        bits = jnp.asarray(bits)
     R = inputs.R
     G = inputs.G
+    if eMatRead is None:
+        # device-resident read tensors cached on the PaddedReads object —
+        # the engine reuses one PaddedReads across the whole seek loop, so
+        # the [B, R, J] uploads cross the host link once per region
+        pdev = getattr(preads, "_dev_cache", None)
+        if pdev is None:
+            pdev = {
+                "u_pad": jnp.asarray(preads.u_pad),
+                "lr": jnp.asarray(preads.lr),
+                "la": jnp.asarray(preads.la),
+            }
+            try:
+                object.__setattr__(preads, "_dev_cache", pdev)
+            except (AttributeError, TypeError):
+                pass
+        eMatRead = emat_read_from_bits(
+            bits, pdev["u_pad"], pdev["lr"], pdev["la"], max_diff, R_out=R,
+        )
 
-    rs_np, rc_np, w_np, m_np = (
-        inputs.read_start, inputs.read_count, inputs.wif0, inputs.read_mask,
-    )
-    if rs_np.shape[0] == 1 and B > 1:
-        rs_np = np.broadcast_to(rs_np, (B, G))
-        rc_np = np.broadcast_to(rc_np, (B, G))
-        w_np = np.broadcast_to(w_np, (B, R))
-        m_np = np.broadcast_to(m_np, (B, R))
-
-    W = max(int(rc_np.max()), 1)
-    if W > _MAX_W:
-        W = _round_up(W, _MAX_W)      # slot axis tiled in _MAX_W chunks
-    # slot index arrays (host, tiny)
-    ar_w = np.arange(W, dtype=np.int32)
-    idx = rs_np[:, :, None] + ar_w[None, None, :]            # [B, G, W]
-    in_cnt = ar_w[None, None, :] < rc_np[:, :, None]
-    r_pad = np.where(in_cnt, idx, -1).astype(np.int32)
-    r_pad = np.transpose(r_pad, (1, 2, 0))                   # [G, W, B]
-    idx_bGW = np.clip(
-        np.transpose(r_pad, (2, 0, 1)).reshape(B, G * W), 0, R - 1
-    ).astype(np.int32)
-    cnt_max = rc_np.max(axis=0).astype(np.int32)[:, None]    # [G, 1]
-    # inverse map read -> slot
-    g_of_r = np.clip(w_np, 0, G - 1).astype(np.int64)
-    i_of_r = np.arange(R)[None, :] - np.take_along_axis(
-        rs_np.astype(np.int64), g_of_r, axis=1
-    )
-    i_of_r = np.clip(i_of_r, 0, W - 1)
-    idx_back = (g_of_r * W + i_of_r).astype(np.int32)        # [B, R]
-
-    # skip mask computed on device: a host round-trip of the [B, K, R]
-    # eMatRead through the tunnel would dominate the whole call
-    skip_r = (
-        (jnp.asarray(eMatRead) > 1.0 - 1e-12).all(axis=1)
-        | ~jnp.asarray(m_np)
-    )
+    # slot index arrays: identical across every call sharing one
+    # GibbsInputs (the whole seek loop), so build + upload once
+    cache = getattr(inputs, "_pallas_dev", None)
+    if cache is None or cache.get("B") != B:
+        rs_np, rc_np, w_np, m_np = (
+            inputs.read_start, inputs.read_count, inputs.wif0,
+            inputs.read_mask,
+        )
+        if rs_np.shape[0] == 1 and B > 1:
+            rs_np = np.broadcast_to(rs_np, (B, G))
+            rc_np = np.broadcast_to(rc_np, (B, G))
+            w_np = np.broadcast_to(w_np, (B, R))
+            m_np = np.broadcast_to(m_np, (B, R))
+        W = max(int(rc_np.max()), 1)
+        if W > _MAX_W:
+            W = _round_up(W, _MAX_W)  # slot axis tiled in _MAX_W chunks
+        ar_w = np.arange(W, dtype=np.int32)
+        idx = rs_np[:, :, None] + ar_w[None, None, :]        # [B, G, W]
+        in_cnt = ar_w[None, None, :] < rc_np[:, :, None]
+        r_pad = np.where(in_cnt, idx, -1).astype(np.int32)
+        r_pad = np.transpose(r_pad, (1, 2, 0))               # [G, W, B]
+        idx_bGW = np.clip(
+            np.transpose(r_pad, (2, 0, 1)).reshape(B, G * W), 0, R - 1
+        ).astype(np.int32)
+        cnt_max = rc_np.max(axis=0).astype(np.int32)[:, None]  # [G, 1]
+        # inverse map read -> slot
+        g_of_r = np.clip(w_np, 0, G - 1).astype(np.int64)
+        i_of_r = np.arange(R)[None, :] - np.take_along_axis(
+            rs_np.astype(np.int64), g_of_r, axis=1
+        )
+        i_of_r = np.clip(i_of_r, 0, W - 1)
+        idx_back = (g_of_r * W + i_of_r).astype(np.int32)    # [B, R]
+        cache = {
+            "B": B, "W": W,
+            "r_pad": jnp.asarray(r_pad),
+            "cnt_max": jnp.asarray(cnt_max),
+            "idx_bGW": jnp.asarray(idx_bGW),
+            "idx_back": jnp.asarray(idx_back),
+            "trans": jnp.asarray(inputs.trans),
+            "mask": jnp.asarray(m_np),
+        }
+        try:
+            object.__setattr__(inputs, "_pallas_dev", cache)
+        except (AttributeError, TypeError):
+            pass
+    W = cache["W"]
 
     if boundaries is None or len(boundaries) == 0:
         boundaries = np.zeros(0, dtype=np.int32)
@@ -929,20 +947,19 @@ def run_gibbs_chains_pallas(
         perm_mask = np.ones(6, dtype=np.float32)
 
     gp, gpF, hap_dos, H, ll, uf, H_class = _gibbs_core_pallas(
-        jnp.log(jnp.asarray(eMatRead)),
-        jnp.asarray(bits),
-        jnp.asarray(skip_r),
-        jnp.asarray(r_pad),
-        jnp.asarray(cnt_max),
-        jnp.asarray(idx_bGW),
-        jnp.asarray(idx_back),
-        jnp.asarray(inputs.trans),
+        eMatRead,
+        bits,
+        cache["r_pad"],
+        cache["cnt_max"],
+        cache["idx_bGW"],
+        cache["idx_back"],
+        cache["trans"],
         jnp.asarray(uniforms, dtype=jnp.float32),
         jnp.asarray(H0, dtype=jnp.int32),
         jnp.asarray(first_read, dtype=jnp.int32),
         jnp.asarray(boundaries, dtype=jnp.int32),
         jnp.asarray(block_u, dtype=jnp.float32),
-        jnp.asarray(m_np),
+        cache["mask"],
         jnp.asarray(relabel_u, dtype=jnp.float32),
         jnp.asarray(rlc),
         jnp.asarray(clp),

@@ -88,6 +88,30 @@ def _fmt(x: float) -> str:
     return f"{x:.3f}".rstrip("0").rstrip(".") if x == x else "."
 
 
+def fmt_g(arr: np.ndarray, decimals: int = 3) -> np.ndarray:
+    """Vectorized f"{round(x, decimals):g}" over an array.
+
+    Rounds to `decimals` places (half-to-even, like round()/np.round) and
+    formats via a lookup over the unique rounded values, so a whole-VCF
+    column formats in a handful of numpy passes instead of per-cell
+    Python round()+format (the dominant host cost of the column build)."""
+    a = np.asarray(arr, dtype=np.float64).ravel()
+    scale = 10.0 ** decimals
+    q = np.round(a * scale)
+    uq, inv = np.unique(q, return_inverse=True)
+    strs = np.array([f"{v / scale:g}" for v in uq])
+    return strs[inv].reshape(np.shape(arr))
+
+
+def _join_fields(*parts) -> np.ndarray:
+    """Elementwise string concat of numpy string arrays / literals."""
+    out = None
+    for p in parts:
+        p = np.asarray(p)
+        out = p if out is None else np.char.add(out, p)
+    return out
+
+
 def diploid_sample_column(
     gp: np.ndarray,              # [3, nSNPs]
     phased: np.ndarray,          # [2, nSNPs] 0/1
@@ -96,33 +120,31 @@ def diploid_sample_column(
     output_gt_phased_genotypes: bool = True,
     ohd: Optional[np.ndarray] = None,  # [2, nSNPs] optimal haploid dosages
 ) -> List[str]:
-    nSNPs = gp.shape[1]
     if hap_dosages is None:
         hap_dosages = phased.astype(float)
-    cols = []
-    maxgp = gp.max(axis=0)
-    argmax = gp.argmax(axis=0)
-    gt_unphased = np.where(
-        maxgp >= 0.9,
-        np.array(["0/0", "0/1", "1/1"])[argmax],
-        "./.",
-    )
-    for s in range(nSNPs):
-        if output_gt_phased_genotypes:
-            gt = f"{int(round(phased[0, s]))}|{int(round(phased[1, s]))}"
-        else:
-            gt = gt_unphased[s]
-        col = (
-            f"{gt}:{round(gp[0, s], 3):g},{round(gp[1, s], 3):g},"
-            f"{round(gp[2, s], 3):g}:{round(dosage[s], 3):g}:"
-            f"{round(hap_dosages[0, s], 3):g},{round(hap_dosages[1, s], 3):g}"
+    if output_gt_phased_genotypes:
+        bit = np.array(["0", "1"])
+        p0 = bit[np.rint(phased[0]).astype(np.int64).clip(0, 1)]
+        p1 = bit[np.rint(phased[1]).astype(np.int64).clip(0, 1)]
+        gt = _join_fields(p0, "|", p1)
+    else:
+        maxgp = gp.max(axis=0)
+        argmax = gp.argmax(axis=0)
+        gt = np.where(
+            maxgp >= 0.9,
+            np.array(["0/0", "0/1", "1/1"])[argmax],
+            "./.",
         )
-        if ohd is not None:
-            # OHD: optimal haploid dosages under truth read labels
-            # (reference: FORMAT GT:GP:DS:HD:OHD, functions.R:281)
-            col += f":{round(ohd[0, s], 3):g},{round(ohd[1, s], 3):g}"
-        cols.append(col)
-    return cols
+    col = _join_fields(
+        gt, ":", fmt_g(gp[0]), ",", fmt_g(gp[1]), ",", fmt_g(gp[2]),
+        ":", fmt_g(dosage), ":", fmt_g(hap_dosages[0]), ",",
+        fmt_g(hap_dosages[1]),
+    )
+    if ohd is not None:
+        # OHD: optimal haploid dosages under truth read labels
+        # (reference: FORMAT GT:GP:DS:HD:OHD, functions.R:281)
+        col = _join_fields(col, ":", fmt_g(ohd[0]), ",", fmt_g(ohd[1]))
+    return col.tolist()
 
 
 def nipt_sample_column(
@@ -132,20 +154,16 @@ def nipt_sample_column(
     fet_dosage: np.ndarray,
     phased: np.ndarray,          # [3, nSNPs]
 ) -> List[str]:
-    nSNPs = mat_gp.shape[1]
-    cols = []
-    for s in range(nSNPs):
-        gt = (
-            f"{int(round(phased[0, s]))}|{int(round(phased[1, s]))}|"
-            f"{int(round(phased[2, s]))}"
-        )
-        cols.append(
-            f"{gt}:{round(mat_gp[0, s], 3):g},{round(mat_gp[1, s], 3):g},"
-            f"{round(mat_gp[2, s], 3):g}:{round(mat_dosage[s], 3):g}:"
-            f"{round(fet_gp[0, s], 3):g},{round(fet_gp[1, s], 3):g},"
-            f"{round(fet_gp[2, s], 3):g}:{round(fet_dosage[s], 3):g}"
-        )
-    return cols
+    bit = np.array(["0", "1"])
+    ph = np.rint(phased).astype(np.int64).clip(0, 1)
+    col = _join_fields(
+        bit[ph[0]], "|", bit[ph[1]], "|", bit[ph[2]],
+        ":", fmt_g(mat_gp[0]), ",", fmt_g(mat_gp[1]), ",", fmt_g(mat_gp[2]),
+        ":", fmt_g(mat_dosage),
+        ":", fmt_g(fet_gp[0]), ",", fmt_g(fet_gp[1]), ",", fmt_g(fet_gp[2]),
+        ":", fmt_g(fet_dosage),
+    )
+    return col.tolist()
 
 
 MISSING_DIPLOID_COL = "./.:.,.,.:.:.,."
@@ -226,20 +244,26 @@ def write_quilt_vcf(
         paf = allele_count[:, 0] / allele_count[:, 1]
     paf = np.nan_to_num(paf, nan=0.0)
     idx = TabixIndexer() if write_index else None
+    # vectorized INFO strings (per-cell round()+format is the dominant host
+    # cost at whole-chromosome nSNPs)
+    info_fields = _join_fields(
+        "EAF=", fmt_g(eaf, 5), ";INFO_SCORE=", fmt_g(info, 5),
+        ";HWE=", np.char.mod("%.2e", np.asarray(hwe, dtype=np.float64)),
+        ";ERC=", fmt_g(erc, 5), ";EAC=", fmt_g(allele_count[:, 0], 5),
+        ";PAF=", fmt_g(paf, 5),
+    ).tolist()
+    pos_str = np.asarray(pos).astype(np.int64).astype(str).tolist()
+    ref_l = np.asarray(ref_allele).astype(str).tolist()
+    alt_l = np.asarray(alt_allele).astype(str).tolist()
     with BgzfWriter(path) as w:
         w.write(make_header(sample_names, method, output_gt_phased_genotypes,
                             with_ohd=with_ohd and method != "nipt"))
         for s in range(nSNPs):
             if not in_region[s]:
                 continue
-            info_field = (
-                f"EAF={round(eaf[s], 5):g};INFO_SCORE={round(info[s], 5):g};"
-                f"HWE={hwe[s]:.2e};ERC={round(erc[s], 5):g};"
-                f"EAC={round(allele_count[s, 0], 5):g};PAF={round(paf[s], 5):g}"
-            )
             fields = [
-                chrom, str(int(pos[s])), ".", str(ref_allele[s]),
-                str(alt_allele[s]), ".", "PASS", info_field, fmt,
+                chrom, pos_str[s], ".", ref_l[s],
+                alt_l[s], ".", "PASS", info_fields[s], fmt,
             ] + [col[s] for col in sample_columns]
             vbeg = w.tell_virtual()
             w.write("\t".join(fields) + "\n")

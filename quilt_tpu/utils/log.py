@@ -50,6 +50,15 @@ class SectionTimers:
         self.totals[name] = self.totals.get(name, 0.0) + dt
         self.counts[name] = self.counts.get(name, 0) + 1
 
+    def as_dict(self) -> dict:
+        """{section: {"seconds": total, "calls": n}} for bench reporting."""
+        return {
+            name: {"seconds": tot, "calls": self.counts[name]}
+            for name, tot in sorted(
+                self.totals.items(), key=lambda kv: -kv[1]
+            )
+        }
+
     def report(self) -> None:
         if not self.enabled or not self.totals:
             return
