@@ -125,6 +125,19 @@ class ImputeConfig:
     use_mspbwt: bool = False
     mspbwtL: int = 3
     mspbwtM: int = 1
+    # block-Gibbs boundary detection: "gamma" = on-the-fly from the live
+    # FB state each block iteration (reference:
+    # Rcpp_define_blocked_snps_using_gamma_on_the_fly,
+    # QUILT/src/gibbs-nipt-block.cpp:311-527, the production behavior);
+    # "map" = static boundaries from the genetic map's smoothed
+    # recombination rate (the pre-round-4 approximation)
+    block_gibbs_boundary_detection: str = "gamma"
+    # quantile threshold on the smoothed jump rate (reference default:
+    # block_gibbs_quantile_prob = 0.95, functions.R:2393)
+    block_gibbs_quantile_prob: float = 0.95
+    # static cap on boundaries per row (the reference is uncapped; the
+    # kernels need a fixed shape — top-N peaks by smoothed rate are kept)
+    max_block_gibbs_boundaries: int = 32
     override_default_params_for_small_ref_panel: bool = True
     gamma_physically_closest_to: Optional[int] = None
     use_eMatDH_special_symbols: Optional[bool] = None

@@ -134,6 +134,8 @@ def impute_samples_batched(
         if 1 <= bit <= n_its:
             do_block_np[bit - 1] = True
     bnd = ctx.boundaries if ctx.boundaries is not None else np.zeros(0, np.int32)
+    otf = ctx.smooth_w is not None
+    nb_slots = ctx.block_nb_cap if otf else len(bnd)
 
     rhb_dev = ctx.rhb_dev()
     Kp_sub = pad_to_multiple(ctx.Ksub, 128)
@@ -152,11 +154,11 @@ def impute_samples_batched(
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
             k1, k2, k3 = jax.random.split(key, 3)
             uniforms = _device_uniforms(k1, (n_its, Bb, ginputs_b.R))
-            block_u = _device_uniforms(k2, (n_its, max(len(bnd), 1), 3, Bb))
-            block_u = block_u[:, : len(bnd)]
+            block_u = _device_uniforms(k2, (n_its, max(nb_slots, 1), 3, Bb))
+            block_u = block_u[:, :nb_slots]
             resample_u = (
                 _device_uniforms(k3, (n_its, Bb, ginputs_b.R))
-                if (nl == 3 and len(bnd)) else None
+                if (nl == 3 and nb_slots) else None
             )
             _drain(uniforms)
         if ctx.mesh is not None:
@@ -184,8 +186,11 @@ def impute_samples_batched(
                     ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,
                     K_real=which_b.shape[1], max_diff=max_diff,
                     ref_error=prep.ref_error,
-                    boundaries=bnd, block_u=block_u, do_block=do_block_np,
+                    boundaries=None if otf else bnd,
+                    block_u=block_u, do_block=do_block_np,
                     resample_u=resample_u,
+                    smooth_w=ctx.smooth_w,
+                    quantile_prob=ctx.block_quantile,
                     return_arrays=False,
                 )
                 _drain(hap_dos)

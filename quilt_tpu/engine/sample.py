@@ -54,6 +54,12 @@ class RegionContext:
     nGrids_all: int = 0
     boundaries: Optional[np.ndarray] = None   # block-Gibbs suffix starts
     smooth_cm: Optional[np.ndarray] = None    # block-defining smoothed rate
+    # bp-smoothing operator for ON-THE-FLY boundary detection from the
+    # live FB state (block_gibbs_boundary_detection == "gamma"); None =
+    # static map-based boundaries
+    smooth_w: Optional[np.ndarray] = None
+    block_quantile: float = 0.95
+    block_nb_cap: int = 32
     hla_capture: bool = False
     timers: Optional[object] = None           # SectionTimers (or None)
     mesh: Optional[object] = None             # jax Mesh (multi-chip)
@@ -106,12 +112,21 @@ class RegionContext:
         if cfg.impute_rare_common and prep.sigma_all is not None:
             trans_all = trans_rates(prep.sigma_all)
             nGrids_all = len(prep.L_grid_all)
-        from ..panel.prepare import make_smoothed_rate
+        from ..panel.prepare import make_smoothed_rate, smoothing_matrix
         from ..oracle.block_gibbs import detect_boundaries
         smooth = make_smoothed_rate(
             prep.sigma, prep.L_grid, cfg.shuffle_bin_radius
         )
         boundaries = detect_boundaries(smooth, 0.9) if nGrids > 4 else None
+        # "gamma" mode: boundaries come from the live FB jump rate inside
+        # the kernel each block iteration (reference production behavior);
+        # the bp-smoothing operator is the only per-region precompute
+        smooth_w = None
+        if (cfg.block_gibbs_boundary_detection == "gamma" and nGrids > 4
+                and cfg.max_block_gibbs_boundaries > 0):
+            smooth_w = smoothing_matrix(
+                prep.L_grid, cfg.shuffle_bin_radius
+            )
         from ..utils.log import SectionTimers
         # multi-chip: build the mesh from mesh_data/mesh_panel and hold a
         # panel-sharded FB when the panel axis is split (SURVEY section 2.7)
@@ -134,6 +149,9 @@ class RegionContext:
             n_latent=n_latent, Ksub=Ksub, Knew=Knew, n_seek_its=n_seek,
             n_burn_in_seek_its=n_burn, trans_all=trans_all,
             nGrids_all=nGrids_all, boundaries=boundaries, smooth_cm=smooth,
+            smooth_w=smooth_w,
+            block_quantile=cfg.block_gibbs_quantile_prob,
+            block_nb_cap=cfg.max_block_gibbs_boundaries,
             hla_capture=hla_capture,
             timers=SectionTimers(cfg.print_extra_timing_information),
             mesh=mesh, sharded_fb=sharded_fb,
@@ -285,6 +303,8 @@ def impute_one_sample(
         if 1 <= bit <= n_its:
             do_block_np[bit - 1] = True
     bnd = ctx.boundaries if ctx.boundaries is not None else np.zeros(0, np.int32)
+    otf = ctx.smooth_w is not None
+    nb_slots = ctx.block_nb_cap if otf else len(bnd)
 
     def run_chains(which_haps_b, H0_b, iterative, first_read_b, max_diff):
         """One Gibbs call (B chains), with underflow retry policy
@@ -298,12 +318,12 @@ def impute_one_sample(
             rhb_sub = np.concatenate([rhb_sub, pad], axis=1)
         bits = _unpack_subset(jnp.asarray(rhb_sub))
         uniforms = rng.random((n_its, B, R)).astype(np.float32)
-        block_u = rng.random((n_its, len(bnd), 3, B)).astype(np.float32)
+        block_u = rng.random((n_its, nb_slots, 3, B)).astype(np.float32)
         # uniforms for resample_H_using_H_class at block iterations (NIPT
         # within-block move set; kernels/gibbs.py:nipt_block_within)
         resample_u = (
             rng.random((n_its, B, R)).astype(np.float32)
-            if (nl == 3 and len(bnd)) else None
+            if (nl == 3 and nb_slots) else None
         )
         for attempt in range(11):
             with ctx.timers.section("gibbs_sweep"):
@@ -314,8 +334,11 @@ def impute_one_sample(
                     n_burn_in=n_its - 1, iterative_init=iterative,
                     K_real=Ksub,
                     max_diff=max_diff, ref_error=prep.ref_error,
-                    boundaries=bnd, block_u=block_u, do_block=do_block_np,
+                    boundaries=None if otf else bnd,
+                    block_u=block_u, do_block=do_block_np,
                     resample_u=resample_u,
+                    smooth_w=ctx.smooth_w,
+                    quantile_prob=ctx.block_quantile,
                 )
             if not uf.any():
                 break

@@ -102,6 +102,142 @@ def _perm_block_probs(cmat, ns, clp, perm_mask):
     return w / w.sum(axis=-1, keepdims=True)
 
 
+def _boundaries_from_rate(rate2, smooth_w, NB, quantile_prob):
+    """Per-row block-Gibbs boundaries from the live FB jump rate.
+
+    Mirrors Rcpp_define_blocked_snps_using_gamma_on_the_fly (reference:
+    QUILT/src/gibbs-nipt-block.cpp:311-527): smooth the per-gap jump rate
+    over physical distance (smooth_w = panel.prepare.smoothing_matrix),
+    threshold at min(1, sorted[int(n*q)]) (rcpp_simple_quantile, :81-85),
+    then keep one boundary per contiguous above-threshold run, at the
+    run's maximum. DOCUMENTED DEVIATIONS: the reference's greedy
+    descending-peak loop can emit a second boundary inside a run whose
+    maximum sits at the run edge (its d==3 neighborhood test, :440-470) —
+    here every run yields exactly one; and the number of boundaries is
+    capped at NB (top-NB by smoothed rate), where the reference is
+    uncapped.
+
+    rate2: [Gm, B] f32; smooth_w: [Gm, Gm]; returns [NB, B] int32
+    suffix-start grid indices, ascending per row, 0 = pad.
+    """
+    Gm, B = rate2.shape
+    smoothed = smooth_w @ rate2                            # [Gm, B]
+    v = min(int(Gm * quantile_prob), Gm - 1)
+    thresh = jnp.minimum(1.0, jnp.sort(smoothed, axis=0)[v])   # [B]
+    avail = smoothed > thresh[None, :]                     # [Gm, B]
+    score = jnp.where(avail, smoothed, -jnp.inf)
+    start = avail & jnp.concatenate(
+        [jnp.ones((1, B), bool), ~avail[:-1]], axis=0
+    )
+
+    # segmented running max over contiguous runs (associative: a reset
+    # flag re-anchors the max at run starts)
+    def seg_op(a, b):
+        (ma, sa), (mb, sb) = a, b
+        return jnp.where(sb, mb, jnp.maximum(ma, mb)), sa | sb
+
+    fwd_max, _ = jax.lax.associative_scan(seg_op, (score, start), axis=0)
+    end = avail & jnp.concatenate(
+        [~avail[1:], jnp.ones((1, B), bool)], axis=0
+    )
+    bwd_max, _ = jax.lax.associative_scan(
+        seg_op, (score[::-1], end[::-1]), axis=0
+    )
+    run_max = jnp.maximum(fwd_max, bwd_max[::-1])
+    prev_fwd = jnp.concatenate(
+        [jnp.full((1, B), -jnp.inf), fwd_max[:-1]], axis=0
+    )
+    peak = avail & (score >= run_max) & (start | (prev_fwd < score))
+    # top-NB peaks per row by smoothed rate; boundary = gap index + 1
+    pscore = jnp.where(peak, score, -jnp.inf)
+    vals, idx = jax.lax.top_k(pscore.T, min(NB, Gm))       # [B, NB]
+    bnd = jnp.where(jnp.isfinite(vals), idx + 1, 0)
+    if bnd.shape[1] < NB:
+        bnd = jnp.pad(bnd, ((0, 0), (0, NB - bnd.shape[1])))
+    return jnp.sort(bnd, axis=1).T.astype(jnp.int32)       # [NB, B]
+
+
+def _compose_suffix_perms(cmat, ns_sfx, block_u, bnd_rb, clp, perm_mask):
+    """Sample the NIPT 6-permutation suffix relabellings of all boundaries
+    with ORIGINAL-state junction statistics, composing accepted moves.
+
+    Exactly equivalent (same uniforms, same draws) to the sequential
+    per-boundary loop that re-gathers junction terms from the mutated
+    arrays: the current state at boundary j differs from the original only
+    by the composed permutation sigma of boundaries < j, so the current
+    junction matrix is the sigma-conjugated gather of the original one and
+    the current class counts are the CLASS_PERM_INV[sigma] gather of the
+    original counts (Rcpp_consider_block_relabelling acceptance,
+    QUILT/src/gibbs-nipt-block.cpp:590-954, in suffix formulation).
+
+    cmat: [NB, B, 3, 3] original-state junction cross terms at each
+    boundary; ns_sfx: [NB, B, 8] original-class suffix counts;
+    block_u: [NB, B]; bnd_rb: [NB, B] (0 = pad).
+    Returns sig_seq [NB, B]: the composed permutation AFTER each boundary.
+    """
+    NB, B = bnd_rb.shape
+    mul_t = jnp.asarray(nipt_tables.MUL)
+    invs_t = jnp.asarray(nipt_tables.INVS)
+    cpinv_t = jnp.asarray(nipt_tables.CLASS_PERM_INV)
+    rows = jnp.arange(B)
+
+    def step(sigma, j):
+        iv = invs_t[sigma]                                 # [B, 3]
+        cm = cmat[j]                                       # [B, 3, 3]
+        cm_cur = cm[rows[:, None, None], iv[:, :, None], iv[:, None, :]]
+        ns_cur = ns_sfx[j][rows[:, None], cpinv_t[sigma]]  # [B, 8]
+        probs = _perm_block_probs(cm_cur, ns_cur, clp, perm_mask)
+        chosen = _sample_idx(probs, block_u[j])
+        sigma_new = jnp.where(
+            bnd_rb[j] > 0, mul_t[chosen, sigma], sigma
+        ).astype(jnp.int32)
+        return sigma_new, sigma_new
+
+    _, sig_seq = jax.lax.scan(
+        step, jnp.zeros((B,), jnp.int32), jnp.arange(NB)
+    )
+    return sig_seq
+
+
+def _perm_of_grid(sig_seq, bnd_rb, G):
+    """[G, B] composed permutation index at each grid: the state after the
+    last boundary SLOT <= g (identity before the first). Pad slots (0)
+    sort before all valid boundaries and leave sigma unchanged, so they
+    are counted like any other slot — sig_seq is indexed by slot."""
+    NB, B = bnd_rb.shape
+    gids = jnp.arange(G)
+    leq = bnd_rb[None] <= gids[:, None, None]
+    cnt = leq.sum(axis=1)                                  # [G, B]
+    sel = jnp.take_along_axis(
+        sig_seq, jnp.clip(cnt - 1, 0, NB - 1), axis=0
+    )
+    return jnp.where(cnt > 0, sel, 0)
+
+
+def _pair_swap_parity(C, block_u, bnd_rb, G):
+    """Diploid suffix pair-swap decisions for all boundaries at once.
+
+    The keep/swap products w_keep = C[0,0]*C[1,1], w_swap = C[0,1]*C[1,0]
+    are invariant under the pairwise plane swap, so every boundary's
+    acceptance can be computed from the ORIGINAL state and the net effect
+    per grid is the XOR-prefix of accepted swaps — identical draws to the
+    sequential loop (same uniforms, u < p_swap convention; functional
+    equivalent of Rcpp_shard_block_gibbs_resampler's pairwise checks,
+    QUILT/src/gibbs-nipt-block.cpp:1975-2355).
+
+    C: [NB, B, 2, 2]; block_u/bnd_rb: [NB, B]. Returns parity [G, B] bool.
+    """
+    w_keep = C[..., 0, 0] * C[..., 1, 1]
+    w_swap = C[..., 0, 1] * C[..., 1, 0]
+    tot = w_keep + w_swap
+    ok = jnp.isfinite(tot) & (tot > 0)
+    p_swap = jnp.where(ok, w_swap / jnp.where(tot > 0, tot, 1.0), 0.0)
+    do_swap = (bnd_rb > 0) & ok & (block_u < p_swap)       # [NB, B]
+    gids = jnp.arange(G)
+    leq = (bnd_rb[None] > 0) & (bnd_rb[None] <= gids[:, None, None])
+    return (leq & do_swap[None]).sum(axis=1) % 2 == 1      # [G, B]
+
+
 def _entire_probs(rc, log_p):
     """[..., 6] entire-relabelling probabilities from label counts rc
     [..., 3] (get_weights_for_entire_relabelling, gibbs-nipt.R:1336-1352)."""
@@ -288,14 +424,25 @@ def nipt_block_within(
         mx = lm.max(axis=2, keepdims=True)
         return jnp.exp(lm - mx) * km[None, None, :], mx[:, :, 0]
 
-    # block topology from the suffix-start boundaries (pads -> G)
-    bb = jnp.where(boundaries > 0, boundaries, G)
-    bb = jnp.sort(bb)
+    # block topology from the suffix-start boundaries (pads -> G);
+    # boundaries may be [NB] (shared) or [NB, B] (per row, as produced by
+    # the on-the-fly gamma detection) — topology is held per row either way
+    if boundaries.ndim == 1:
+        bb = jnp.broadcast_to(
+            jnp.where(boundaries > 0, boundaries, G)[:, None], (NB, B)
+        )
+    else:
+        bb = jnp.where(boundaries > 0, boundaries, G)
+    bb = jnp.sort(bb, axis=0)                                  # [NB, B]
     gidx = jnp.arange(G)
-    block_of_g = (gidx[:, None] >= bb[None, :]).sum(axis=1)   # [G]
+    block_of_g = (gidx[:, None, None] >= bb[None]).sum(axis=1)  # [G, B]
     is_end = jnp.concatenate(
-        [jnp.isin(gidx[:-1] + 1, bb), jnp.array([True])]
-    )
+        [
+            ((gidx[:-1, None, None] + 1) == bb[None]).any(axis=1),
+            jnp.ones((1, B), bool),
+        ],
+        axis=0,
+    )                                                          # [G, B]
     # per-grid class-count contributions ns_g [G, B, 8]
     oh_c = jax.nn.one_hot(Hc, 8, dtype=jnp.float32)           # [R, B, 8]
     oh_c = oh_c * read_mask.T[:, :, None]
@@ -324,6 +471,8 @@ def nipt_block_within(
         lgS = lgS + jnp.log(s[..., 0])
         ns_acc = ns_acc + ns_g[g]
 
+        end_b = is_end[g]                                      # [B]
+
         def decide(args):
             aS, lgS, ns_acc = args
             junction = jnp.einsum(
@@ -336,21 +485,26 @@ def nipt_block_within(
             lw = lw - lw.max(axis=1, keepdims=True)
             w = jnp.exp(jnp.clip(lw, -100.0, None)) * perm_mask
             w = w / w.sum(axis=1, keepdims=True)
-            j = jnp.minimum(block_of_g[g], NB)
-            chosen = _sample_idx(w, u_blocks[j])               # [B]
+            j = jnp.minimum(block_of_g[g], NB)                 # [B]
+            u = jnp.take_along_axis(u_blocks, j[None, :], axis=0)[0]
+            chosen = _sample_idx(w, u)                         # [B]
             aS_sel = jnp.take_along_axis(
                 aS, chosen[:, None, None, None], axis=1
             )                                                  # [B,1,3,K]
-            aS = jnp.broadcast_to(aS_sel, aS.shape)
-            return (aS, jnp.zeros_like(lgS), jnp.zeros_like(ns_acc),
-                    chosen)
+            aS_new = jnp.broadcast_to(aS_sel, aS.shape)
+            # per-row block ends: rows whose block does not end at this
+            # grid keep their running bank/accumulators
+            aS = jnp.where(end_b[:, None, None, None], aS_new, aS)
+            lgS = jnp.where(end_b[:, None, None], 0.0, lgS)
+            ns_acc = jnp.where(end_b[:, None], 0.0, ns_acc)
+            return (aS, lgS, ns_acc, jnp.where(end_b, chosen, 0))
 
         def no_decide(args):
             aS, lgS, ns_acc = args
             return aS, lgS, ns_acc, jnp.zeros((B,), jnp.int32)
 
         aS, lgS, ns_acc, chosen = jax.lax.cond(
-            is_end[g], decide, no_decide, (aS, lgS, ns_acc)
+            end_b.any(), decide, no_decide, (aS, lgS, ns_acc)
         )
         return (aS, lgS, ns_acc), chosen
 
@@ -359,13 +513,12 @@ def nipt_block_within(
               jnp.zeros((B, 8), jnp.float32))
     _, chosen_g = jax.lax.scan(scan_step, carry0, jnp.arange(G))
     # chosen decision of each grid's block = the choice emitted at the
-    # block's END grid
-    ends_g = jnp.where(
-        block_of_g < NB, bb[jnp.minimum(block_of_g, NB - 1)] - 1, G - 1
-    )                                                          # [G]
-    perm_g = jnp.take_along_axis(
-        chosen_g, jnp.broadcast_to(ends_g[:, None], (G, B)), axis=0
+    # block's END grid (per row)
+    bnd_next = jnp.take_along_axis(
+        bb, jnp.minimum(block_of_g, NB - 1), axis=0
     )                                                          # [G, B]
+    ends_g = jnp.where(block_of_g < NB, bnd_next - 1, G - 1)
+    perm_g = jnp.take_along_axis(chosen_g, ends_g, axis=0)     # [G, B]
     perm_r = jnp.take_along_axis(perm_g, jnp.clip(wif0_r, 0, G - 1),
                                  axis=0)                       # [R, B]
     H = perms_t[perm_r, jnp.clip(H, 0, 2)]
@@ -432,7 +585,7 @@ def nipt_block_within(
 @partial(
     jax.jit,
     static_argnames=("nl", "iterative_init", "K_real", "W", "do_entire",
-                     "block_within"),
+                     "block_within", "quantile_prob"),
 )
 def _gibbs_core(
     eMatRead: jnp.ndarray,     # [B, K, R] f32
@@ -463,6 +616,13 @@ def _gibbs_core(
                                                # H_class label resample
     block_within: bool = True, # within-block moves (reference default) vs
                                # the shard suffix formulation
+    smooth_w: Optional[jnp.ndarray] = None,    # [G-1, G-1] bp smoothing
+                               # operator: enables ON-THE-FLY per-row
+                               # boundary detection from the live FB state
+                               # (Rcpp_define_blocked_snps_using_gamma_
+                               # on_the_fly) instead of the static
+                               # `boundaries`
+    quantile_prob: float = 0.95,
 ):
     B, K, R = eMatRead.shape
     S = bits.shape[2]
@@ -656,6 +816,105 @@ def _gibbs_core(
                 else None
             ),
         )
+
+    use_otf = smooth_w is not None
+    NBu = block_u.shape[1]
+
+    def _live_jump_rate(alphas, beta, lemg):
+        """[G-1, B] per-gap posterior jump rate summed over latent haps
+        from the live FB state — the rate2 of
+        Rcpp_define_blocked_snps_using_gamma_on_the_fly (reference:
+        QUILT/src/gibbs-nipt-block.cpp:348-365), in normalization-
+        invariant form: P(jump at gap g | O) computed from the exact
+        stay/jump decomposition of alpha(g+1) rather than assuming the
+        scaled arrays sum to one."""
+        lm = jnp.where(k_mask[None, None, None, :], lemg, -jnp.inf)
+        mx = lm.max(axis=3, keepdims=True)
+        e = jnp.exp(lemg - mx) * km[None, None, None, :]
+        eb = e * beta                                    # [G, B, nl, K]
+        n1 = (alphas[:-1] * eb[1:]).sum(axis=3)          # [G-1, B, nl]
+        n2 = alphas[:-1].sum(axis=3) * eb[1:].sum(axis=3) / K_real
+        t0 = trans[1:, 0][:, None, None]
+        t1 = trans[1:, 1][:, None, None]
+        denom = t0 * n1 + t1 * n2
+        njf = jnp.where(
+            denom > 0, t0 * n1 / jnp.maximum(denom, 1e-300), 1.0
+        )
+        r = 1.0 - njf                                    # [G-1, B, nl]
+        if nl == 3:
+            # hap3 contributes only when ff > 0 (reference :359-364)
+            w3 = (prior[2] > 0).astype(jnp.float32)
+            rate2 = r[..., 0] + r[..., 1] + w3 * r[..., 2]
+        else:
+            rate2 = r.sum(axis=2)
+        # reference leaves the final gap at zero (loop bound nGrids-2)
+        return rate2.at[-1].set(0.0)
+
+    def block_moves_pair_otf(it, lemg, beta, alphas, H, bnd_rb):
+        """Composed diploid suffix swaps at per-row boundaries: all
+        acceptances from the original state (see _pair_swap_parity), one
+        apply pass."""
+        idxg = jnp.clip(bnd_rb - 1, 0, G - 1)            # [NBu, B]
+        a_sel = jnp.take_along_axis(
+            alphas, idxg[:, :, None, None], axis=0
+        )                                                # [NBu, B, nl, K]
+        b_sel = jnp.take_along_axis(beta, idxg[:, :, None, None], axis=0)
+        C = jnp.einsum("jbik,jblk->jbil", a_sel, b_sel)
+        parity_g = _pair_swap_parity(
+            C[..., :2, :2], block_u[it, :, 0], bnd_rb, G
+        )                                                # [G, B]
+        parity_r = jnp.take_along_axis(
+            parity_g, jnp.clip(wif0_r, 0, G - 1), axis=0
+        )                                                # [R, B]
+        p_i = parity_g.astype(jnp.int32)
+        idx2 = jnp.stack([p_i, 1 - p_i], axis=2)         # [G, B, 2]
+        if nl == 3:
+            idx2 = jnp.concatenate(
+                [idx2, jnp.full_like(p_i, 2)[:, :, None]], axis=2
+            )
+        out = []
+        for arr in (lemg, beta, alphas):
+            out.append(
+                jnp.take_along_axis(arr, idx2[:, :, :, None], axis=2)
+            )
+        lemg, beta, alphas = out
+        H = jnp.where(parity_r & (H == 0), nl + 7,
+                      jnp.where(parity_r & (H == 1), 0, H))
+        H = jnp.where(H == nl + 7, 1, H)
+        return (lemg, beta, alphas, H)
+
+    def block_moves_nipt_otf(it, lemg, beta, alphas, H, Hc, bnd_rb):
+        """Composed NIPT 6-permutation suffix relabelling at per-row
+        boundaries (see _compose_suffix_perms), one apply pass."""
+        idxg = jnp.clip(bnd_rb - 1, 0, G - 1)
+        a_sel = jnp.take_along_axis(
+            alphas, idxg[:, :, None, None], axis=0
+        )                                                # [NBu, B, 3, K]
+        b_sel = jnp.take_along_axis(beta, idxg[:, :, None, None], axis=0)
+        cmat = jnp.einsum(
+            "jbik,jblk->jbil", a_sel, b_sel * km[None, None, None, :]
+        )
+        oh_c = jax.nn.one_hot(Hc, 8, dtype=jnp.float32)  # [R, B, 8]
+        oh_c = oh_c * read_mask.T[:, :, None]
+        sfx_mask = wif0_r[None] >= jnp.maximum(bnd_rb, 1)[:, None, :]
+        ns_sfx = (oh_c[None] * sfx_mask[..., None]).sum(axis=1)
+        sig_seq = _compose_suffix_perms(
+            cmat, ns_sfx, block_u[it, :, 0], bnd_rb, clp, perm_mask
+        )
+        perm_g = _perm_of_grid(sig_seq, bnd_rb, G)       # [G, B]
+        perm_r = jnp.take_along_axis(
+            perm_g, jnp.clip(wif0_r, 0, G - 1), axis=0
+        )
+        inv_sel = invs_t[perm_g]                         # [G, B, 3]
+        out = []
+        for arr in (lemg, beta, alphas):
+            out.append(
+                jnp.take_along_axis(arr, inv_sel[:, :, :, None], axis=2)
+            )
+        lemg, beta, alphas = out
+        H = perms_t[perm_r, jnp.clip(H, 0, 2)]
+        Hc = clsperm_t[perm_r, Hc]
+        return (lemg, beta, alphas, H, Hc)
 
     def entire_move(it, lemg, beta, alphas, H, Hc):
         """Entire relabelling of all reads (functional equivalent of
@@ -868,7 +1127,50 @@ def _gibbs_core(
                 lambda a: a[3],
                 (alphas, beta, H, Hc),
             )
-        if NB > 0:
+        if use_otf and NBu > 0:
+            # on-the-fly boundaries from the live FB state, per batch row
+            if nl == 3:
+                def blocked3(args):
+                    lemg, beta, alphas, H, Hc = args
+                    rate2 = _live_jump_rate(alphas, beta, lemg)
+                    bnd_rb = _boundaries_from_rate(
+                        rate2, smooth_w, NBu, quantile_prob
+                    )
+                    if block_within:
+                        return nipt_block_within(
+                            lemg, beta, H, Hc, wif0, read_mask, log_em_all,
+                            trans, bnd_rb, block_u[it], clp, perm_mask,
+                            rlc, K_real,
+                            resample_u_it=(
+                                resample_u[it]
+                                if (resample_u is not None and W > 0)
+                                else None
+                            ),
+                        )
+                    return block_moves_nipt_otf(
+                        it, lemg, beta, alphas, H, Hc, bnd_rb
+                    )
+
+                lemg, beta, alphas, H, Hc = jax.lax.cond(
+                    do_block[it], blocked3, lambda args: args,
+                    (lemg, beta, alphas, H, Hc),
+                )
+            else:
+                def blocked2(args):
+                    lemg, beta, alphas, H = args
+                    rate2 = _live_jump_rate(alphas, beta, lemg)
+                    bnd_rb = _boundaries_from_rate(
+                        rate2, smooth_w, NBu, quantile_prob
+                    )
+                    return block_moves_pair_otf(
+                        it, lemg, beta, alphas, H, bnd_rb
+                    )
+
+                lemg, beta, alphas, H = jax.lax.cond(
+                    do_block[it], blocked2, lambda args: args,
+                    (lemg, beta, alphas, H),
+                )
+        elif NB > 0:
             if nl == 3:
                 nipt_move = (
                     block_moves_nipt_within if block_within
@@ -976,6 +1278,8 @@ def run_gibbs_chains(
     do_entire: bool = False,
     resample_u: Optional[np.ndarray] = None,
     block_within: Optional[bool] = None,
+    smooth_w: Optional[np.ndarray] = None,
+    quantile_prob: float = 0.95,
     return_arrays: bool = True,
 ):
     """Run B independent Gibbs chains; returns numpy outputs
@@ -1017,6 +1321,7 @@ def run_gibbs_chains(
                 eMatRead=eMatRead, boundaries=boundaries, block_u=block_u,
                 do_block=do_block, relabel_u=relabel_u, do_entire=do_entire,
                 resample_u=resample_u, block_within=block_within,
+                smooth_w=smooth_w, quantile_prob=quantile_prob,
                 return_arrays=return_arrays,
             )
     if n_latent == 2:
@@ -1042,7 +1347,12 @@ def run_gibbs_chains(
     B = bits.shape[0]
     if boundaries is None or len(boundaries) == 0:
         boundaries = np.zeros(0, dtype=np.int32)
+        if smooth_w is None:
+            block_u = None          # no static boundaries, no on-the-fly
+    if block_u is None:
         block_u = np.zeros((n_its, 0, 3, B), dtype=np.float32)
+        do_block = np.zeros(n_its, dtype=bool)
+    if do_block is None:
         do_block = np.zeros(n_its, dtype=bool)
     # read structures are [n_rows, ...]; broadcast a single shared row to B
     rs_np, rc_np, w_np, m_np = (
@@ -1097,6 +1407,9 @@ def run_gibbs_chains(
             if resample_u is not None else None
         ),
         block_within=_block_within_default(block_within),
+        smooth_w=(jnp.asarray(smooth_w, dtype=jnp.float32)
+                  if smooth_w is not None else None),
+        quantile_prob=float(quantile_prob),
     )
     if not return_arrays:
         return gp, gpF, hap_dos, H, ll, uf, H_class

@@ -554,11 +554,132 @@ def _block_moves_nipt_padded(
     )
 
 
+def _live_jump_rate_padded(alphas, beta, lemg, trans_t, nl, B, K_real,
+                           include3):
+    """[G-1, B] per-gap posterior jump rate summed over latent haps from
+    the live FB state, nl-major layout (see gibbs._gibbs_core's
+    _live_jump_rate; reference: QUILT/src/gibbs-nipt-block.cpp:348-365)."""
+    G, BN, K = lemg.shape
+    km_row = jnp.arange(K) < K_real
+    kmf = km_row.astype(jnp.float32)
+    lm = jnp.where(km_row[None, None, :], lemg, -jnp.inf)
+    mx = lm.max(axis=2, keepdims=True)
+    e = jnp.exp(lemg - mx) * kmf
+    eb = e * beta
+    n1 = (alphas[:-1] * eb[1:]).sum(axis=2)            # [G-1, BN]
+    n2 = alphas[:-1].sum(axis=2) * eb[1:].sum(axis=2) / K_real
+    t0 = trans_t[0, 1:][:, None]
+    t1 = trans_t[1, 1:][:, None]
+    denom = t0 * n1 + t1 * n2
+    njf = jnp.where(denom > 0, t0 * n1 / jnp.maximum(denom, 1e-300), 1.0)
+    r = (1.0 - njf).reshape(G - 1, nl, B)
+    if nl == 3 and not include3:
+        rate2 = r[:, 0] + r[:, 1]
+    else:
+        rate2 = r.sum(axis=1)
+    return rate2.at[-1].set(0.0)
+
+
+def _suffix_pair_composed_padded(
+    lemg, beta, alphas, H_pad, bnd_rb, block_u_j0, nl, B, K_real
+):
+    """Composed diploid suffix swaps on the nl-major padded layout at
+    per-row boundaries (see gibbs._pair_swap_parity)."""
+    from .gibbs import _pair_swap_parity
+
+    G, BN, K = lemg.shape
+    km = (jnp.arange(K) < K_real).astype(jnp.float32)
+    idxg = jnp.clip(bnd_rb - 1, 0, G - 1)              # [NBu, B]
+    idx_bn = jnp.concatenate([idxg] * nl, axis=1)      # [NBu, BN]
+    NBu = bnd_rb.shape[0]
+    a4 = jnp.take_along_axis(
+        alphas, idx_bn[:, :, None], axis=0
+    ).reshape(NBu, nl, B, K)
+    b4 = jnp.take_along_axis(
+        beta, idx_bn[:, :, None], axis=0
+    ).reshape(NBu, nl, B, K)
+    C = jnp.einsum("jibk,jlbk->jbil", a4, b4 * km)
+    parity_g = _pair_swap_parity(C[..., :2, :2], block_u_j0, bnd_rb, G)
+    p_i = parity_g.astype(jnp.int32)                   # [G, B]
+    idx2 = jnp.stack([p_i, 1 - p_i], axis=1)           # [G, 2, B]
+    if nl == 3:
+        idx2 = jnp.concatenate(
+            [idx2, jnp.full_like(p_i, 2)[:, None, :]], axis=1
+        )
+    out = []
+    for arr in (lemg, beta, alphas):
+        a = arr.reshape(G, nl, B, K)
+        out.append(
+            jnp.take_along_axis(a, idx2[:, :, :, None], axis=1)
+            .reshape(G, BN, K)
+        )
+    lemg, beta, alphas = out
+    par_w = parity_g[:, None, :]                       # [G, 1, B]
+    H_pad = jnp.where(par_w & (H_pad == 0), nl + 7,
+                      jnp.where(par_w & (H_pad == 1), 0, H_pad))
+    H_pad = jnp.where(H_pad == nl + 7, 1, H_pad)
+    return lemg, beta, alphas, H_pad
+
+
+def _suffix_nipt_composed_padded(
+    lemg, beta, alphas, H_pad, Hc_pad, valid, bnd_rb, block_u_j0, clp,
+    perm_mask, B, K_real,
+):
+    """Composed NIPT 6-permutation suffix relabelling on the nl-major
+    padded layout at per-row boundaries (see gibbs._compose_suffix_perms)."""
+    from . import nipt as nipt_tables
+    from .gibbs import _compose_suffix_perms, _perm_of_grid
+
+    G, BN, K = lemg.shape
+    km = (jnp.arange(K) < K_real).astype(jnp.float32)
+    NBu = bnd_rb.shape[0]
+    idxg = jnp.clip(bnd_rb - 1, 0, G - 1)
+    idx_bn = jnp.concatenate([idxg] * 3, axis=1)       # [NBu, BN]
+    a4 = jnp.take_along_axis(
+        alphas, idx_bn[:, :, None], axis=0
+    ).reshape(NBu, 3, B, K)
+    b4 = jnp.take_along_axis(
+        beta, idx_bn[:, :, None], axis=0
+    ).reshape(NBu, 3, B, K)
+    cmat = jnp.einsum("jibk,jlbk->jbil", a4, b4 * km)
+    oh = jax.nn.one_hot(jnp.clip(Hc_pad, 0, 7), 8, dtype=jnp.float32)
+    oh = oh * valid[..., None].astype(jnp.float32)     # [G, W, B, 8]
+    per_g = oh.sum(axis=1)                             # [G, B, 8]
+    sfx_cum = jnp.cumsum(per_g[::-1], axis=0)[::-1]
+    ns_sel = jnp.take_along_axis(
+        sfx_cum, jnp.clip(bnd_rb, 0, G - 1)[:, :, None], axis=0
+    )                                                  # [NBu, B, 8]
+    sig_seq = _compose_suffix_perms(
+        cmat, ns_sel, block_u_j0, bnd_rb, clp, perm_mask
+    )
+    perm_g = _perm_of_grid(sig_seq, bnd_rb, G)         # [G, B]
+    invs_t = jnp.asarray(nipt_tables.INVS)
+    perms_t = jnp.asarray(nipt_tables.PERMS)
+    clsperm_t = jnp.asarray(nipt_tables.CLASS_PERM)
+    inv_sel = jnp.transpose(invs_t[perm_g], (0, 2, 1))  # [G, 3, B]
+    out = []
+    for arr in (lemg, beta, alphas):
+        a = arr.reshape(G, 3, B, K)
+        out.append(
+            jnp.take_along_axis(a, inv_sel[:, :, :, None], axis=1)
+            .reshape(G, BN, K)
+        )
+    lemg, beta, alphas = out
+    perm_w = perm_g[:, None, :]                        # [G, 1, B]
+    # labels/classes relabel only on live slots (the sequential loop's
+    # cond_rw = suffix & valid; suffix is handled by the identity perm)
+    H_new = perms_t[perm_w, jnp.clip(H_pad, 0, 2)].astype(jnp.int32)
+    H_pad = jnp.where(valid, H_new, H_pad)
+    Hc_new = clsperm_t[perm_w, Hc_pad].astype(jnp.int32)
+    Hc_pad = jnp.where(valid, Hc_new, Hc_pad)
+    return lemg, beta, alphas, H_pad, Hc_pad
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "nl", "iterative_init", "K_real", "n_its", "do_block", "prior_t",
-        "ref_error", "do_entire", "block_within",
+        "ref_error", "do_entire", "block_within", "quantile_prob",
     ),
 )
 def _gibbs_core_pallas(
@@ -580,7 +701,8 @@ def _gibbs_core_pallas(
     clp,              # [8] f32
     perm_mask,        # [6] f32
     nl, iterative_init, K_real, n_its, do_block, prior_t, ref_error,
-    do_entire, resample_u=None, block_within=True,
+    do_entire, resample_u=None, block_within=True, smooth_w=None,
+    quantile_prob=0.95,
 ):
     B, K, R = em_all.shape
     G, W = r_pad.shape[0], r_pad.shape[1]
@@ -633,7 +755,10 @@ def _gibbs_core_pallas(
     beta = jnp.ones((G, BN, K), dtype=jnp.float32)
     alphas = jnp.zeros((G, BN, K), dtype=jnp.float32)
     uf = jnp.zeros((B, 1), dtype=jnp.float32)
-    from .gibbs import PER_IT_COLS, _entire_probs, _log_dmultinom, _sample_idx
+    from .gibbs import (
+        PER_IT_COLS, _boundaries_from_rate, _entire_probs, _log_dmultinom,
+        _sample_idx,
+    )
     per_it_ll = jnp.zeros((n_its, B, len(PER_IT_COLS)), dtype=jnp.float32)
     NB = boundaries.shape[0]
     Hc_pad = jnp.zeros((G, W, B), dtype=jnp.int32)
@@ -657,7 +782,22 @@ def _gibbs_core_pallas(
             Hc_pad = _compute_Hclass_padded(
                 alphas, beta, lem_pad, H_pad, live, prior, rlc
             )
-        if do_block[it] and NB > 0:
+        use_otf = smooth_w is not None
+        NBu = block_u.shape[1]
+        if do_block[it] and ((NB > 0) or (use_otf and NBu > 0)):
+            if use_otf:
+                # on-the-fly per-row boundaries from the live FB state
+                # (reference: Rcpp_define_blocked_snps_using_gamma_on_the_
+                # fly, called per block iteration at gibbs-nipt.cpp:3009)
+                include3 = nl == 3 and prior_t[2] > 0
+                rate2 = _live_jump_rate_padded(
+                    alphas, beta, lemg, trans_t, nl, B, K_real, include3
+                )
+                bnd_rb = _boundaries_from_rate(
+                    rate2, smooth_w, NBu, quantile_prob
+                )
+            else:
+                bnd_rb = None
             if nl == 3 and block_within:
                 # production within-block move set (shared implementation,
                 # kernels/gibbs.py:nipt_block_within) on the padded layout
@@ -693,7 +833,8 @@ def _gibbs_core_pallas(
                     ru_it = jnp.transpose(ru_slot.reshape(G * W, B))
                 lemg4, beta4, _al4, H_rb, Hc_rb = nipt_block_within(
                     lemg4, beta4, H_rb, Hc_rb, wif_slots, mask_rb, None,
-                    trans, boundaries, block_u[it], clp, perm_mask, rlc,
+                    trans, bnd_rb if use_otf else boundaries,
+                    block_u[it], clp, perm_mask, rlc,
                     K_real, resample_u_it=ru_it, rebuild_fn=rebuild,
                 )
                 lemg = jnp.transpose(lemg4, (0, 2, 1, 3)).reshape(G, BN, K)
@@ -704,15 +845,29 @@ def _gibbs_core_pallas(
                 H_pad = H_rb.reshape(G, W, B)
                 Hc_pad = Hc_rb.reshape(G, W, B)
             elif nl == 3:
-                lemg, beta, alphas, H_pad, Hc_pad = _block_moves_nipt_padded(
-                    lemg, beta, alphas, H_pad, Hc_pad, valid, boundaries,
-                    block_u[it], B, K_real, clp, perm_mask,
-                )
+                if use_otf:
+                    (lemg, beta, alphas, H_pad,
+                     Hc_pad) = _suffix_nipt_composed_padded(
+                        lemg, beta, alphas, H_pad, Hc_pad, valid, bnd_rb,
+                        block_u[it, :, 0], clp, perm_mask, B, K_real,
+                    )
+                else:
+                    (lemg, beta, alphas, H_pad,
+                     Hc_pad) = _block_moves_nipt_padded(
+                        lemg, beta, alphas, H_pad, Hc_pad, valid,
+                        boundaries, block_u[it], B, K_real, clp, perm_mask,
+                    )
             else:
-                lemg, beta, alphas, H_pad = _block_moves_padded(
-                    lemg, beta, alphas, H_pad, valid, boundaries,
-                    block_u[it], nl, B, K_real, log_prior,
-                )
+                if use_otf:
+                    lemg, beta, alphas, H_pad = _suffix_pair_composed_padded(
+                        lemg, beta, alphas, H_pad, bnd_rb,
+                        block_u[it, :, 0], nl, B, K_real,
+                    )
+                else:
+                    lemg, beta, alphas, H_pad = _block_moves_padded(
+                        lemg, beta, alphas, H_pad, valid, boundaries,
+                        block_u[it], nl, B, K_real, log_prior,
+                    )
         if do_entire and nl == 3:
             # entire relabelling (rcpp_consider_and_try_entire_relabelling,
             # gibbs-nipt.cpp:1553-1577)
@@ -846,6 +1001,8 @@ def run_gibbs_chains_pallas(
     do_entire=False,
     resample_u=None,
     block_within=None,
+    smooth_w=None,
+    quantile_prob=0.95,
     return_arrays=True,
 ):
     """Drop-in replacement for kernels.gibbs.run_gibbs_chains on TPU."""
@@ -930,7 +1087,12 @@ def run_gibbs_chains_pallas(
 
     if boundaries is None or len(boundaries) == 0:
         boundaries = np.zeros(0, dtype=np.int32)
+        if smooth_w is None:
+            block_u = None
+    if block_u is None:
         block_u = np.zeros((n_its, 0, 3, B), dtype=np.float32)
+        do_block = np.zeros(n_its, dtype=bool)
+    if do_block is None:
         do_block = np.zeros(n_its, dtype=bool)
     do_block_t = tuple(bool(x) for x in np.asarray(do_block))
     if relabel_u is None:
@@ -977,6 +1139,9 @@ def run_gibbs_chains_pallas(
             if resample_u is not None else None
         ),
         block_within=_block_within_default_pallas(block_within),
+        smooth_w=(jnp.asarray(smooth_w, dtype=jnp.float32)
+                  if smooth_w is not None else None),
+        quantile_prob=float(quantile_prob),
     )
     if not return_arrays:
         return gp, gpF, hap_dos, H, ll, uf, H_class

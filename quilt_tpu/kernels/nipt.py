@@ -55,6 +55,27 @@ for _r in range(6):
         CLASS_PERM[_r, 7 - _c] = 7 - (PERMS[_r, _c - 1] + 1)
 del _r, _c
 
+# S3 composition table: MUL[a, b] = index of "apply relabel b, then
+# relabel a" (labels h -> PERMS[a][PERMS[b][h]]). Used by the composed
+# suffix-move formulation, which samples each boundary's relabelling with
+# junction statistics gathered from the ORIGINAL (pre-move) state and
+# composes the accepted permutations, applying them to the big state
+# arrays once instead of once per boundary.
+MUL = np.zeros((6, 6), dtype=np.int32)
+for _a in range(6):
+    for _b in range(6):
+        _composed = PERMS[_a][PERMS[_b]]
+        MUL[_a, _b] = int(
+            np.flatnonzero((PERMS == _composed[None]).all(axis=1))[0]
+        )
+del _a, _b, _composed
+
+# inverse class maps: CLASS_PERM_INV[r, c] = the ORIGINAL class of a read
+# whose class after relabel r is c (rows of CLASS_PERM are bijections)
+CLASS_PERM_INV = np.stack(
+    [np.argsort(row) for row in CLASS_PERM]
+).astype(np.int32)
+
 
 def nipt_prior(ff: float) -> np.ndarray:
     return np.array([0.5, (1.0 - ff) / 2.0, ff / 2.0], dtype=np.float64)

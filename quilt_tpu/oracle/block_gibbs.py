@@ -37,16 +37,96 @@ def detect_boundaries(
 ) -> np.ndarray:
     """Grid indices whose incoming recombination rate is above the quantile.
 
-    Boundary b means "suffix starts at grid b" (b >= 1).
+    Boundary b means "suffix starts at grid b" (b >= 1). This is the
+    STATIC map-based detection (block_gibbs_boundary_detection="map");
+    the production "gamma" mode detects boundaries on the fly from the
+    live FB state — see live_jump_rate / boundaries_from_rate below.
     """
     if len(smooth_rate) == 0:
         return np.zeros(0, dtype=np.int64)
     thresh = np.quantile(smooth_rate, quantile_prob)
     b = np.flatnonzero(smooth_rate >= thresh) + 1
     if len(b) > max_boundaries:
+        from ..utils import print_message
+        print_message(
+            f"block-Gibbs boundary cap: keeping the top {max_boundaries} "
+            f"of {len(b)} above-quantile boundaries"
+        )
         order = np.argsort(-smooth_rate[b - 1], kind="stable")[:max_boundaries]
         b = np.sort(b[order])
     return b.astype(np.int64)
+
+
+def live_jump_rate(
+    alpha: np.ndarray,           # [nl, K, G] (latent-major FB planes)
+    beta: np.ndarray,            # [nl, K, G]
+    emg: np.ndarray,             # [nl, K, G] emission per grid
+    trans: np.ndarray,           # [2, G-1] (stay, jump) per gap
+    include3: bool = True,
+) -> np.ndarray:
+    """[G-1] posterior jump rate per grid gap from the live FB state:
+    rate2 of Rcpp_define_blocked_snps_using_gamma_on_the_fly (reference:
+    QUILT/src/gibbs-nipt-block.cpp:348-365), in normalization-invariant
+    form — P(jump at gap g | O) from the exact stay/jump decomposition of
+    alpha(g+1) — so it is independent of the alpha/beta scaling
+    convention. The final gap stays 0 (the reference loop bound)."""
+    nl, K, G = alpha.shape
+    n_lat = nl if include3 else min(nl, 2)
+    rate2 = np.zeros(G - 1)
+    for i in range(n_lat):
+        eb = emg[i] * beta[i]                          # [K, G]
+        n1 = (alpha[i][:, :-1] * eb[:, 1:]).sum(axis=0)
+        n2 = alpha[i][:, :-1].sum(axis=0) * eb[:, 1:].sum(axis=0) / K
+        t0, t1 = trans[0], trans[1]
+        denom = t0 * n1 + t1 * n2
+        njf = np.where(denom > 0, t0 * n1 / np.maximum(denom, 1e-300), 1.0)
+        rate2 += 1.0 - njf
+    rate2[-1] = 0.0
+    return rate2
+
+
+def boundaries_from_rate(
+    rate2: np.ndarray,           # [G-1]
+    smooth_w: np.ndarray,        # [G-1, G-1] (panel.prepare.smoothing_matrix)
+    max_boundaries: int = 32,
+    quantile_prob: float = 0.95,
+) -> np.ndarray:
+    """NumPy mirror of kernels.gibbs._boundaries_from_rate (one row).
+
+    Mirrors Rcpp_define_blocked_snps_using_gamma_on_the_fly (reference:
+    QUILT/src/gibbs-nipt-block.cpp:366-500): smooth over physical
+    distance, threshold at min(1, sorted[int(n*q)]) (rcpp_simple_quantile,
+    :81-85), one boundary per contiguous above-threshold run at the run's
+    maximum. Documented deviations (shared with the device kernel): the
+    reference's greedy descending-peak loop can emit a second boundary in
+    a run whose maximum sits at the run edge; and the count is capped at
+    max_boundaries (top by smoothed rate), logged when it truncates.
+    Returns ascending suffix-start indices (no pads)."""
+    Gm = len(rate2)
+    smoothed = smooth_w @ rate2
+    v = min(int(Gm * quantile_prob), Gm - 1)
+    thresh = min(1.0, np.sort(smoothed)[v])
+    avail = smoothed > thresh
+    bounds = []
+    g = 0
+    while g < Gm:
+        if avail[g]:
+            end = g
+            while end + 1 < Gm and avail[end + 1]:
+                end += 1
+            run = smoothed[g:end + 1]
+            bounds.append((g + int(np.argmax(run)) + 1, run.max()))
+            g = end + 1
+        else:
+            g += 1
+    if len(bounds) > max_boundaries:
+        from ..utils import print_message
+        print_message(
+            f"block-Gibbs boundary cap: keeping the top {max_boundaries} "
+            f"of {len(bounds)} run peaks"
+        )
+        bounds = sorted(bounds, key=lambda t: -t[1])[:max_boundaries]
+    return np.array(sorted(b for b, _ in bounds), dtype=np.int64)
 
 
 def _pairs(nl: int) -> List[Tuple[int, int]]:

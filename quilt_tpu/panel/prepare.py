@@ -153,6 +153,62 @@ def make_smoothed_rate(
     return smoothed
 
 
+def smoothing_matrix(
+    L_grid: np.ndarray, shuffle_bin_radius: int = 5000
+) -> np.ndarray:
+    """[nGrids-1, nGrids-1] linear operator version of
+    rcpp_make_smoothed_rate (reference: QUILT/src/copied-from-stitch.cpp:
+    446-518): smoothed = W @ rate, with row i holding the bp-overlap
+    weights of each gap's rate in the +/- shuffle_bin_radius window around
+    gap i's midpoint, normalized by the total bp added.
+
+    Built once per region so the on-the-fly block-Gibbs boundary detection
+    (Rcpp_define_blocked_snps_using_gamma_on_the_fly, QUILT/src/
+    gibbs-nipt-block.cpp:311-527) can smooth its live FB jump rate on
+    device as a single matmul.
+    """
+    L_grid = np.asarray(L_grid, dtype=np.int64)
+    nGrids = len(L_grid)
+    Gm = nGrids - 1
+    W = np.zeros((Gm, Gm), dtype=np.float64)
+    for i in range(Gm):
+        focal = (L_grid[i] + L_grid[i + 1]) // 2
+        total_bp = 0.0
+        # left
+        j = i
+        bp_remaining = shuffle_bin_radius
+        bp_prev = focal
+        while bp_remaining > 0 and j >= 0:
+            bp_to_add = bp_prev - L_grid[j]
+            if bp_remaining - bp_to_add < 0:
+                bp_to_add = bp_remaining
+                bp_remaining = 0
+            else:
+                bp_remaining -= bp_to_add
+            W[i, j] += bp_to_add
+            total_bp += bp_to_add
+            bp_prev = L_grid[j]
+            j -= 1
+        # right
+        j = i + 1
+        bp_remaining = shuffle_bin_radius
+        bp_prev = focal
+        while bp_remaining > 0 and j < nGrids:
+            bp_to_add = L_grid[j] - bp_prev
+            if bp_remaining - bp_to_add < 0:
+                bp_to_add = bp_remaining
+                bp_remaining = 0
+            else:
+                bp_remaining -= bp_to_add
+            W[i, j - 1] += bp_to_add
+            total_bp += bp_to_add
+            bp_prev = L_grid[j]
+            j += 1
+        if total_bp > 0:
+            W[i] /= total_bp
+    return W.astype(np.float32)
+
+
 # ---------------------------------------------------------------------------
 # Distinct-haplotype compression
 # ---------------------------------------------------------------------------
