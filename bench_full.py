@@ -18,6 +18,15 @@ import numpy as np
 from bench import fast_packed_panel, reference_cells_per_s
 
 
+def _baseline(key):
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BASELINE_MEASURED.json")) as fh:
+            return float(json.load(fh)[key])
+    except (OSError, KeyError, ValueError):
+        return None
+
+
 def main():
     import jax
     from quilt_tpu.config import ImputeConfig
@@ -107,15 +116,27 @@ def main():
     t0 = time.time()
     out2 = quilt_impute(prep, samples, names, cfg)
     dt = time.time() - t0
+    ref_sps = _baseline("samples_per_s_core")
     results["end_to_end"] = {
         "samples_per_s": N / dt,
         "reads_per_s": n_reads_total / dt,
         "snps_per_s": N * nSNPs / dt,
-        "seconds_for_8_samples": dt,
+        "seconds_for_N_samples": dt,
+        "N": N,
         "n_reads_total": n_reads_total,
         "nSNPs": nSNPs, "K_panel": K_panel,
         "config": "7 chains x 3 seek its x 21 sweeps, Ksubset=600",
         "gibbs_backend": os.environ.get("QUILT_TPU_GIBBS", "auto"),
+        "vs_measured_ref_core": (N / dt) / ref_sps if ref_sps else None,
+    }
+    # per-stage wall-time breakdown (VERDICT r3 item 1): rerun the same
+    # workload with section timers + stage-boundary drains enabled
+    from dataclasses import replace as dc_replace
+    cfg_t = dc_replace(cfg, print_extra_timing_information=True)
+    out_t = quilt_impute(prep, samples, names, cfg_t)
+    results["end_to_end"]["stage_breakdown_s"] = {
+        k: round(v["seconds"], 3)
+        for k, v in (out_t.timing or {}).items()
     }
 
     # ---------------- Gibbs sweep alone -------------------------------
@@ -162,12 +183,15 @@ def main():
         out_g = run_gibbs_chains(**args)
         float(out_g[4].sum())
     dt = (time.time() - t0) / reps
+    ref_rps = _baseline("gibbs_resamples_per_s_core")
+    rps = n_its * C * reads0.nReads / dt
     results["gibbs_sweep"] = {
         "seconds_per_21_sweep_call": dt,
-        "read_resamples_per_s": n_its * C * reads0.nReads / dt,
+        "read_resamples_per_s": rps,
         "nReads": reads0.nReads, "chains": C, "Ksubset": Ksub,
         "nGrids": nGrids,
         "max_reads_per_grid": int(ginputs.read_count.max()),
+        "vs_measured_ref_core": rps / ref_rps if ref_rps else None,
     }
 
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
