@@ -138,8 +138,19 @@ def quilt_impute(
         from ..kernels.common import pad_to_multiple as _ptm
         from ..kernels.gibbs_pallas import max_pallas_chains
         nl_eff = 3 if method == "nipt" else 2
+        # W from the region's ACTUAL max reads-per-grid (the default W=16
+        # under-estimates the per-row VMEM for dense-coverage regions and
+        # the clamped batch would silently fall back to the XLA sweep)
+        W_max = 1
+        for r in samples:
+            if r is not None and r.nReads:
+                cnt = np.bincount(
+                    np.clip(r.wif0, 0, prep.nGrids - 1),
+                    minlength=prep.nGrids,
+                )
+                W_max = max(W_max, int(cnt.max()))
         cap_chains = max_pallas_chains(
-            _ptm(max(cfg.Ksubset, 1), 128), nl_eff
+            _ptm(max(cfg.Ksubset, 1), 128), nl_eff, W=W_max
         )
         group_cap = max(1, cap_chains // max(cfg.nGibbsSamples, 1))
         sample_batch = min(cfg.sample_batch, group_cap)

@@ -250,10 +250,23 @@ def type_hla_sample(
                 pair = jnp.log(jnp.maximum(
                     e[:, :, None] + e[:, None, :], 1e-37
                 ))
-                return acc + (pair * v[:, None, None]).sum(axis=0), None
+                # per-chunk pairs stay f32, but the running sum is
+                # Kahan-compensated: with thousands of reads the summed
+                # log-likelihoods reach 1e4-1e5 where plain f32 error
+                # (~1e-2) can flip near-tie HLA pair posteriors (f64 is
+                # unavailable on TPU without global x64 mode)
+                acc, comp = acc
+                chunk = (pair * v[:, None, None]).sum(axis=0)
+                y = chunk - comp
+                t = acc + y
+                comp = (t - acc) - y
+                return (t, comp), None
 
-            acc0 = jnp.zeros((A, A), dtype=jnp.float32)
-            acc, _ = jax.lax.scan(body, acc0, (Ed, valid))
+            acc0 = (
+                jnp.zeros((A, A), dtype=jnp.float32),
+                jnp.zeros((A, A), dtype=jnp.float32),
+            )
+            (acc, _comp), _ = jax.lax.scan(body, acc0, (Ed, valid))
             return acc
 
         return np.asarray(accumulate(Ed, valid), dtype=np.float64) \

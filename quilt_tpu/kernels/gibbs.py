@@ -1296,6 +1296,12 @@ def run_gibbs_chains(
     """
     import os
 
+    # the H_class label resample is gated on ff > 0 in the oracle and the
+    # reference (block_gibbs_within: resample_H and ff > 0.0); at ff == 0
+    # classes 0/7 would draw from a (0.5, 0.5, 0) prior instead
+    if ff <= 0.0:
+        resample_u = None
+
     backend = os.environ.get("QUILT_TPU_GIBBS", "auto")
     if backend != "xla":
         from .gibbs_pallas import padded_layout_ok, run_gibbs_chains_pallas

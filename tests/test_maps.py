@@ -28,9 +28,11 @@ def test_map_build_identity_lift(tmp_path, rng):
     rows = intervals_for_liftover("20", pos, rate)
     lifted = []
     originals = []
+    unmapped = []
     for i, (c, s, e, r) in enumerate(rows):
         if i % 37 == 5:
-            continue                     # unmapped interval -> gap
+            unmapped.append((c, s, e, r))    # unmapped interval -> gap
+            continue
         originals.append((c, s, e, r))
         if i % 53 == 7:
             lifted.append((c, s, e + 3, r))   # size change -> dropped
@@ -40,6 +42,10 @@ def test_map_build_identity_lift(tmp_path, rng):
     with open(lift_file, "w") as fh:
         for c, s, e, r in lifted:
             fh.write(f"{c} {s} {e} {r} X +\n")
+    unmapped_file = tmp_path / "unmapped.txt"
+    with open(unmapped_file, "w") as fh:
+        for c, s, e, r in unmapped:
+            fh.write(f"#Deleted in new\n{c} {s} {e} {r} X +\n")
 
     clean = clean_lifted("20", lifted, originals)
     assert len(clean) < len(rows)
@@ -62,7 +68,11 @@ def test_map_build_identity_lift(tmp_path, rng):
     gm = read_genetic_map(str(out))
     assert len(gm[0]) == len(pos38)
 
-    # CLI end-to-end with --lifted
+    # CLI end-to-end with --lifted + --unmapped (the unmapped file is
+    # required so lifted rows pair with their true source intervals)
     rc = main([str(tmp_path), "CEU", "20", "--lifted", str(lift_file)])
+    assert rc == 1                        # refused without --unmapped
+    rc = main([str(tmp_path), "CEU", "20", "--lifted", str(lift_file),
+               "--unmapped", str(unmapped_file)])
     assert rc == 0
     assert (d / "CEU-20-final.b38.txt.gz").exists()

@@ -203,7 +203,12 @@ def main(argv=None):
     ap.add_argument("--chain", default=None,
                     help="hg19ToHg38.over.chain.gz path")
     ap.add_argument("--lifted", default=None,
-                    help="pre-lifted intervals file (skip liftOver)")
+                    help="pre-lifted intervals file (skip liftOver); "
+                         "requires --unmapped")
+    ap.add_argument("--unmapped", default=None,
+                    help="liftOver's unmapped-records file matching "
+                         "--lifted, so each lifted row pairs with its "
+                         "true source interval")
     ap.add_argument("--no-smooth", action="store_true")
     args = ap.parse_args(argv)
     src = os.path.join(args.recomb_dir, args.panel,
@@ -211,8 +216,25 @@ def main(argv=None):
     pos, rate = load_b37_rates(src)
     rows = intervals_for_liftover(args.chr, pos, rate)
     if args.lifted:
+        # pair each lifted row with its true source interval: liftOver
+        # preserves input order but DROPS unmapped intervals anywhere in
+        # the file, so a head-slice pairing would silently misalign every
+        # row after the first dropped one (and clean_lifted's size-change
+        # filter would then compare wrong pairs)
+        if not args.unmapped:
+            print("--lifted requires --unmapped (liftOver's unmapped "
+                  "output) so rows pair with their true source intervals",
+                  file=sys.stderr)
+            return 1
         lifted = read_lifted_file(args.lifted)
-        originals = rows[: len(lifted)]
+        unmapped_starts = set()
+        with open(args.unmapped) as fh:
+            for line in fh:
+                if line.startswith("#") or not line.strip():
+                    continue
+                p = line.split()
+                unmapped_starts.add(int(p[1]))
+        originals = [r for r in rows if r[1] not in unmapped_starts]
     elif args.liftover and args.chain:
         lifted, originals = run_liftover(
             rows, args.liftover, args.chain,
