@@ -75,6 +75,47 @@ def main():
         / reference_cells_per_s(),
     }
 
+    # ---------------- FB kernel, K-tiled (VERDICT r3 item 3) ------------
+    # panels past the fused kernel's VMEM K-ceiling run the K-tiled
+    # kernels (fb_pallas_tiled_core); single chip, B=16
+    from quilt_tpu.kernels.fb_pallas import fb_pallas_tiled_core, pick_tiled
+    results["fb_kernel_tiled"] = {}
+    for K_big in (40960, 98304):
+        G_big = 512
+        rhb_big = fast_packed_panel(rng, K_big, G_big)
+        panel_big = compress_panel(rhb_big, G_big * 32, nMaxDH=255)
+        trans_big = trans_rates(np.full(G_big - 1, 0.99))
+        in_big = FBInputs.build(
+            panel_big, trans_big, thinned_grids=np.arange(0, G_big, 10)
+        )
+        if not pick_tiled(16, in_big.K_pad):
+            continue
+        gl_big = jnp.asarray(
+            rng.uniform(0.05, 1.0, (16, 2, in_big.S)).astype(np.float32)
+        )
+        dev_big = in_big.device()
+        kwb = dict(K=in_big.K, K_pad=in_big.K_pad, K_top=8, ref_error=0.001)
+        ob = fb_pallas_tiled_core(
+            gl_big, dev_big["words"], dev_big["trans2"],
+            dev_big["thin_flag"], dev_big["capture_flag"], **kwb,
+        )
+        float(ob[1].sum())
+        t0 = time.time()
+        for _ in range(3):
+            ob = fb_pallas_tiled_core(
+                gl_big, dev_big["words"], dev_big["trans2"],
+                dev_big["thin_flag"], dev_big["capture_flag"], **kwb,
+            )
+            float(ob[1].sum())
+        dtb = (time.time() - t0) / 3
+        Gp_big = in_big.S // 32
+        cells_b = 2.0 * 16 * K_big * Gp_big
+        results["fb_kernel_tiled"][f"K{K_big}"] = {
+            "cells_per_s": cells_b / dtb, "K": K_big, "nGrids": Gp_big,
+            "B": 16, "seconds": dtb,
+            "vs_measured_ref_core": cells_b / dtb / reference_cells_per_s(),
+        }
+
     # ---------------- end-to-end engine (batched, Pallas on) ------------
     nSNPs = 16384
     K_panel = 5120

@@ -428,12 +428,15 @@ def _fb_mode() -> str:
 
 
 def _pallas_plan(inputs: "FBInputs", B: int):
-    """(B_chunk, CG) for the fused Pallas path, or None for the XLA path.
+    """("fused"|"tiled", B_chunk, CG) for the Pallas paths, or None for
+    the XLA path.
 
     Large batches split into row chunks so the kernel's VMEM working set
     stays within budget (the engine batches samples x chains x latent
-    haps; at K=5120 the kernel takes 32 rows per call)."""
-    from .fb_pallas import pick_grid_chunk, _round_up
+    haps; at K=5120 the fused kernel takes 32 rows per call). Panels past
+    the fused kernel's K ceiling route to the K-tiled kernels
+    (fb_pallas.fb_pallas_tiled_core) at B_chunk = 16."""
+    from .fb_pallas import pick_grid_chunk, pick_tiled, _round_up
 
     mode = _fb_mode()
     if mode == "xla":
@@ -445,9 +448,15 @@ def _pallas_plan(inputs: "FBInputs", B: int):
             continue
         cg = pick_grid_chunk(b_chunk, inputs.K_pad)
         if cg is not None:
-            return b_chunk, cg
+            return "fused", b_chunk, cg
     cg = pick_grid_chunk(16, inputs.K_pad)
-    return (16, cg) if cg is not None else None
+    if cg is not None:
+        return "fused", 16, cg
+    if pick_tiled(16, inputs.K_pad) and inputs.capture_grid < 0:
+        # (gamma capture is unsupported on the tiled path)
+        from .fb_pallas import CG_TILED
+        return "tiled", 16, CG_TILED
+    return None
 
 
 def fb_full_batched(
@@ -472,13 +481,14 @@ def fb_full_batched(
     dev = inputs.device()
     plan = _pallas_plan(inputs, B)
     if plan is not None:
-        from .fb_pallas import fb_pallas_core
+        from .fb_pallas import fb_pallas_core, fb_pallas_tiled_core
 
-        b_chunk, cg = plan
+        kind, b_chunk, cg = plan
+        core = fb_pallas_core if kind == "fused" else fb_pallas_tiled_core
         gl_dev = jnp.asarray(gl_pad)
         parts = []
         for b0 in range(0, B, b_chunk):
-            parts.append(fb_pallas_core(
+            parts.append(core(
                 gl_dev[b0:b0 + b_chunk],
                 dev["words"],
                 dev["trans2"],

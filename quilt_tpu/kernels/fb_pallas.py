@@ -35,9 +35,14 @@ recursion on-chip:
   (measured 1.8e-6 max dosage error vs the float64 oracle, vs 7.3e-4 for
   the XLA path's bf16 one-hot matmuls).
 
-The K axis must fit VMEM ((CG+4)*B_pad*K_pad*4 bytes at CG>=8); larger
-panels fall back to the XLA path (which also serves the multi-chip
-sharded decomposition, dist/mesh.py).
+The fused kernel's K axis must fit VMEM ((CG+4)*B_pad*K_pad*4 bytes at
+CG>=8, K_pad ~ 12k at B_pad=16); larger panels route to the K-TILED
+kernels below (single-chip ceiling ~ 100k haplotypes). The multi-chip
+K-sharded decomposition stays on the XLA body (dist/mesh.py): the
+forward recursion needs the GLOBAL per-grid normalizer before the next
+grid, which on a mesh means a collective per grid — incompatible with an
+on-chip multi-grid kernel sweep (the XLA body interleaves psum with the
+per-grid updates instead).
 """
 from __future__ import annotations
 
@@ -352,3 +357,567 @@ def fb_pallas_core(
 
     log_like = logs[:B, 0] + csum
     return dos[:B], log_like, tv[:, :B], ti[:, :B], gcap[:B]
+
+
+# ---------------------------------------------------------------------------
+# K-tiled variant: panels too large for the fused kernel's VMEM envelope
+# ---------------------------------------------------------------------------
+#
+# The fused kernel above holds (CG+4) full [B_pad, K_pad] planes in VMEM,
+# capping K_pad at ~12k (B_pad=16). The tiled variant lifts the single-chip
+# ceiling to K_pad ~ 100k by:
+#
+# - splitting K into tiles of K_TILE lanes; the forward keeps ONE full-K
+#   alpha plane in VMEM scratch and iterates grid-major with the tile axis
+#   innermost, exchanging the per-grid cross-tile scalar (the normalizer
+#   S = sum_k a_raw) through scratch accumulators — the recursion's only
+#   cross-tile coupling is that scalar (the jump mixing term);
+# - an emission-max pre-pass: every tile must exponentiate against the
+#   grid's GLOBAL max over k, which no tile knows until all have run;
+#   emissions depend only on the panel bits and the sample GLs (not on
+#   the recursion), so the max is computed exactly in one cheap pass;
+# - per-chunk alpha checkpoints plus the stored per-grid (S, max)
+#   scalars, which make the backward remat of a chunk's alphas fully
+#   TILE-LOCAL (no cross-tile recursion in the backward);
+# - a backward that runs per chunk as {remat kernel -> beta/gamma
+#   kernel} inside one lax.scan, carrying e*beta and its sum between
+#   chunks; gamma normalizers, dosage and top-K merge across tiles
+#   through VMEM accumulators within each grid's tile sweep.
+#
+# Same math as the fused kernel (reference hot loop:
+# QUILT/src/reference-single.cpp:878-1151, 1152-2188); equality is tested
+# against the float64 oracle and the fused kernel (tests/test_fb_pallas.py).
+
+K_TILE = 4096
+CG_TILED = 8
+
+
+def pick_tiled(B_pad: int, K_pad: int, vmem_budget: int = 13 * 2**20):
+    """True when the K-tiled kernels fit VMEM: one full-K f32 plane plus
+    the per-tile working set (forward) / the chunk remat block (backward)."""
+    K_pt = _round_up(K_pad, K_TILE)
+    plane = B_pad * K_pt * 4
+    work = max(
+        plane + 6 * B_pad * K_TILE * 4,                      # forward
+        plane + 2 * CG_TILED * B_pad * K_TILE * 4
+        + 6 * B_pad * K_TILE * 4,                            # backward
+    )
+    return work <= vmem_budget
+
+
+def _emis_row(word_row, dhi, dlo, t, K):
+    """[B_pad, K_TILE] raw log emissions for the K tile at lane offset
+    t*K_TILE. word_row: [K_TILE] int32 packed bits; dhi/dlo: [B_pad, 32]."""
+    hT = _unpack_T(word_row, K_TILE)
+    logm = (
+        jnp.dot(dhi, hT, preferred_element_type=jnp.float32)
+        + jnp.dot(dlo, hT, preferred_element_type=jnp.float32)
+    )
+    lane = jax.lax.broadcasted_iota(jnp.int32, logm.shape, 1) + t * K_TILE
+    return jnp.where(lane < K, logm, _NEG)
+
+
+def _max_kernel_tiled(words_ref, dhi_ref, dlo_ref, mx_ref, run_scr,
+                      *, K, NT):
+    t = pl.program_id(1)
+    logm = _emis_row(words_ref[0, 0, :], dhi_ref[0], dlo_ref[0], t, K)
+    m = jnp.max(logm, axis=1, keepdims=True)            # [B_pad, 1]
+
+    @pl.when(t == 0)
+    def _():
+        run_scr[...] = m
+
+    @pl.when(t > 0)
+    def _():
+        run_scr[...] = jnp.maximum(run_scr[...], m)
+
+    # per-(b, grid) scalars travel as lane-broadcast [B_pad, 128] tiles
+    # (Mosaic forbids dynamic lane-offset slicing)
+    mx_ref[0] = jnp.broadcast_to(run_scr[...], mx_ref.shape[1:])
+
+
+def _fwd_kernel_tiled(words_ref, dhi_ref, dlo_ref, tr_sref, mx_ref,
+                      ckpt_ref, s_ref, logs_ref,
+                      alpha_scr, sprev_scr, scur_scr, acc_scr,
+                      *, CG, K, B_pad, NT):
+    g = pl.program_id(0)
+    t = pl.program_id(1)
+    invK = 1.0 / K
+    sl = pl.ds(pl.multiple_of(t * K_TILE, K_TILE), K_TILE)
+
+    @pl.when((g == 0) & (t == 0))
+    def _():
+        alpha_scr[...] = jnp.zeros_like(alpha_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+        sprev_scr[...] = jnp.ones_like(sprev_scr)
+
+    @pl.when((g > 0) & (t == 0))
+    def _():
+        sprev_scr[...] = scur_scr[...]
+
+    @pl.when(t == 0)
+    def _():
+        scur_scr[...] = jnp.zeros_like(scur_scr)
+
+    # checkpoint = incoming UNNORMALIZED alpha at the chunk's first grid
+    # (the stored per-grid S normalizes it during the backward remat)
+    @pl.when(g % CG == 0)
+    def _():
+        ckpt_ref[0] = alpha_scr[:, sl]
+
+    logm = _emis_row(words_ref[0, 0, :], dhi_ref[0], dlo_ref[0], t, K)
+    mx_g = mx_ref[0][:, 0:1]
+    e = jnp.exp(logm - mx_g)
+    stay = tr_sref[0, g]
+    jump = tr_sref[1, g]
+    inv_sprev = 1.0 / sprev_scr[...]
+    a_raw = (stay * alpha_scr[:, sl] * inv_sprev + jump * invK) * e
+    alpha_scr[:, sl] = a_raw
+    # checkpoint block c is flushed at every visit (its index depends on
+    # the inner tile counter, so Pallas cannot hold it in VMEM across
+    # revisits); writing the RUNNING alpha makes the final flush — at the
+    # chunk's last grid — the alpha ENTERING chunk c+1, so the backward
+    # remat of chunk ci reads ckpt[ci-1] (zeros for ci = 0)
+    ckpt_ref[0] = a_raw
+    scur_scr[...] = scur_scr[...] + jnp.sum(a_raw, axis=1, keepdims=True)
+    s_ref[0] = jnp.broadcast_to(
+        scur_scr[...], s_ref.shape[1:]
+    )                                          # write at t = NT-1 = complete
+
+    @pl.when(t == NT - 1)
+    def _():
+        acc_scr[...] = acc_scr[...] + jnp.log(scur_scr[...]) + mx_g
+
+    logs_ref[...] = acc_scr[...]
+
+
+def _remat_kernel_tiled(words_ref, dhi_ref, dlo_ref, ckpt_ref, tr_sref,
+                        mx_ref, sext_ref, alphas_ref,
+                        *, CG, K, B_pad):
+    """Recompute one chunk's NORMALIZED alphas for one K tile from the
+    chunk checkpoint and the stored per-grid scalars. All cross-tile
+    coupling (S, max) was stored by the forward, so each tile remats
+    independently. mx_ref [B_pad, CG]; sext_ref [B_pad, CG+1] = S of
+    grids (cs-1 .. cs+CG-1); tr_sref [2, CG]."""
+    t = pl.program_id(0)
+    invK = 1.0 / K
+    a = ckpt_ref[...]
+    for j in range(CG):
+        logm = _emis_row(
+            words_ref[j, :], dhi_ref[j], dlo_ref[j], t, K,
+        )
+        e = jnp.exp(logm - mx_ref[j][:, 0:1])
+        stay = tr_sref[0, j]
+        jump = tr_sref[1, j]
+        a = (stay * a * (1.0 / sext_ref[j][:, 0:1]) + jump * invK) * e
+        alphas_ref[j] = a * (1.0 / sext_ref[j + 1][:, 0:1])
+
+
+def _merge_topk(btv, bti, lv, li, K_top, B_pad):
+    """Merge two descending [B_pad, K_top] (values, global indices) lists
+    into the best K_top, by iterative argmax over the concatenation."""
+    cat_v = jnp.concatenate([btv, lv], axis=1)          # [B_pad, 2*K_top]
+    cat_i = jnp.concatenate([bti, li], axis=1)
+    pos = jax.lax.broadcasted_iota(jnp.int32, cat_v.shape, 1)
+    vals, idxs = [], []
+    for _ in range(K_top):
+        m = jnp.max(cat_v, axis=1, keepdims=True)
+        hit = cat_v == m
+        p = jnp.min(jnp.where(hit, pos, 2 * K_top), axis=1, keepdims=True)
+        vals.append(m)
+        # gather-free row lookup (Mosaic has no general gather)
+        idxs.append(
+            jnp.sum(jnp.where(pos == p, cat_i, 0), axis=1, keepdims=True)
+        )
+        cat_v = jnp.where(pos == p, -2.0, cat_v)
+    return (
+        jnp.concatenate(vals, axis=1),
+        jnp.concatenate(idxs, axis=1),
+    )
+
+
+def _bwd_kernel_tiled(words_ref, dhi_ref, dlo_ref, alphas_ref, trn_sref,
+                      mxv_ref, thin_sref, cap_sref, top_sref,
+                      ebin_ref, esin_ref,
+                      dos_ref, tv_ref, ti_ref, gcap_ref, ebout_ref,
+                      esout_ref,
+                      etb_scr, eprev_scr, ecur_scr, ab_scr,
+                      btv_scr, bti_scr,
+                      *, CG, K, K_pad_t, B_pad, K_top, NT, eps):
+    """One chunk's backward. Iterations (p, t): p = 0..CG-1 processes
+    grid j = CG-1-p (descending); tiles t innermost merge the per-grid
+    cross-tile quantities (E = sum e*beta, AB = sum alpha*beta, dosage
+    partials, top-K) through scratch. trn_sref [2, CG]: stay/jump INTO
+    each in-chunk grid's SUCCESSOR; mxv_ref [B_pad, CG]: the stored
+    per-grid emission max; top_sref [1,1]: 1.0 for the globally last
+    chunk (beta(G-1) = 1)."""
+    p = pl.program_id(0)
+    t = pl.program_id(1)
+    j = CG - 1 - p
+    invK = 1.0 / K
+    sl = pl.ds(pl.multiple_of(t * K_TILE, K_TILE), K_TILE)
+
+    # cross-tile scalar ping-pong for E = sum_k e*beta of grid j+1
+    @pl.when(t == 0)
+    def _():
+
+        @pl.when(p == 0)
+        def _():
+            eprev_scr[...] = esin_ref[...]
+
+        @pl.when(p > 0)
+        def _():
+            eprev_scr[...] = ecur_scr[...]
+
+        ecur_scr[...] = jnp.zeros_like(ecur_scr)
+        ab_scr[...] = jnp.zeros_like(ab_scr)
+
+    # incoming e*beta tile of grid j+1 (cross-chunk carry at p == 0)
+    @pl.when(p == 0)
+    def _():
+        etb_scr[:, sl] = ebin_ref[...]
+
+    etb_next = etb_scr[:, sl]
+    stay_n = trn_sref[0, j]
+    jump_n = trn_sref[1, j]
+    inv_E = 1.0 / jnp.maximum(eprev_scr[...], 1e-30)
+    beta = stay_n * etb_next * inv_E + jump_n * invK
+    # globally last grid: beta = 1 (no successor)
+    is_last = (top_sref[0, 0] > 0.0) & (p == 0)
+    beta = jnp.where(jnp.full(beta.shape, True) & is_last,
+                     jnp.ones_like(beta), beta)
+
+    gamma_u = alphas_ref[0] * beta                      # unnormalized gamma
+    ab_scr[...] = ab_scr[...] + jnp.sum(gamma_u, axis=1, keepdims=True)
+
+    # dosage partial: gamma_u @ H_tile, accumulated across tiles; the
+    # normalizer AB is complete at the last tile
+    hN = _unpack_N(words_ref[0, 0, :], K_TILE)
+    ghi = gamma_u.astype(jnp.bfloat16)
+    glo = (gamma_u - ghi.astype(jnp.float32)).astype(jnp.bfloat16)
+    part = (
+        jnp.dot(ghi, hN, preferred_element_type=jnp.float32)
+        + jnp.dot(glo, hN, preferred_element_type=jnp.float32)
+    )
+
+    @pl.when(t == 0)
+    def _():
+        dos_ref[0] = part
+
+    @pl.when(t > 0)
+    def _():
+        dos_ref[0] = dos_ref[0] + part
+
+    @pl.when(t == NT - 1)
+    def _():
+        inv_ab = 1.0 / jnp.maximum(ab_scr[...], 1e-30)
+        dos_ref[0] = eps + (1.0 - 2.0 * eps) * dos_ref[0] * inv_ab
+
+    # top-K at thinned grids: tile-local extract, running merge in scratch
+    tf = thin_sref[0, j]
+
+    @pl.when(tf >= 0)
+    def _():
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B_pad, K_TILE), 1)
+        glane = lane + t * K_TILE
+        work = jnp.where(glane < K, gamma_u, -1.0)
+        lvs, lis = [], []
+        for _i in range(K_top):
+            m = jnp.max(work, axis=1, keepdims=True)
+            hit = work == m
+            gidx = jnp.min(
+                jnp.where(hit, glane, K_pad_t), axis=1, keepdims=True
+            )
+            lvs.append(m)
+            lis.append(gidx)
+            work = jnp.where(glane == gidx, -2.0, work)
+        lv = jnp.concatenate(lvs, axis=1)
+        li = jnp.concatenate(lis, axis=1)
+
+        @pl.when(t == 0)
+        def _():
+            btv_scr[...] = jnp.full((B_pad, K_top), -1.0, jnp.float32)
+            bti_scr[...] = jnp.zeros((B_pad, K_top), jnp.int32)
+
+        mv, mi = _merge_topk(
+            btv_scr[...], bti_scr[...], lv, li, K_top, B_pad
+        )
+        btv_scr[...] = mv
+        bti_scr[...] = mi
+
+        @pl.when(t == NT - 1)
+        def _():
+            inv_ab = 1.0 / jnp.maximum(ab_scr[...], 1e-30)
+            tv_ref[0] = mv * inv_ab
+            ti_ref[0] = mi
+
+    @pl.when(tf < 0)
+    def _():
+        tv_ref[0] = jnp.zeros((B_pad, K_top), jnp.float32)
+        ti_ref[0] = jnp.zeros((B_pad, K_top), jnp.int32)
+
+    # gamma capture is NOT supported on the tiled path (the capture
+    # output block is revisited non-consecutively, so accumulation across
+    # visits is unsound); the dispatcher keeps capture runs on the fused
+    # kernel / XLA path. Zeros written every visit.
+    gcap_ref[...] = jnp.zeros_like(gcap_ref)
+
+    # e*beta of grid j: next p (or the next chunk) consumes it
+    logm = _emis_row(words_ref[0, 0, :], dhi_ref[0], dlo_ref[0], t, K)
+    e_here = jnp.exp(logm - mxv_ref[j][:, 0:1])
+    etb_new = e_here * beta
+    etb_scr[:, sl] = etb_new
+    ecur_scr[...] = ecur_scr[...] + jnp.sum(etb_new, axis=1, keepdims=True)
+
+    @pl.when(p == CG - 1)
+    def _():
+        ebout_ref[...] = etb_scr[:, sl]
+
+    esout_ref[...] = ecur_scr[...]
+
+
+@partial(
+    jax.jit,
+    static_argnames=("K", "K_pad", "K_top", "ref_error", "CG", "interpret"),
+)
+def fb_pallas_tiled_core(
+    gl: jnp.ndarray,       # [B, 2, S] f32, padded SNPs = 1
+    words: jnp.ndarray,    # [Gp, K_pad] int32 packed panel bits
+    trans2: jnp.ndarray,   # [2, Gp] f32 (stay, jump) INTO each grid
+    thin: jnp.ndarray,     # [Gp] int32, slot at thinned grids else -1
+    cap: jnp.ndarray,      # [Gp] f32, 1 at the gamma-capture grid
+    K: int,
+    K_pad: int,
+    K_top: int,
+    ref_error: float,
+    CG: int = CG_TILED,
+    interpret: bool = False,
+):
+    """K-tiled FB for panels beyond the fused kernel's VMEM envelope.
+    Same contract as fb_pallas_core."""
+    B, _, S = gl.shape
+    Gp = S // 32
+    NSC = Gp // CG
+    B_pad = _round_up(max(B, 1), 16)
+    eps = ref_error
+    K_pad_t = _round_up(K_pad, K_TILE)
+    NT = K_pad_t // K_TILE
+    if K_pad_t != K_pad:
+        words = jnp.pad(words, ((0, 0), (0, K_pad_t - K_pad)))
+
+    t0 = gl[:, 0] * (1.0 - eps) + gl[:, 1] * eps
+    t1 = gl[:, 0] * eps + gl[:, 1] * (1.0 - eps)
+    lt0 = jnp.log(jnp.maximum(t0, 1e-30))
+    lt1 = jnp.log(jnp.maximum(t1, 1e-30))
+    dl = lt1 - lt0
+    csum = lt0.sum(axis=-1)
+    if B_pad != B:
+        dl = jnp.pad(dl, ((0, B_pad - B), (0, 0)))
+    dhi = dl.astype(jnp.bfloat16)
+    dlo = (dl - dhi.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    vmem = pltpu.VMEM
+    # Mosaic-friendly layouts: per-(grid, tile) word blocks as
+    # [Gp*NT, 1, K_TILE] and per-grid GL deltas as [Gp, B_pad, 32]
+    words3 = words.reshape(Gp, NT, K_TILE).reshape(Gp * NT, 1, K_TILE)
+    dhi3 = dhi.reshape(B_pad, Gp, 32).transpose(1, 0, 2)
+    dlo3 = dlo.reshape(B_pad, Gp, 32).transpose(1, 0, 2)
+    w_spec = pl.BlockSpec((1, 1, K_TILE), lambda g, t: (g * NT + t, 0, 0),
+                          memory_space=vmem)
+    d_spec = pl.BlockSpec((1, B_pad, 32), lambda g, t: (g, 0, 0),
+                          memory_space=vmem)
+    whole = pl.BlockSpec(memory_space=vmem)
+
+    # ---- emission-max pre-pass ----
+    # per-(b, grid) scalars travel as lane-broadcast [Gp, B_pad, 128]
+    # planes (Mosaic forbids dynamic lane-offset slicing)
+    scal_spec = pl.BlockSpec((1, B_pad, 128), lambda g, t: (g, 0, 0),
+                             memory_space=vmem)
+    mx3 = pl.pallas_call(
+        partial(_max_kernel_tiled, K=K, NT=NT),
+        grid=(Gp, NT),
+        in_specs=[w_spec, d_spec, d_spec],
+        out_specs=scal_spec,
+        scratch_shapes=[pltpu.VMEM((B_pad, 1), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((Gp, B_pad, 128), jnp.float32),
+        interpret=interpret,
+    )(words3, dhi3, dlo3)
+
+    # ---- forward ----
+    ckpt, s3, logs = pl.pallas_call(
+        partial(_fwd_kernel_tiled, CG=CG, K=K, B_pad=B_pad, NT=NT),
+        grid=(Gp, NT),
+        in_specs=[
+            w_spec, d_spec, d_spec,
+            pl.BlockSpec(memory_space=pltpu.SMEM),          # trans (whole)
+            scal_spec,                                       # mx plane
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B_pad, K_TILE), lambda g, t: (g // CG, 0, t),
+                         memory_space=vmem),
+            scal_spec,                                       # S plane
+            pl.BlockSpec((B_pad, 1), lambda g, t: (0, 0),
+                         memory_space=vmem),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B_pad, K_pad_t), jnp.float32),
+            pltpu.VMEM((B_pad, 1), jnp.float32),
+            pltpu.VMEM((B_pad, 1), jnp.float32),
+            pltpu.VMEM((B_pad, 1), jnp.float32),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((NSC, B_pad, K_pad_t), jnp.float32),
+            jax.ShapeDtypeStruct((Gp, B_pad, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(words3, dhi3, dlo3, trans2, mx3)
+
+    # ---- backward: per-chunk {remat -> beta/gamma}, top chunk first ----
+    s_ext3 = jnp.concatenate(
+        [jnp.ones((1, B_pad, 128), jnp.float32), s3], axis=0
+    )                                                   # [Gp+1, B_pad, 128]
+    trans_p = jnp.concatenate(
+        [trans2, jnp.asarray([[1.0], [0.0]], jnp.float32)], axis=1
+    )                                                   # [2, Gp+1]
+    thin2 = thin.reshape(1, Gp).astype(jnp.int32)
+    cap2 = cap.reshape(1, Gp)
+
+    remat_call = pl.pallas_call(
+        partial(_remat_kernel_tiled, CG=CG, K=K, B_pad=B_pad),
+        grid=(NT,),
+        in_specs=[
+            pl.BlockSpec((CG, K_TILE), lambda t: (0, t),
+                         memory_space=vmem),
+            pl.BlockSpec(memory_space=vmem),                 # dhi chunk
+            pl.BlockSpec(memory_space=vmem),                 # dlo chunk
+            pl.BlockSpec((B_pad, K_TILE), lambda t: (0, t),
+                         memory_space=vmem),
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # trans chunk
+            pl.BlockSpec(memory_space=vmem),                 # mx chunk
+            pl.BlockSpec(memory_space=vmem),                 # s_ext chunk
+        ],
+        out_specs=pl.BlockSpec(
+            (CG, B_pad, K_TILE), lambda t: (0, 0, t), memory_space=vmem
+        ),
+        out_shape=jax.ShapeDtypeStruct((CG, B_pad, K_pad_t), jnp.float32),
+        interpret=interpret,
+    )
+    # per-(grid, tile) word blocks / per-grid GL deltas for the backward
+    wb_spec = pl.BlockSpec(
+        (1, 1, K_TILE), lambda p, t: ((CG - 1 - p) * NT + t, 0, 0),
+        memory_space=vmem,
+    )
+    db_spec = pl.BlockSpec(
+        (1, B_pad, 32), lambda p, t: (CG - 1 - p, 0, 0), memory_space=vmem
+    )
+
+    bwd_call = pl.pallas_call(
+        partial(
+            _bwd_kernel_tiled, CG=CG, K=K, K_pad_t=K_pad_t, B_pad=B_pad,
+            K_top=K_top, NT=NT, eps=eps,
+        ),
+        grid=(CG, NT),
+        in_specs=[
+            wb_spec,                                         # words chunk
+            db_spec,                                         # dhi chunk
+            db_spec,                                         # dlo chunk
+            pl.BlockSpec((1, B_pad, K_TILE),
+                         lambda p, t: (CG - 1 - p, 0, t),
+                         memory_space=vmem),                 # alphas chunk
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # trans next
+            pl.BlockSpec(memory_space=vmem),                 # mx chunk
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # thin chunk
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # cap chunk
+            pl.BlockSpec(memory_space=pltpu.SMEM),           # top flag
+            pl.BlockSpec((B_pad, K_TILE), lambda p, t: (0, t),
+                         memory_space=vmem),                 # e*beta in
+            pl.BlockSpec(memory_space=vmem),                 # E sum in
+        ],
+        out_specs=[
+            pl.BlockSpec((1, B_pad, 32), lambda p, t: (CG - 1 - p, 0, 0),
+                         memory_space=vmem),                 # dosage chunk
+            pl.BlockSpec((1, B_pad, K_top),
+                         lambda p, t: (CG - 1 - p, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((1, B_pad, K_top),
+                         lambda p, t: (CG - 1 - p, 0, 0),
+                         memory_space=vmem),
+            pl.BlockSpec((B_pad, K_TILE), lambda p, t: (0, t),
+                         memory_space=vmem),                 # gamma capture
+            pl.BlockSpec((B_pad, K_TILE), lambda p, t: (0, t),
+                         memory_space=vmem),                 # e*beta out
+            pl.BlockSpec((B_pad, 1), lambda p, t: (0, 0),
+                         memory_space=vmem),                 # E sum out
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((B_pad, K_pad_t), jnp.float32),       # etb
+            pltpu.VMEM((B_pad, 1), jnp.float32),             # E prev
+            pltpu.VMEM((B_pad, 1), jnp.float32),             # E cur
+            pltpu.VMEM((B_pad, 1), jnp.float32),             # AB
+            pltpu.VMEM((B_pad, K_top), jnp.float32),         # topk vals
+            pltpu.VMEM((B_pad, K_top), jnp.int32),           # topk idxs
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((CG, B_pad, 32), jnp.float32),
+            jax.ShapeDtypeStruct((CG, B_pad, K_top), jnp.float32),
+            jax.ShapeDtypeStruct((CG, B_pad, K_top), jnp.int32),
+            jax.ShapeDtypeStruct((B_pad, K_pad_t), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, K_pad_t), jnp.float32),
+            jax.ShapeDtypeStruct((B_pad, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def chunk_body(carry, ci):
+        eb, es = carry
+        cs = ci * CG
+        words_c = jax.lax.dynamic_slice(words, (cs, 0), (CG, K_pad_t))
+        words_c3 = words_c.reshape(CG * NT, 1, K_TILE)
+        dhi_c3 = jax.lax.dynamic_slice(
+            dhi3, (cs, 0, 0), (CG, B_pad, 32)
+        )
+        dlo_c3 = jax.lax.dynamic_slice(
+            dlo3, (cs, 0, 0), (CG, B_pad, 32)
+        )
+        mx_c = jax.lax.dynamic_slice(
+            mx3, (cs, 0, 0), (CG, B_pad, 128)
+        )
+        sext_c = jax.lax.dynamic_slice(
+            s_ext3, (cs, 0, 0), (CG + 1, B_pad, 128)
+        )
+        tr_c = jax.lax.dynamic_slice(trans2, (0, cs), (2, CG))
+        trn_c = jax.lax.dynamic_slice(trans_p, (0, cs + 1), (2, CG))
+        thin_c = jax.lax.dynamic_slice(thin2, (0, cs), (1, CG))
+        cap_c = jax.lax.dynamic_slice(cap2, (0, cs), (1, CG))
+        ckpt_c = jax.lax.dynamic_index_in_dim(
+            ckpt, jnp.maximum(ci - 1, 0), 0, False
+        ) * jnp.where(ci > 0, 1.0, 0.0)
+        alphas_c = remat_call(
+            words_c, dhi_c3, dlo_c3, ckpt_c, tr_c, mx_c, sext_c
+        )
+        topf = jnp.where(ci == NSC - 1, 1.0, 0.0).reshape(1, 1)
+        dos_c, tv_c, ti_c, gcap_c, eb, es = bwd_call(
+            words_c3, dhi_c3, dlo_c3, alphas_c, trn_c, mx_c, thin_c,
+            cap_c, topf, eb, es,
+        )
+        return (eb, es), (dos_c, tv_c, ti_c, gcap_c)
+
+    eb0 = jnp.ones((B_pad, K_pad_t), jnp.float32)
+    es0 = jnp.full((B_pad, 1), float(K), jnp.float32)
+    (_, _), (dosS, tvS, tiS, gcapS) = jax.lax.scan(
+        chunk_body, (eb0, es0), jnp.arange(NSC - 1, -1, -1)
+    )
+    # dosS: [NSC, CG, B_pad, 32], chunk order descending
+    dos = jnp.flip(dosS, 0).transpose(2, 0, 1, 3).reshape(B_pad, S)
+    tv = jnp.flip(tvS, 0).reshape(Gp, B_pad, K_top)
+    ti = jnp.flip(tiS, 0).reshape(Gp, B_pad, K_top)
+    gcap = gcapS.sum(axis=0)
+    gsum = jnp.maximum(gcap.sum(axis=1, keepdims=True), 1e-30)
+    gcap = gcap / gsum
+
+    log_like = logs[:B, 0] + csum
+    return (
+        dos[:B], log_like, tv[:, :B],
+        jnp.minimum(ti[:, :B], K_pad - 1), gcap[:B, :K_pad],
+    )

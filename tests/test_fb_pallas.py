@@ -79,3 +79,44 @@ def test_pallas_matches_oracle(world):
     d2, l2, _, _ = _run("interpret", gl_b, inputs)
     np.testing.assert_allclose(d2[0], orc.dosage, atol=1e-4)
     assert abs(l2[0] - orc.log_like) < 1e-2
+
+
+def test_tiled_matches_xla(world, rng, monkeypatch):
+    """K-tiled kernels (multi-tile via a small K_TILE) == XLA path."""
+    import quilt_tpu.kernels.fb_pallas as fbp
+
+    monkeypatch.setattr(fbp, "K_TILE", 64)
+    panel, trans, gls, nGrids = world
+    inputs = FBInputs.build(
+        panel, trans, thinned_grids=np.arange(0, nGrids, 3)
+    )
+    # gls is [2, 2, nSNPs] (two latent haps' GL pairs); batch 3 rows
+    gl_b = np.stack([gls[i % 2] for i in range(3)])
+    dos_x, ll_x, tv_x, ti_x = _run("xla", gl_b, inputs)
+
+    from quilt_tpu.kernels.fb_pallas import fb_pallas_tiled_core
+    import jax.numpy as jnp
+
+    S = inputs.S
+    gl_pad = np.ones((gl_b.shape[0], 2, S), dtype=np.float32)
+    gl_pad[:, :, : gl_b.shape[2]] = gl_b
+    dev = inputs.device()
+    dos_t, ll_t, tv_t, ti_t, _ = fb_pallas_tiled_core(
+        jnp.asarray(gl_pad), dev["words"], dev["trans2"],
+        dev["thin_flag"], dev["capture_flag"],
+        K=inputs.K, K_pad=inputs.K_pad, K_top=8,
+        ref_error=0.001, interpret=True,
+    )
+    dos_t = np.asarray(dos_t)[:, : inputs.nSNPs]
+    np.testing.assert_allclose(dos_t, dos_x, rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(
+        np.asarray(ll_t), ll_x, rtol=1e-3, atol=1e-2
+    )
+    # top-K at thinned grids: same gamma mass on the selected haps
+    thin_g = np.flatnonzero(inputs.thin_flag >= 0)
+    tv_t = np.asarray(tv_t)
+    for g in thin_g[:6]:
+        np.testing.assert_allclose(
+            np.sort(tv_t[g], axis=1), np.sort(np.asarray(tv_x[g]), axis=1),
+            rtol=5e-3, atol=5e-4,
+        )

@@ -2,8 +2,10 @@
 batch-scaling table (VERDICT r2 item 2).
 
 Times, on the bench chip at bench_full's workload shape:
-- the full 21-sweep Gibbs call at chain-batch sizes {7, 28, 56, 112}
-  (the 'batching samples x chains is the lever' claim, measured);
+- the full 21-sweep Gibbs call at chain-batch sizes {7..256}
+  (the 'batching samples x chains is the lever' claim, measured; rows
+  past the fused kernel's VMEM chain cap fall back to the XLA sweep and
+  say so);
 - a 1-iteration call (isolates per-call fixed costs from per-sweep cost);
 - the forward and backward Pallas sweeps alone.
 
@@ -90,12 +92,15 @@ def main():
 
     # batch scaling at 21 sweeps
     table = {}
-    for C in (7, 28, 56, 112):
+    for C in (7, 28, 56, 112, 256):
+        from quilt_tpu.kernels.gibbs_pallas import padded_layout_ok
         dt = timed_call(C, 21)
         table[str(C)] = {
             "seconds_per_call": round(dt, 4),
             "read_resamples_per_s": round(21 * C * reads.nReads / dt, 1),
             "chain_sweeps_per_s": round(21 * C / dt, 2),
+            "backend": "pallas" if padded_layout_ok(
+                ginputs, B=C, K=Kp, nl=2) else "xla-fallback",
         }
         print(f"C={C}: {dt:.3f}s -> {21*C*reads.nReads/dt:,.0f} resamples/s",
               flush=True)
