@@ -1,4 +1,41 @@
-# Measured performance
+"""Generate BENCHMARKS.md from the recorded benchmark JSONs.
+
+BENCHMARKS.md is GENERATED — every number in its tables comes from
+BASELINE_MEASURED.json, BENCH_FULL.json and BENCH_GIBBS.json, so the doc
+cannot drift from the recorded measurements (tests/test_benchmarks_doc.py
+asserts regeneration is a no-op). Narrative sections are maintained here.
+
+Usage: python tools/gen_benchmarks.py [--check]
+"""
+import json
+import os
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def j(name):
+    with open(os.path.join(ROOT, name)) as fh:
+        return json.load(fh)
+
+
+def fmt_e(x):
+    return f"{x:.2e}".replace("e+0", "e").replace("e+", "e")
+
+
+def generate() -> str:
+    base = j("BASELINE_MEASURED.json")
+    full = j("BENCH_FULL.json")
+    gib = j("BENCH_GIBBS.json")
+
+    fb = full["fb_kernel"]
+    e2e = full["end_to_end"]
+    gs = full["gibbs_sweep"]
+    tiled = full.get("fb_kernel_tiled", {})
+
+    out = []
+    w = out.append
+    w(f"""# Measured performance
 
 **GENERATED FILE** — regenerate with `python tools/gen_benchmarks.py`;
 every number comes from BASELINE_MEASURED.json / BENCH_FULL.json /
@@ -7,7 +44,7 @@ BENCH_GIBBS.json (tests/test_benchmarks_doc.py asserts no drift).
 Hardware for every number: **one TPU v5e (lite0) chip reached through the
 axon tunnel** — the chip `bench.py` / `bench_full.py` run on and the
 driver's BENCH_r* records come from. Baseline denominators are
-**measured** on a single CPU core (Intel(R) Xeon(R) Processor @ 2.10GHz) running independent C++
+**measured** on a single CPU core ({base['cpu']}) running independent C++
 -O3 implementations of the reference's algorithms
 (bench_ref/fb_ref_bench.cpp, bench_ref/gibbs_ref_bench.cpp; see
 BASELINE_MEASURED.json and PARITY_REPORT.md for why the reference itself
@@ -17,9 +54,9 @@ Baseline denominators:
 
 | metric | single-core value |
 |---|---|
-| full-panel FB | 1.24e8 cells/s |
-| Gibbs sweep | 341,555 read-resamples/s |
-| whole-sample end-to-end | 0.284 samples/s |
+| full-panel FB | {fmt_e(base['reference_cells_per_s'])} cells/s |
+| Gibbs sweep | {base['gibbs_resamples_per_s_core']:,.0f} read-resamples/s |
+| whole-sample end-to-end | {base['samples_per_s_core']:.3f} samples/s |
 
 ## Timing methodology
 
@@ -33,11 +70,14 @@ below drains each timed call through a scalar reduction of its output
 
 | metric | value | vs ref core | config |
 |---|---|---|---|
-| Full-panel FB kernel (fused Pallas) | **1.47e10 cells/s/chip** | 118x | K=5,120 x 2,048 grids, B=28 |
-| Full-panel FB kernel (K-tiled Pallas) | 1.05e10 cells/s/chip | 84x | K=40,960 x 512 grids, B=16 |
-| Full-panel FB kernel (K-tiled Pallas) | 1.72e10 cells/s/chip | 138x | K=98,304 x 512 grids, B=16 |
-| Gibbs sweep | 59 ms per 21-sweep 7-chain call (4.11e6 resamples/s) | 12.0x | Ksubset=600, 512 grids, 1638 reads |
-| End-to-end | **1.27 samples/s/chip** (2083 reads/s) | 4.5x | N=8, K=5,120, 16,384 SNPs, 7 chains x 3 seek its x 21 sweeps, Ksubset=600 |
+| Full-panel FB kernel (fused Pallas) | **{fmt_e(fb['cells_per_s'])} cells/s/chip** | {fb['vs_measured_ref_core']:.0f}x | K={fb['K']:,} x {fb['nGrids']:,} grids, B={fb['B']} |""")
+    for key, row in sorted(tiled.items()):
+        w(f"| Full-panel FB kernel (K-tiled Pallas) | "
+          f"{fmt_e(row['cells_per_s'])} cells/s/chip | "
+          f"{row['vs_measured_ref_core']:.0f}x | "
+          f"K={row['K']:,} x {row['nGrids']} grids, B={row['B']} |")
+    w(f"""| Gibbs sweep | {gs['seconds_per_21_sweep_call'] * 1e3:.0f} ms per 21-sweep 7-chain call ({fmt_e(gs['read_resamples_per_s'])} resamples/s) | {gs['vs_measured_ref_core']:.1f}x | Ksubset={gs['Ksubset']}, {gs['nGrids']} grids, {gs['nReads']} reads |
+| End-to-end | **{e2e['samples_per_s']:.2f} samples/s/chip** ({e2e['reads_per_s']:.0f} reads/s) | {e2e['vs_measured_ref_core']:.1f}x | N={e2e['N']}, K={e2e['K_panel']:,}, {e2e['nSNPs']:,} SNPs, {e2e['config']} |
 
 The end-to-end baseline (bench_ref/gibbs_ref_bench.cpp e2e mode) omits
 the reference's block-Gibbs moves, H_class bookkeeping, haplotype
@@ -48,45 +88,34 @@ Batch scaling: N=32 in the same harness reaches ~1.33 samples/s
 
 ## End-to-end per-stage breakdown (print_extra_timing_information)
 
-Wall time of the N=8 run above, by engine stage (seconds; sections drain
+Wall time of the N={e2e['N']} run above, by engine stage (seconds; sections drain
 the device queue at their boundary):
 
 | stage | seconds |
-|---|---|
-| gibbs:sweep_kernel | 1.575 |
-| fb:kernel | 0.956 |
-| fb:topk_fetch | 0.863 |
-| gibbs:bits_gather | 0.557 |
-| final_fetch | 0.401 |
-| fb:gl_build | 0.400 |
-| gibbs:H_fetch | 0.207 |
-| vcf:columns | 0.204 |
-| fb:select_host | 0.186 |
-| gibbs:rng | 0.163 |
-| gibbs:uf_fetch | 0.151 |
-| consensus | 0.105 |
-| accumulate | 0.079 |
-| inputs_build | 0.066 |
-
+|---|---|""")
+    for k, v in (e2e.get("stage_breakdown_s") or {}).items():
+        w(f"| {k} | {v:.3f} |")
+    tbl = gib["batch_scaling_21_sweeps"]
+    c7 = gib["c7_split"]
+    w(f"""
 ## Gibbs sweep batch scaling (tools/bench_gibbs.py -> BENCH_GIBBS.json)
 
-21 sweeps, Ksubset=600, 512 grids, 1638 reads/sample; rows are
-{samples x chains} batched into one kernel call:
+21 sweeps, Ksubset={gib['Ksubset']}, {gib['nGrids']} grids, {gib['nReads']} reads/sample; rows are
+{{samples x chains}} batched into one kernel call:
 
 | rows | s/call | resamples/s | backend |
-|---|---|---|---|
-| 7 | 0.064 | 3,761,942 | pallas |
-| 28 | 0.110 | 8,755,692 | pallas |
-| 56 | 0.179 | 10,763,767 | pallas |
-| 112 | 0.306 | 12,578,844 | pallas |
-| 256 | 1.789 | 4,921,579 | xla-fallback |
-
+|---|---|---|---|""")
+    for c, row in tbl.items():
+        w(f"| {c} | {row['seconds_per_call']:.3f} | "
+          f"{row['read_resamples_per_s']:,.0f} | "
+          f"{row.get('backend', 'pallas')} |")
+    w(f"""
 Rows past the fused sweep's VMEM chain cap fall back to the XLA sweep
 (the 256-row entry above); the engine clamps its sample batch to stay on
 the Pallas path (engine/driver.py). Per-call fixed cost at 7 rows:
-0.045 s at 2 sweeps vs 0.064 s at 21 — ~0.043 s
+{c7['seconds_2_sweeps']:.3f} s at 2 sweeps vs {c7['seconds_21_sweeps']:.3f} s at 21 — ~{c7['seconds_2_sweeps'] - 2 * c7['marginal_seconds_per_sweep']:.3f} s
 fixed (eMatRead build + grid-padded layout + backward) +
-1.0 ms marginal per sweep.
+{c7['marginal_seconds_per_sweep'] * 1e3:.1f} ms marginal per sweep.
 
 ## History and what changed when
 
@@ -145,3 +174,26 @@ minutes for the Gibbs kernel; a persistent compilation cache
 (/tmp/quilt_tpu_jax_cache, enabled in quilt_tpu/__init__.py) makes
 subsequent runs start instantly, and the engine reuses one compiled shape
 for main chains, phasing (row replication), and batches.
+""")
+    return "\n".join(out)
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    text = generate()
+    path = os.path.join(ROOT, "BENCHMARKS.md")
+    if "--check" in argv:
+        with open(path) as fh:
+            if fh.read() != text:
+                print("BENCHMARKS.md is stale; run tools/gen_benchmarks.py")
+                return 1
+        print("BENCHMARKS.md is up to date")
+        return 0
+    with open(path, "w") as fh:
+        fh.write(text)
+    print(f"Wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
