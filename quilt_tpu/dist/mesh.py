@@ -63,10 +63,6 @@ class ShardedFB:
 
     def __init__(self, inputs: FBInputs, mesh: Mesh, K_top: int = 8,
                  ref_error: float = 0.001):
-        assert inputs.capture_grid < 0, (
-            "gamma capture (hla_run) is not supported on the sharded FB; "
-            "use the single-device kernel"
-        )
         self.inputs = inputs
         self.mesh = mesh
         self.K_top = K_top
@@ -104,6 +100,7 @@ class ShardedFB:
         self.nnz_max = nnz_max
 
         put = lambda x, spec: jax.device_put(x, NamedSharding(mesh, spec))
+        self.capture = inputs.capture_grid >= 0
         if True:
             self._dev = dict(
                 dh=put(dh_sh, P("panel", None, None)),
@@ -115,7 +112,7 @@ class ShardedFB:
                 ev=put(ev, P("panel", None)),
                 trans=put(inputs.trans.astype(np.float32), P()),
                 thin=put(inputs.thin_flag, P()),
-                cap=put(np.zeros(G, np.float32), P()),
+                cap=put(self._cap_flags(G), P()),
             )
 
         inp = inputs
@@ -141,20 +138,29 @@ class ShardedFB:
                 P("data",),                      # log_like
                 P(None, "data", ("panel",)),     # tv gathered over panel
                 P(None, "data", ("panel",)),     # ti
+                P("data", "panel"),              # gamma capture (K shards)
             ),
         )
         def run(gl_l, dh_l, ie_l, bits_l, eg_l, ek_l, eb_l, ev_l,
                 trans_l, thin_l, cap_l):
-            dosage, log_like, tv, ti, _cap = _fb_core_impl(
+            dosage, log_like, tv, ti, gcap = _fb_core_impl(
                 gl_l, dh_l[0], ie_l, bits_l,
                 eg_l[0], ek_l[0], eb_l[0], trans_l, thin_l, cap_l,
                 K=inp.K, K_pad=self.K_shard, nMaxDH=inp.nMaxDH,
                 nnz=self.nnz_max, K_top=K_top_, ref_error=ref_error_,
                 axis_name="panel", esc_valid=ev_l[0],
             )
-            return dosage, log_like, tv, ti
+            return dosage, log_like, tv, ti, gcap
 
         self._run = jax.jit(run)
+
+    def _cap_flags(self, G):
+        """Per-grid capture flags (gamma capture at the gene-center grid
+        for HLA runs; reference gamma hook functions.R:1261-1280)."""
+        cap = np.zeros(G, np.float32)
+        if self.inputs.capture_grid >= 0:
+            cap[self.inputs.capture_grid] = 1.0
+        return cap
 
     def __call__(self, gl: np.ndarray):
         """gl [B, 2, nSNPs or S]. Returns (dosage [B, nSNPs], log_like [B],
@@ -167,7 +173,7 @@ class ShardedFB:
         gl_pad = np.ones((Bp, 2, inputs.S), dtype=np.float32)
         gl_pad[:B, :, : gl.shape[2]] = np.asarray(gl)
         d = self._dev
-        dosage, log_like, tv, ti = self._run(
+        dosage, log_like, tv, ti, gcap = self._run(
             jax.device_put(
                 gl_pad, NamedSharding(self.mesh, P("data", None, None))
             ),
@@ -183,12 +189,17 @@ class ShardedFB:
         # zero-gamma slots can be shard pad columns (index >= K): remap to
         # hap 0 so downstream selection never sees an invalid index
         ti = np.where(tv > 0, ti, 0)
-        return (
+        out = (
             np.asarray(dosage)[:B, : inputs.nSNPs],
             np.asarray(log_like)[:B],
             tv,
             ti,
         )
+        if self.capture:
+            # gathered K shards: global columns [0, K_pad) are the
+            # original panel order (constructor flat layout)
+            out = out + (np.asarray(gcap)[:B, : inputs.K],)
+        return out
 
 
 def fb_full_sharded(

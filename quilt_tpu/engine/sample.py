@@ -134,7 +134,7 @@ class RegionContext:
         mesh = mesh_from_config(cfg)
         sharded_fb = None
         if (mesh is not None and mesh.shape["panel"] > 1
-                and fb_inputs is not None and not cfg.hla_run):
+                and fb_inputs is not None):
             from ..dist.mesh import ShardedFB
             print_message(
                 f"Panel-sharded FB over mesh data={mesh.shape['data']} x "

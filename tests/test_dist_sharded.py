@@ -75,3 +75,24 @@ def test_fb_sharded_exact_with_escapes_and_thinning(rng):
             np.testing.assert_allclose(
                 tv_sh[g, b, :8], tv_ref[g, b], atol=2e-3
             )
+
+
+def test_fb_sharded_gamma_capture(rng):
+    """Gamma capture (hla_run) on the panel-sharded FB equals the
+    single-device kernel's captured gamma (the r3 assert blocking HLA on
+    the mesh is lifted; reference gamma hook functions.R:1261-1280)."""
+    assert len(jax.devices()) >= 8
+    panel, trans, gl_b, nGrids = _world(rng, nMaxDH=96)
+    inputs = FBInputs.build(panel, trans)
+    inputs.capture_grid = nGrids // 2
+    out_ref = fb_full_batched(gl_b, inputs, K_top=8)
+    assert len(out_ref) == 5
+    gcap_ref = out_ref[4]
+    mesh = make_mesh(2, 4)
+    out_sh = fb_full_sharded(gl_b, inputs, mesh, K_top=8)
+    assert len(out_sh) == 5
+    gcap_sh = out_sh[4]
+    assert gcap_sh.shape == gcap_ref.shape
+    np.testing.assert_allclose(gcap_sh, gcap_ref, atol=3e-3)
+    # captured gammas are normalized distributions over the panel
+    np.testing.assert_allclose(gcap_sh.sum(axis=1), 1.0, atol=1e-3)

@@ -291,3 +291,43 @@ def test_alt_contig_reads_and_kmer_placement(hla_world, rng, tmp_path):
     res = type_hla_sample(hla, gene_reads, kmer_min_fraction=0.3)
     got = {res.bestallele1, res.bestallele2}
     assert db.allele_names[true_allele] in got
+
+
+def test_hla_run_on_mesh(hla_world, rng):
+    """hla_run with the panel-sharded FB (mesh_panel > 1): the r3 assert
+    blocking gamma capture on the mesh is lifted; gammas still identify
+    the truth alleles."""
+    import jax
+    from quilt_tpu.config import ImputeConfig
+    from quilt_tpu.engine.sample import RegionContext, impute_one_sample
+    from quilt_tpu.io.simulate import simulate_sample_reads
+
+    assert len(jax.devices()) >= 8
+    gene, db, prep, hap_allele = hla_world
+    hla = prepare_hla_reference(db, prep, k=8)
+    true_a = (1, 3)
+    states, idx = alleles_at_positions(
+        db, prep.pos, prep.ref_allele, prep.alt_allele
+    )
+    truth = np.stack([
+        np.where(states[true_a[0]] == 1, 1, 0),
+        np.where(states[true_a[1]] == 1, 1, 0),
+    ]).astype(np.uint8)
+    reads, sim = simulate_sample_reads(
+        rng, truth, prep.pos, prep.grid, coverage=2.0, read_length_bp=400,
+        phred=28,
+    )
+    cfg = ImputeConfig(
+        nGibbsSamples=3, n_seek_its=1, Ksubset=40, Knew=40,
+        small_ref_panel_gibbs_iterations=8, hla_run=True,
+        gamma_physically_closest_to=(gene.start + gene.end) // 2,
+        override_default_params_for_small_ref_panel=False,
+        mesh_data=2, mesh_panel=4,
+    )
+    ctx = RegionContext.build(prep, cfg)
+    assert ctx.hla_capture and ctx.sharded_fb is not None
+    res = impute_one_sample(ctx, reads, cfg, seed=11)
+    assert res.hla_gamma_total is not None
+    prior = hla.allele_prior_from_gamma(res.hla_gamma_total)
+    top2 = set(np.argsort(-prior)[:2].tolist())
+    assert top2 == set(true_a), f"gamma alleles {top2} vs truth {set(true_a)}"
