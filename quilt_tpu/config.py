@@ -69,6 +69,10 @@ class ImputeConfig:
     regionEnd: Optional[int] = None
     buffer: int = 0
     bamlist: str = ""
+    # CRAM support: versions 3.0 (raw/gzip/bzip2/lzma/rANS4x8 codecs) with
+    # .crai region seeks; CRAM 3.1-only codecs (rANS Nx16, adaptive
+    # arithmetic, fqzcomp, name tokenizer) are rejected with a clear
+    # message — recode with `samtools view -O cram,version=3.0`
     cramlist: str = ""
     sampleNames_file: str = ""
     reference: str = ""

@@ -326,6 +326,14 @@ def _parse_block(buf: bytes, off: int) -> Tuple[Block, int]:
     elif method == 3:
         import lzma
         data = lzma.decompress(raw)
+    elif method in (5, 6, 7, 8):
+        names = {5: "rANS Nx16", 6: "adaptive arithmetic",
+                 7: "fqzcomp", 8: "name tokenizer"}
+        raise ValueError(
+            f"CRAM 3.1 block codec {names[method]} is not supported "
+            f"(supported: raw/gzip/bzip2/lzma/rANS4x8, i.e. CRAM 3.0). "
+            f"Recode the file with `samtools view -O cram,version=3.0`."
+        )
     else:
         raise ValueError(f"unsupported CRAM block method {method}")
     if len(data) != rsize:

@@ -61,17 +61,89 @@ class MsIndex:
     # symbol s in Y[t]. Gives the O(log K) insertion-point update of the
     # reference's Algorithm-5 occurrence structures (mspbwt
     # Rcpp_ms_BuildIndices_Algorithm5, used at mspbwt.R:29,106) instead of
-    # an O(K) per-column count. None => fall back to the scan (old / very
-    # large indices where the 4x memory is not worth it).
+    # an O(K) per-column count. None => rank via `planes` (large K) or the
+    # O(K) scan.
     occ: Optional[np.ndarray] = None     # int32 [T, K]
+    # bit-plane rank structure for UKB-scale K (replaces the r3
+    # withhold-past-2GB occ gate): the uint8 symbol column packed as 8 bit
+    # planes of 64-bit words, PLUS a x32-subsampled occurrence list (every
+    # 32nd occurrence of each symbol, with per-symbol offsets C32). rank =
+    # searchsorted over the subsample (locates the 32-occurrence window)
+    # + popcount of the planes over the bounded window — O(log) + ~128
+    # expected words, at (1 + 1/8) * T * K bytes vs occ's 4 * T * K.
+    planes: Optional[np.ndarray] = None  # uint64 [T, 8, ceil(K/64)]
+    occ32: Optional[np.ndarray] = None   # int32 [T, K//32 + 257]
+    C32: Optional[np.ndarray] = None     # int32 [T, 257]
+
+
+def _pack_planes(Y: np.ndarray) -> np.ndarray:
+    """uint8 symbol columns [T, K] -> bit planes uint64 [T, 8, ceil(K/64)]
+    (little-endian bit order: position k lives at word k//64, bit k%64)."""
+    T, K = Y.shape
+    W8 = (K + 63) // 64 * 8                        # bytes, 64-bit aligned
+    planes = np.zeros((T, 8, W8), dtype=np.uint8)
+    for b in range(8):
+        bits = (Y >> b) & 1
+        packed = np.packbits(bits, axis=1, bitorder="little")
+        planes[:, b, : packed.shape[1]] = packed
+    return planes.view(np.uint64).reshape(T, 8, W8 // 8)
+
+
+def _rank_planes(planes_t: np.ndarray, s: int, p: int, a: int = 0) -> int:
+    """#positions in [a, p) with symbol == s, from one column's planes."""
+    if p <= a:
+        return 0
+    W0 = a >> 6
+    W = p >> 6
+    rem = p & 63
+    nw = W + (1 if rem else 0)
+    m = None
+    for b in range(8):
+        pb = planes_t[b, W0:nw]
+        v = pb if (s >> b) & 1 else ~pb
+        m = v if m is None else (m & v)
+    m = m.copy()
+    rem0 = a & 63
+    if rem0:
+        m[0] &= ~((np.uint64(1) << np.uint64(rem0)) - np.uint64(1))
+    if rem:
+        m[-1] &= (np.uint64(1) << np.uint64(rem)) - np.uint64(1)
+    return int(np.bitwise_count(m).sum())
+
+
+def _subsampled_occ(Y: np.ndarray, C: np.ndarray, every: int = 32):
+    """(occ32 [T, K//every + 257], C32 [T, 257]): positions of every
+    `every`-th occurrence of each symbol per column, with per-symbol
+    exclusive offsets into the row."""
+    T, K = Y.shape
+    cap = K // every + 257
+    occ32 = np.zeros((T, cap), dtype=np.int32)
+    C32 = np.zeros((T, 257), dtype=np.int32)
+    ar = np.arange(K, dtype=np.int64)
+    for t in range(T):
+        order = np.argsort(Y[t], kind="stable")
+        ys = Y[t][order]
+        j_rel = ar - C[t][ys]
+        mask = (j_rel % every) == 0
+        vals = order[mask]
+        cnt = np.bincount(ys[mask], minlength=256)
+        C32[t, 1:] = np.cumsum(cnt)
+        occ32[t, : len(vals)] = vals
+    return occ32, C32
 
 
 def build_mspbwt_indices(
-    hapMatcher: np.ndarray, n_indices: int = 4, egs: Optional[int] = None
+    hapMatcher: np.ndarray, n_indices: int = 4, egs: Optional[int] = None,
+    rank_mode: str = "auto",
 ) -> List[MsIndex]:
     """Build `n_indices` interleaved-grid msPBWT indices (index i covers
     grids i, i+n, i+2n, ... — reference build_mspbwt_indices,
-    mspbwt.R:22-55). egs auto-selects like the reference (:17-21)."""
+    mspbwt.R:22-55). egs auto-selects like the reference (:17-21).
+
+    rank_mode: "auto" = occurrence lists while they fit ~2 GB/index, bit
+    planes past that (UKB-scale K keeps O(K/64)-word rank queries instead
+    of the r3 O(K) scan fallback); "occ" / "planes" / "scan" force one.
+    """
     K, nGrids = hapMatcher.shape
     n_indices = max(1, min(n_indices, nGrids))
     if egs is None:
@@ -82,9 +154,14 @@ def build_mspbwt_indices(
     for i in range(n_indices):
         grids = np.arange(i, nGrids, n_indices, dtype=np.int32)
         T = len(grids)
-        # occ quadruples the index memory; skip it past ~2 GB per index
-        # (the rank query then falls back to the O(K) scan)
-        want_occ = int(T) * int(K) * 4 <= 2 << 30
+        # occ quadruples the index memory; past ~2 GB/index switch to the
+        # bit-plane rank structure (T*K bytes)
+        want_occ = rank_mode == "occ" or (
+            rank_mode == "auto" and int(T) * int(K) * 4 <= 2 << 30
+        )
+        want_planes = rank_mode == "planes" or (
+            rank_mode == "auto" and not want_occ
+        )
         if use_native:
             # C++ build (quilt_io.cpp:qio_mspbwt_build): blocked subset
             # transpose + counting-sort loop — seconds at K=100k x 10k grids
@@ -92,8 +169,13 @@ def build_mspbwt_indices(
             Y, C, cp_cols, A_cp, occ = mspbwt_build_native(
                 hapMatcher, grids, egs, want_occ=want_occ
             )
-            out.append(MsIndex(grids=grids, Y=Y, C=C, cp_cols=cp_cols,
-                               A_cp=A_cp, egs=egs, occ=occ))
+            o32, C32 = _subsampled_occ(Y, C) if want_planes else (None, None)
+            out.append(MsIndex(
+                grids=grids, Y=Y, C=C, cp_cols=cp_cols,
+                A_cp=A_cp, egs=egs, occ=occ,
+                planes=_pack_planes(Y) if want_planes else None,
+                occ32=o32, C32=C32,
+            ))
             continue
         # NumPy fallback (identical outputs; tests/test_mspbwt.py asserts)
         X = np.asfortranarray(hapMatcher[:, grids])
@@ -114,11 +196,14 @@ def build_mspbwt_indices(
             if (t + 1) % egs == 0 or t == T - 1:
                 cp_cols.append(t)
                 A_cp.append(A.copy())
+        o32, C32 = _subsampled_occ(Y, C) if want_planes else (None, None)
         out.append(MsIndex(
             grids=grids, Y=Y, C=C,
             cp_cols=np.asarray(cp_cols, dtype=np.int32),
             A_cp=np.stack(A_cp) if A_cp else np.zeros((0, K), np.int32),
             egs=egs, occ=occ,
+            planes=_pack_planes(Y) if want_planes else None,
+            occ32=o32, C32=C32,
         ))
     return out
 
@@ -169,6 +254,21 @@ def match_z(
             # O(log K) rank via the occurrence lists (Algorithm-5 style)
             lo, hi_b = int(C[t, zt]), int(C[t, zt + 1])
             p = lo + int(np.searchsorted(occ[t, lo:hi_b], p))
+        elif index.planes is not None:
+            # subsampled-occ + bit-plane popcount rank (UKB-scale
+            # replacement for occ; see MsIndex.planes): the subsample
+            # locates the 32-occurrence window, the planes count within it
+            lo32, hi32 = int(index.C32[t, zt]), int(index.C32[t, zt + 1])
+            row32 = index.occ32[t]
+            j = int(np.searchsorted(row32[lo32:hi32], p))
+            if j == 0:
+                rank = 0
+            else:
+                o = int(row32[lo32 + j - 1])
+                rank = 32 * (j - 1) + _rank_planes(
+                    index.planes[t], zt, p, a=o
+                )
+            p = int(C[t, zt]) + rank
         else:
             p = int(C[t, zt]) + int(np.count_nonzero(y[:p] == zt))
         if every_column:
@@ -322,6 +422,10 @@ def save_ms_indices_into(d: dict, ms_indices: List[MsIndex]) -> None:
         d[f"msi_{i}_cp_cols"] = idx.cp_cols
         d[f"msi_{i}_A_cp"] = idx.A_cp
         d[f"msi_{i}_egs"] = np.array(idx.egs)
+        if idx.planes is not None:
+            d[f"msi_{i}_planes"] = idx.planes
+            d[f"msi_{i}_occ32"] = idx.occ32
+            d[f"msi_{i}_C32"] = idx.C32
         if idx.occ is not None:
             d[f"msi_{i}_occ"] = idx.occ
 
@@ -342,6 +446,12 @@ def load_ms_indices_from(z) -> List[MsIndex]:
             A_cp=z[f"msi_{i}_A_cp"],
             egs=int(z[f"msi_{i}_egs"]),
             occ=z[f"msi_{i}_occ"] if f"msi_{i}_occ" in z else None,
+            planes=(z[f"msi_{i}_planes"]
+                    if f"msi_{i}_planes" in z else None),
+            occ32=(z[f"msi_{i}_occ32"]
+                   if f"msi_{i}_occ32" in z else None),
+            C32=(z[f"msi_{i}_C32"]
+                 if f"msi_{i}_C32" in z else None),
         )
         for i in range(n)
     ]

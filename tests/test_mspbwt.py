@@ -152,3 +152,41 @@ def test_native_build_matches_numpy(rng):
         np.testing.assert_array_equal(Cn, C)
         np.testing.assert_array_equal(cpn, np.asarray(cps))
         np.testing.assert_array_equal(An, np.stack(Acp))
+
+
+def test_rank_modes_agree(rng):
+    """occ, bit-plane, and scan rank structures give identical matches
+    (the planes mode is the UKB-scale replacement for the r3
+    withhold-past-2GB occ gate)."""
+    from quilt_tpu.panel.mspbwt import (
+        MsIndex, _rank_planes, build_mspbwt_indices, match_z,
+    )
+
+    K, nGrids = 150, 96
+    hm = rng.integers(0, 7, (K, nGrids)).astype(np.uint8)
+    qhaps = rng.integers(0, K, 3)          # fixed queries across modes
+
+    outs = {}
+    for mode in ("occ", "planes", "scan"):
+        idxs = build_mspbwt_indices(hm, n_indices=3, egs=8, rank_mode=mode)
+        for i, idx in enumerate(idxs):
+            assert (idx.occ is not None) == (mode == "occ")
+            assert (idx.planes is not None) == (mode == "planes")
+            z = hm[qhaps[i], idx.grids].copy()
+            z[2] = (z[2] + 1) % 7          # perturb
+            sub = hm[:, idx.grids]
+            rows = lambda cands, upto, sub=sub: sub[cands, :upto]
+            m = sorted(match_z(idx, z, rows, min_length=3))
+            outs.setdefault(i, {})[mode] = m
+    for i, d in outs.items():
+        assert d["occ"] == d["planes"] == d["scan"], f"index {i}"
+        assert d["occ"], f"index {i}: no matches found"
+
+    # direct rank equality on random queries
+    idx = build_mspbwt_indices(hm, n_indices=1, egs=8, rank_mode="planes")[0]
+    for _ in range(200):
+        t = int(rng.integers(0, idx.Y.shape[0]))
+        s = int(rng.integers(0, 8))
+        p = int(rng.integers(0, K + 1))
+        want = int(np.count_nonzero(idx.Y[t, :p] == s))
+        assert _rank_planes(idx.planes[t], s, p) == want

@@ -148,13 +148,21 @@ fixed (eMatRead build + grid-padded layout + backward) +
   vectorized), dispatch re-tracing (~30%, jitted), spurious block-Gibbs
   boundaries (~40%, fixed by on-the-fly detection).
 
-## Prepare-path scaling (r3; this host's 2 CPU cores)
+## Prepare-path scaling (r3/r4; this host's 2 CPU cores)
 
 | stage | K=100k x 3,125 grids | K=1M x 640 grids |
 |---|---|---|
 | `compress_panel` (threaded C++ `qio_compress_panel`) | 12.9 s | 69.9 s |
 | msPBWT build, 4 indices (C++ `qio_mspbwt_build`) | 6.8 s | 21.1 s |
 | msPBWT query, 1 hap, 4 indices | 0.030 s (650 matches) | 0.22 s |
+
+r4 UKB-scale rank structure: past the ~2 GB/index occurrence-list gate
+the index switches to bit planes + a x32-subsampled occurrence list
+(MsIndex.planes/occ32; (1+1/8)*T*K bytes vs occ's 4*T*K), keeping
+near-O(log K) queries where r3 fell back to the O(K) scan. Measured at
+K=1M x 2,560 grids (whole-chunk scale, 4 indices): query 0.069 s/hap
+(vs 0.014 s at K=100k with occ; the r3 scan fallback took 0.22 s at a
+QUARTER of these grids). Build incl. the subsample: 145 s one-time.
 
 ## Multi-host scaling (blocked measurement)
 
