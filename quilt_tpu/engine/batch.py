@@ -231,6 +231,7 @@ def impute_samples_batched(
                 res_fb = ctx.sharded_fb(np.asarray(gls))
                 dosage = res_fb[0]
                 tv, ti = res_fb[2], res_fb[3]
+            thin_rows = ctx.thinned_grids
         else:
             # dosages stay DEVICE-resident: only the (small) thinned top-K
             # lists cross to the host for the selection loop; the hap
@@ -243,7 +244,12 @@ def impute_samples_batched(
                 )
                 dosage = _drain(res_fb[0])[:, :nSNPs]
             with _sec("fb:topk_fetch"):
-                tv, ti = np.asarray(res_fb[2]), np.asarray(res_fb[3])
+                # gather the thinned rows ON DEVICE before fetching: the
+                # full [G, B, K_top] lists are zeros off the thinned grids
+                # and the host link is the bottleneck (~10x less traffic)
+                tg = jnp.asarray(ctx.thinned_grids)
+                tv, ti = np.asarray(res_fb[2][tg]), np.asarray(res_fb[3][tg])
+            thin_rows = np.arange(len(ctx.thinned_grids))
         hap_dos = dosage.reshape(Bb, nl, nSNPs)
         with _sec("fb:select_host"):
             new_sets = np.empty_like(which_b)
@@ -251,7 +257,7 @@ def impute_samples_batched(
                 n_keep = ctx.Ksub - ctx.Knew
                 prev_sel = rng.choice(which_b[b], size=n_keep, replace=False)
                 li, lv = _gather_topk_lists(
-                    tv, ti, ctx.thinned_grids, nl, b, tv.shape[2]
+                    tv, ti, thin_rows, nl, b, tv.shape[2]
                 )
                 new = select_new_haps_from_topk(
                     li, lv, ctx.Knew, K, prev_sel, rng, cfg.K_top_matches
