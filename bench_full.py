@@ -180,6 +180,23 @@ def main():
         for k, v in (out_t.timing or {}).items()
     }
 
+    # ---------------- end-to-end, QUILT2 path (mspbwt selection) --------
+    from quilt_tpu.panel.mspbwt import build_mspbwt_indices
+    prep.ms_indices = build_mspbwt_indices(panel.hapMatcher)
+    cfg2 = dc_replace(cfg, use_mspbwt=True)
+    quilt_impute(prep, samples, names, cfg2)           # warm-up
+    t0 = time.time()
+    quilt_impute(prep, samples, names, cfg2)
+    dt2 = time.time() - t0
+    results["end_to_end_quilt2"] = {
+        "samples_per_s": N / dt2,
+        "seconds_for_N_samples": dt2,
+        "N": N,
+        "config": "QUILT2 path: mspbwt selection, same shapes",
+        "vs_measured_ref_core": (N / dt2) / ref_sps if ref_sps else None,
+    }
+    prep.ms_indices = None
+
     # ---------------- Gibbs sweep alone -------------------------------
     from quilt_tpu.engine.sample import RegionContext as RC
     from quilt_tpu.kernels import PaddedReads

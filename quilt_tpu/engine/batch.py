@@ -361,21 +361,33 @@ def impute_samples_batched(
             which_haps, H, iterative, first_read, ginputs, preads, max_diff
         )
         if cfg.use_mspbwt:
-            from ..panel.mspbwt import select_new_haps_mspbwt
+            from ..panel.mspbwt import (
+                select_new_haps_mspbwt_batch, symbols_device,
+            )
             with _sec("select:mspbwt"):
-                hap_dos = np.asarray(hap_dos_g)[:, :, :nSNPs]
+                # symbols extracted ON DEVICE: only [B, nl, nGrids] uint8
+                # crosses the host link instead of the full dosage planes;
+                # matching runs ONE vectorized insertion scan per index
+                # for the whole batch
+                z_all = np.asarray(symbols_device(
+                    hap_dos_g[:, :, :nSNPs], ctx.dh_bits_dev(), nSNPs
+                ))
+                hap_dos = hap_dos_g[:, :, :nSNPs]
+                n_keep = ctx.Ksub - ctx.Knew
+                prev_list = [
+                    rng.choice(which_haps[b], size=n_keep, replace=False)
+                    for b in range(B)
+                ]
+                news = select_new_haps_mspbwt_batch(
+                    prep.ms_indices, prep.panel, z_all, ctx.Knew, K,
+                    prev_list, rng, mspbwtL=cfg.mspbwtL,
+                    mspbwtM=cfg.mspbwtM,
+                    heuristic_approach=cfg.heuristic_approach,
+                )
                 for b in range(B):
-                    n_keep = ctx.Ksub - ctx.Knew
-                    prev_sel = rng.choice(
-                        which_haps[b], size=n_keep, replace=False
+                    which_haps[b] = np.sort(
+                        np.concatenate([prev_list[b], news[b]])
                     )
-                    new = select_new_haps_mspbwt(
-                        prep.ms_indices, prep.panel, hap_dos[b], ctx.Knew, K,
-                        prev_sel, rng, mspbwtL=cfg.mspbwtL,
-                        mspbwtM=cfg.mspbwtM,
-                        heuristic_approach=cfg.heuristic_approach,
-                    )
-                    which_haps[b] = np.sort(np.concatenate([prev_sel, new]))
         else:
             hap_dos, which_haps = run_fb_and_select(
                 H, which_haps, row_to_sample
@@ -469,18 +481,29 @@ def impute_samples_batched(
             max_diff,
         )
         if cfg.use_mspbwt:
-            from ..panel.mspbwt import select_new_haps_mspbwt
-            hap_dos_ph_b = np.asarray(hap_dos_p)[:, :, :nSNPs]
-            for b in range(B):
+            from ..panel.mspbwt import (
+                select_new_haps_mspbwt_batch, symbols_device,
+            )
+            with _sec("select:mspbwt"):
+                z_all = np.asarray(symbols_device(
+                    hap_dos_p[:, :, :nSNPs], ctx.dh_bits_dev(), nSNPs
+                ))
                 n_keep = ctx.Ksub - ctx.Knew
-                prev_sel = rng.choice(wh_p[b], size=n_keep, replace=False)
-                new = select_new_haps_mspbwt(
-                    prep.ms_indices, prep.panel, hap_dos_ph_b[b], ctx.Knew, K,
-                    prev_sel, rng, mspbwtL=cfg.mspbwtL, mspbwtM=cfg.mspbwtM,
+                prev_list = [
+                    rng.choice(wh_p[b], size=n_keep, replace=False)
+                    for b in range(B)
+                ]
+                news = select_new_haps_mspbwt_batch(
+                    prep.ms_indices, prep.panel, z_all, ctx.Knew, K,
+                    prev_list, rng, mspbwtL=cfg.mspbwtL,
+                    mspbwtM=cfg.mspbwtM,
                     heuristic_approach=cfg.heuristic_approach,
                 )
-                wh_p[b] = np.sort(np.concatenate([prev_sel, new]))
-            hap_dos_ph = hap_dos_ph_b
+                for b in range(B):
+                    wh_p[b] = np.sort(
+                        np.concatenate([prev_list[b], news[b]])
+                    )
+            hap_dos_ph = hap_dos_p[:, :, :nSNPs]
         else:
             hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, row_to_sample)
     hap_dos_ph = np.asarray(hap_dos_ph)

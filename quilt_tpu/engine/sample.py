@@ -65,6 +65,7 @@ class RegionContext:
     mesh: Optional[object] = None             # jax Mesh (multi-chip)
     sharded_fb: Optional[object] = None       # dist.mesh.ShardedFB
     _rhb_dev_cache: Optional[object] = None
+    _dh_bits_dev_cache: Optional[object] = None
 
     def rhb_dev(self):
         """Packed panel resident on device (uploaded once per region)."""
@@ -72,6 +73,19 @@ class RegionContext:
             object.__setattr__(self, "_rhb_dev_cache",
                                jnp.asarray(self.prep.rhb_t))
         return self._rhb_dev_cache
+
+    def dh_bits_dev(self):
+        """Distinct-hap alleles [nMaxDH, S] uint8 on device (uploaded once;
+        feeds the device symbol extraction of the mspbwt selection)."""
+        if self._dh_bits_dev_cache is None:
+            from ..utils import unpack_bits_32
+            panel = self.prep.panel
+            bits = unpack_bits_32(
+                panel.distinctHapsB, panel.nGrids * 32
+            )
+            object.__setattr__(self, "_dh_bits_dev_cache",
+                               jnp.asarray(bits))
+        return self._dh_bits_dev_cache
 
     @classmethod
     def build(cls, prep: PreparedReference, cfg: ImputeConfig) -> "RegionContext":

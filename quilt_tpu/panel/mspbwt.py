@@ -285,6 +285,69 @@ def match_z(
     return out
 
 
+def match_z_batch(
+    index: MsIndex,
+    Z: np.ndarray,                # [Q, T] uint8 query symbols
+    X_rows,                       # callable (cands, upto) -> [n_c, upto]
+    min_length: int = 3,
+    scan: int = 4,
+) -> List[List[Tuple[int, int, int]]]:
+    """match_z for a BATCH of queries: the per-column insertion-point
+    update vectorizes over queries (grouped by symbol per column), so the
+    batched engine's {rows x latent haps} selection pays one Python
+    column loop instead of one per query. Approach A only (checkpoint
+    reporting); identical results to per-query match_z (tested)."""
+    Y, C, grids = index.Y, index.C, index.grids
+    T, K = Y.shape
+    Q = Z.shape[0]
+    occ = index.occ
+    cp_set = {int(c): i for i, c in enumerate(index.cp_cols)}
+    if occ is None:
+        # planes / scan rank structures: per-query path
+        return [
+            match_z(index, Z[q], X_rows, min_length=min_length, scan=scan)
+            for q in range(Q)
+        ]
+    matches: List[Dict[Tuple[int, int], int]] = [dict() for _ in range(Q)]
+
+    def report(q, cands, t):
+        if len(cands) == 0:
+            return
+        sym = X_rows(cands, t + 1)
+        eq = sym == Z[q, None, : t + 1]
+        run = np.cumprod(eq[:, ::-1], axis=1)
+        lens = run.sum(axis=1)
+        keep = lens >= min_length
+        mq = matches[q]
+        for k, L in zip(cands[keep].tolist(), lens[keep].tolist()):
+            key = (int(k), int(t - L + 1))
+            if mq.get(key, 0) < L:
+                mq[key] = int(L)
+
+    p = np.zeros(Q, dtype=np.int64)
+    Ct = C
+    for t in range(T):
+        zt = Z[:, t]
+        row = occ[t]
+        for s in np.unique(zt):
+            m = zt == s
+            lo, hi = int(Ct[t, s]), int(Ct[t, s + 1])
+            p[m] = lo + np.searchsorted(row[lo:hi], p[m])
+        if t in cp_set:
+            A = index.A_cp[cp_set[t]]
+            for q in range(Q):
+                lo_q, hi_q = max(int(p[q]) - scan, 0), min(
+                    int(p[q]) + scan, K
+                )
+                report(q, A[lo_q:hi_q], t)
+    out: List[List[Tuple[int, int, int]]] = []
+    for q in range(Q):
+        out.append([
+            (k, start + L - 1, L) for (k, start), L in matches[q].items()
+        ])
+    return out
+
+
 def symbols_from_hap_dosage(
     hap_dosage: np.ndarray,          # [nSNPs] imputed haploid dosage
     distinctHapsB: np.ndarray,       # uint32 [nMaxDH, nGrids]
@@ -337,10 +400,50 @@ def _coverage_weight_rank(
     return [mtm[i][0] for i in order]
 
 
+def _symbols_device_impl(hap_dos, dh_bits_dev, nSNPs: int):
+    import jax.numpy as jnp
+
+    lead = hap_dos.shape[:-1]
+    a = (hap_dos[..., :nSNPs] > 0.5)
+    S = dh_bits_dev.shape[1]
+    if nSNPs < S:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, S - nSNPs)])
+    G = S // 32
+    D = dh_bits_dev.shape[0]
+    av = a.reshape((-1, G, 32)).astype(jnp.bfloat16)
+    dv = dh_bits_dev.reshape(D, G, 32).astype(jnp.bfloat16)
+    sa = av.sum(-1)                                   # [R, G]
+    sd = dv.sum(-1)                                   # [D, G]
+    ad = jnp.einsum("rgs,dgs->rdg", av, dv,
+                    preferred_element_type=jnp.float32)
+    ham = sa[:, None, :] + sd[None] - 2.0 * ad        # [R, D, G]
+    z = (jnp.argmin(ham, axis=1) + 1).astype(jnp.uint8)
+    return z.reshape(lead + (G,))
+
+
+_SYM_JIT = None
+
+
+def symbols_device(hap_dos, dh_bits_dev, nSNPs: int):
+    """[B..., nSNPs] haploid dosages -> [B..., nGrids] uint8 distinct-hap
+    symbols ON DEVICE (the batched engine's replacement for per-row host
+    symbols_from_hap_dosage: only the tiny symbol matrix crosses the host
+    link instead of the full dosage planes).
+
+    Hamming distances run as per-grid [B,32]x[32,D] matmuls in bf16 —
+    EXACT, since every quantity is an integer <= 64 (inside bf16's 8-bit
+    mantissa); argmin tie-break (first) matches np.argmin."""
+    global _SYM_JIT
+    if _SYM_JIT is None:
+        import jax
+        _SYM_JIT = jax.jit(_symbols_device_impl, static_argnames=("nSNPs",))
+    return _SYM_JIT(hap_dos, dh_bits_dev, nSNPs=nSNPs)
+
+
 def select_new_haps_mspbwt(
     ms_indices: List[MsIndex],
     panel,                            # CompressedPanel
-    hap_dosages: np.ndarray,          # [n_latent, nSNPs]
+    hap_dosages: Optional[np.ndarray],   # [n_latent, nSNPs] (or None)
     Knew: int,
     K: int,
     previously_selected: np.ndarray,
@@ -349,20 +452,23 @@ def select_new_haps_mspbwt(
     mspbwtM: int = 1,
     heuristic_approach: str = "A",
     hapMatcher: Optional[np.ndarray] = None,
+    symbols: Optional[np.ndarray] = None,   # [n_latent, nGrids] uint8
 ) -> np.ndarray:
     """Select Knew haplotypes via long-match discovery + coverage-weighted
     ranking + cross-latent-hap interleaving (select_new_haps_mspbwt_v3,
-    mspbwt.R:230-474)."""
+    mspbwt.R:230-474). `symbols` (precomputed, e.g. on device via
+    symbols_device) skips the per-row host symbol build."""
     nSNPs = panel.nSNPs
-    n_latent = hap_dosages.shape[0]
+    n_latent = (symbols if symbols is not None else hap_dosages).shape[0]
     hm = hapMatcher if hapMatcher is not None else panel.hapMatcher
     scan = max(int(mspbwtM), 4)
     per_hap_ranked: List[List[int]] = []
     all_haps: set = set()
     for h in range(n_latent):
-        z_full = symbols_from_hap_dosage(
-            hap_dosages[h], panel.distinctHapsB, nSNPs
-        )
+        z_full = symbols[h] if symbols is not None else \
+            symbols_from_hap_dosage(
+                hap_dosages[h], panel.distinctHapsB, nSNPs
+            )
         mtm: List[Tuple[int, int, int, int]] = []
         T_max = 0
         for idx in ms_indices:
@@ -380,7 +486,15 @@ def select_new_haps_mspbwt(
                 mtm.append((k, end_t - L + 1, end_t, L))
                 all_haps.add(k)
         per_hap_ranked.append(_coverage_weight_rank(mtm, T_max))
-    # interleave per-hap ranked lists round-robin, dedupe, exclude retained
+    return _interleave_pick(
+        per_hap_ranked, Knew, K, previously_selected, rng
+    )
+
+
+def _interleave_pick(per_hap_ranked, Knew, K, previously_selected, rng):
+    """Round-robin interleave of per-hap ranked lists, dedupe, exclude the
+    retained subset, random fill on shortage (mspbwt.R:443-473)."""
+    n_latent = len(per_hap_ranked)
     chosen: List[int] = []
     prev = set(np.asarray(previously_selected).tolist())
     seen = set()
@@ -406,6 +520,63 @@ def select_new_haps_mspbwt(
         fill = rng.choice(pool, size=Knew - len(chosen), replace=False)
         chosen.extend(fill.tolist())
     return np.asarray(chosen[:Knew], dtype=np.int64)
+
+
+def select_new_haps_mspbwt_batch(
+    ms_indices: List[MsIndex],
+    panel,
+    symbols_all: np.ndarray,          # [n_rows, n_latent, nGrids] uint8
+    Knew: int,
+    K: int,
+    prev_list,                        # per row: retained hap indices
+    rng: np.random.Generator,
+    mspbwtL: int = 3,
+    mspbwtM: int = 1,
+    heuristic_approach: str = "A",
+    hapMatcher: Optional[np.ndarray] = None,
+) -> List[np.ndarray]:
+    """Batched selection for the {samples x chains} engine: ONE
+    vectorized insertion scan per index (match_z_batch) replaces a
+    per-row Python query loop; ranking/interleave then runs per row.
+    Same matches as per-row select_new_haps_mspbwt (tested)."""
+    n_rows, n_latent, G = symbols_all.shape
+    hm = hapMatcher if hapMatcher is not None else panel.hapMatcher
+    scan = max(int(mspbwtM), 4)
+    Q = n_rows * n_latent
+    Zf = symbols_all.reshape(Q, G)
+    per_query_mtm: List[List[Tuple[int, int, int, int]]] = [
+        [] for _ in range(Q)
+    ]
+    T_max = 0
+    for idx in ms_indices:
+        Z = np.ascontiguousarray(Zf[:, idx.grids])
+        T_max = max(T_max, len(idx.grids))
+
+        def X_rows(cands, upto, idx=idx):
+            return hm[np.asarray(cands)[:, None], idx.grids[None, :upto]]
+
+        if heuristic_approach == "B":
+            res = [
+                match_z(idx, Z[q], X_rows, min_length=mspbwtL, scan=scan,
+                        every_column=True)
+                for q in range(Q)
+            ]
+        else:
+            res = match_z_batch(
+                idx, Z, X_rows, min_length=mspbwtL, scan=scan
+            )
+        for q, lst in enumerate(res):
+            mq = per_query_mtm[q]
+            for k, end_t, L in lst:
+                mq.append((k, end_t - L + 1, end_t, L))
+    out = []
+    for r in range(n_rows):
+        ranked = [
+            _coverage_weight_rank(per_query_mtm[r * n_latent + h], T_max)
+            for h in range(n_latent)
+        ]
+        out.append(_interleave_pick(ranked, Knew, K, prev_list[r], rng))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -190,3 +190,24 @@ def test_rank_modes_agree(rng):
         p = int(rng.integers(0, K + 1))
         want = int(np.count_nonzero(idx.Y[t, :p] == s))
         assert _rank_planes(idx.planes[t], s, p) == want
+
+
+def test_match_z_batch_equals_per_query(rng):
+    """match_z_batch (vectorized insertion scan over queries) returns the
+    same matches as per-query match_z."""
+    from quilt_tpu.panel.mspbwt import build_mspbwt_indices, match_z, \
+        match_z_batch
+
+    K, nGrids = 120, 64
+    hm = rng.integers(0, 6, (K, nGrids)).astype(np.uint8)
+    idx = build_mspbwt_indices(hm, n_indices=1, egs=8)[0]
+    Q = 9
+    Z = np.stack([
+        hm[rng.integers(0, K), idx.grids] for _ in range(Q)
+    ])
+    sub = hm[:, idx.grids]
+    rows = lambda cands, upto: sub[cands, :upto]
+    batch = match_z_batch(idx, Z, rows, min_length=3)
+    for q in range(Q):
+        want = sorted(match_z(idx, Z[q], rows, min_length=3))
+        assert sorted(batch[q]) == want, q

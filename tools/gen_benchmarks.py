@@ -30,6 +30,15 @@ def generate() -> str:
 
     fb = full["fb_kernel"]
     e2e = full["end_to_end"]
+    q2 = full.get("end_to_end_quilt2")
+    q2_row = ""
+    if q2:
+        q2_row = (
+            f"\n| End-to-end, QUILT2 path | "
+            f"{q2['samples_per_s']:.2f} samples/s/chip | "
+            f"{q2['vs_measured_ref_core']:.1f}x | "
+            f"N={q2['N']}, mspbwt selection, same shapes |"
+        )
     gs = full["gibbs_sweep"]
     tiled = full.get("fb_kernel_tiled", {})
 
@@ -77,7 +86,7 @@ below drains each timed call through a scalar reduction of its output
           f"{row['vs_measured_ref_core']:.0f}x | "
           f"K={row['K']:,} x {row['nGrids']} grids, B={row['B']} |")
     w(f"""| Gibbs sweep | {gs['seconds_per_21_sweep_call'] * 1e3:.0f} ms per 21-sweep 7-chain call ({fmt_e(gs['read_resamples_per_s'])} resamples/s) | {gs['vs_measured_ref_core']:.1f}x | Ksubset={gs['Ksubset']}, {gs['nGrids']} grids, {gs['nReads']} reads |
-| End-to-end | **{e2e['samples_per_s']:.2f} samples/s/chip** ({e2e['reads_per_s']:.0f} reads/s) | {e2e['vs_measured_ref_core']:.1f}x | N={e2e['N']}, K={e2e['K_panel']:,}, {e2e['nSNPs']:,} SNPs, {e2e['config']} |
+| End-to-end | **{e2e['samples_per_s']:.2f} samples/s/chip** ({e2e['reads_per_s']:.0f} reads/s) | {e2e['vs_measured_ref_core']:.1f}x | N={e2e['N']}, K={e2e['K_panel']:,}, {e2e['nSNPs']:,} SNPs, {e2e['config']} |{q2_row}
 
 The end-to-end baseline (bench_ref/gibbs_ref_bench.cpp e2e mode) omits
 the reference's block-Gibbs moves, H_class bookkeeping, haplotype
