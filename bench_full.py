@@ -217,11 +217,10 @@ def main():
         [sub, np.repeat(sub[:1], Kp - Ksub, axis=0)], axis=0
     )
     import jax.numpy as jnp
-    # device-resident inputs (as the engine holds them); uploading the
-    # [C, K, S] bits through the tunnel per call times the link
-    bits1_dev = jnp.asarray(unpack_bits_32(sub, nGrids * 32))
+    # device-resident PACKED inputs (as the engine holds them)
+    bits1_dev = jnp.asarray(sub)
     bits = jax.device_put(
-        jnp.broadcast_to(bits1_dev[None], (C, Kp, nGrids * 32))
+        jnp.broadcast_to(bits1_dev[None], (C, Kp, nGrids))
     ).block_until_ready()
     uniforms = jnp.asarray(
         rng.random((n_its, C, ginputs.R)).astype(np.float32)

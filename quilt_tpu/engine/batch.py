@@ -30,10 +30,13 @@ from ..kernels.gibbs import GibbsInputs, run_gibbs_chains
 
 
 @jax.jit
-def _gather_unpack(rhb_dev, which):
-    """Device-side subset gather + bit unpack: only the [B, Ksub] index
-    array crosses the host link (the packed panel is uploaded once)."""
-    return unpack_bits_device(rhb_dev[which])
+def _gather_words(rhb_dev, which):
+    """Device-side subset gather of PACKED panel words: only the
+    [B, Ksub] index array crosses the host link, and the panel stays
+    bit-packed all the way into the kernels (the emission builder and
+    dosage pass unpack words on the fly — no [B, K, S] byte panel in
+    HBM)."""
+    return rhb_dev[which]
 
 
 def _device_uniforms(key, shape):
@@ -149,7 +152,7 @@ def impute_samples_batched(
             [which_b] + [which_b[:, :1]] * (Kp_sub - which_b.shape[1]), axis=1
         ) if Kp_sub != which_b.shape[1] else which_b
         with _sec("gibbs:bits_gather"):
-            bits = _drain(_gather_unpack(rhb_dev, jnp.asarray(which_p)))
+            bits = _drain(_gather_words(rhb_dev, jnp.asarray(which_p)))
         with _sec("gibbs:rng"):
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
             k1, k2, k3 = jax.random.split(key, 3)

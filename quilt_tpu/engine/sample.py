@@ -244,7 +244,7 @@ def emat_read_vs_dosages(
 
 @jax.jit
 def _unpack_subset(rhb_sub: jnp.ndarray) -> jnp.ndarray:
-    return unpack_bits_device(rhb_sub)
+    return unpack_bits_device(rhb_sub)      # (legacy; kernels take packed)
 
 
 def _gather_topk_lists(tv, ti, thinned, n_latent, chain, K_top):
@@ -330,7 +330,8 @@ def impute_one_sample(
         if Kp != Ksub:
             pad = np.repeat(rhb_sub[:, :1, :], Kp - Ksub, axis=1)
             rhb_sub = np.concatenate([rhb_sub, pad], axis=1)
-        bits = _unpack_subset(jnp.asarray(rhb_sub))
+        # packed words go straight to the kernels (unpacked on the fly)
+        bits = jnp.asarray(rhb_sub)
         uniforms = rng.random((n_its, B, R)).astype(np.float32)
         block_u = rng.random((n_its, nb_slots, 3, B)).astype(np.float32)
         # uniforms for resample_H_using_H_class at block iterations (NIPT

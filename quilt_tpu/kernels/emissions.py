@@ -137,8 +137,13 @@ def emat_read_from_bits(
     Jitted (the eager lax.scan re-traced per call, dominating the Gibbs
     call's dispatch overhead); R_out > R right-pads the read axis with 1.0
     inside the jit so callers avoid a separate eager pad.
+
+    `bits` dtype selects the layout: uint8 = unpacked alleles [B, K, S];
+    int32/uint32 = PACKED words [B, K, S/32] (bit b of word g = allele of
+    SNP 32g+b) — 32x less gather traffic and no unpacked panel in HBM.
     """
     B, K, S = bits.shape
+    packed = bits.dtype != jnp.uint8
     per_row = u_pad.ndim == 3
     R, J = u_pad.shape[-2], u_pad.shape[-1]
     base = lr.sum(axis=-1)                     # [R] or [B, R]
@@ -152,6 +157,20 @@ def emat_read_from_bits(
         diff = jnp.pad(diff, padw)
         base = jnp.pad(base, padw[:-1])
 
+    def _alleles(u_c):
+        """Gather [B, K, Rc, J] alleles for SNP indices u_c [(B,) Rc, J].
+        The index keeps its size-1 K dim — take_along_axis broadcasts it
+        (an explicit broadcast_to forces a far slower gather lowering)."""
+        flat = u_c.reshape((B, 1, -1) if per_row else (1, 1, -1))
+        if packed:
+            w = jnp.take_along_axis(bits, flat >> 5, axis=2)
+            a = (w >> (flat & 31).astype(w.dtype)) & 1
+        else:
+            a = jnp.take_along_axis(bits, flat, axis=2)
+        if not per_row and a.shape[0] == 1 and B > 1:
+            a = jnp.broadcast_to(a, (B, K, a.shape[2]))
+        return a.reshape(B, K, read_chunk, J)
+
     if per_row:
         def chunk_fn(carry, idx):
             u_c = jax.lax.dynamic_slice(
@@ -161,9 +180,7 @@ def emat_read_from_bits(
                 diff, (0, idx, 0), (B, read_chunk, J)
             )
             b_c = jax.lax.dynamic_slice(base, (0, idx), (B, read_chunk))
-            a = jnp.take_along_axis(
-                bits, u_c.reshape(B, 1, read_chunk * J), axis=2
-            ).reshape(B, K, read_chunk, J)
+            a = _alleles(u_c)
             logs = b_c[:, None, :] + jnp.einsum(
                 "bkrj,brj->bkr", a.astype(jnp.float32),
                 d_c.astype(jnp.float32),
@@ -174,7 +191,7 @@ def emat_read_from_bits(
             u_c = jax.lax.dynamic_slice(u_pad, (idx, 0), (read_chunk, J))
             d_c = jax.lax.dynamic_slice(diff, (idx, 0), (read_chunk, J))
             b_c = jax.lax.dynamic_slice(base, (idx,), (read_chunk,))
-            a = bits[:, :, u_c]                # [B, K, Rc, J]
+            a = _alleles(u_c)
             logs = b_c[None, None, :] + jnp.einsum(
                 "bkrj,rj->bkr", a.astype(jnp.float32),
                 d_c.astype(jnp.float32),

@@ -625,7 +625,8 @@ def _gibbs_core(
     quantile_prob: float = 0.95,
 ):
     B, K, R = eMatRead.shape
-    S = bits.shape[2]
+    bits_packed = bits.dtype != jnp.uint8
+    S = bits.shape[2] * (32 if bits_packed else 1)
     G = read_start.shape[1]
     n_its = uniforms.shape[0]
     eye_b = jnp.eye(nl, dtype=bool)
@@ -1225,7 +1226,14 @@ def _gibbs_core(
     def dos_step(_, g):
         gam = alphas[g] * beta[g] * km[None, None, :]
         gam = gam / jnp.maximum(gam.sum(axis=2, keepdims=True), 1e-30)
-        bits_g = jax.lax.dynamic_slice(bits, (0, 0, g * 32), (B, K, 32))
+        if bits_packed:
+            w_g = jax.lax.dynamic_slice(bits, (0, 0, g), (B, K, 1))
+            sh32 = jnp.arange(32, dtype=w_g.dtype)
+            bits_g = (w_g >> sh32[None, None, :]) & 1
+        else:
+            bits_g = jax.lax.dynamic_slice(
+                bits, (0, 0, g * 32), (B, K, 32)
+            )
         e_g = bits_g.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
         hd = jnp.einsum("bhk,bks->bhs", gam, e_g)
         return None, hd

@@ -707,7 +707,8 @@ def _gibbs_core_pallas(
     B, K, R = em_all.shape
     G, W = r_pad.shape[0], r_pad.shape[1]
     BN = nl * B
-    S = bits.shape[2]
+    bits_packed = bits.dtype != jnp.uint8
+    S = bits.shape[2] * (32 if bits_packed else 1)
     # log emission + uninformative-read skip mask, fused into this jit so
     # the dispatch path issues ONE device call per sweep
     lem_all = jnp.log(em_all)
@@ -914,7 +915,14 @@ def _gibbs_core_pallas(
         gam = (a * bt * km[None, :]).reshape(nl, B, K)
         gam = jnp.transpose(gam, (1, 0, 2))
         gam = gam / jnp.maximum(gam.sum(axis=2, keepdims=True), 1e-30)
-        bits_g = jax.lax.dynamic_slice(bits, (0, 0, g * 32), (B, K, 32))
+        if bits_packed:
+            w_g = jax.lax.dynamic_slice(bits, (0, 0, g), (B, K, 1))
+            sh32 = jnp.arange(32, dtype=w_g.dtype)
+            bits_g = (w_g >> sh32[None, None, :]) & 1
+        else:
+            bits_g = jax.lax.dynamic_slice(
+                bits, (0, 0, g * 32), (B, K, 32)
+            )
         e_g = bits_g.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
         hd = jnp.einsum("bhk,bks->bhs", gam, e_g)
         return None, hd

@@ -331,7 +331,8 @@ def match_z_batch(
         row = occ[t]
         for s in np.unique(zt):
             m = zt == s
-            lo, hi = int(Ct[t, s]), int(Ct[t, s + 1])
+            si = int(s)                  # uint8 s+1 would wrap at 255
+            lo, hi = int(Ct[t, si]), int(Ct[t, si + 1])
             p[m] = lo + np.searchsorted(row[lo:hi], p[m])
         if t in cp_set:
             A = index.A_cp[cp_set[t]]

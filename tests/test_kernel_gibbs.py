@@ -168,3 +168,47 @@ def test_gibbs_kernel_matches_oracle_nipt(rng):
     dosF_o = oracle.genProbsF[1] + 2 * oracle.genProbsF[2]
     r2f = np.corrcoef(dosF_k, dosF_o)[0, 1] ** 2
     assert r2f > 0.98, f"NIPT fetal dosage r2 vs oracle {r2f}"
+
+
+def test_gibbs_packed_bits_equals_unpacked(rng):
+    """run_gibbs_chains with PACKED panel words (int32/uint32 bits, the
+    production layout) equals the unpacked uint8 path."""
+    from quilt_tpu.io import simulate_panel, simulate_sample_reads
+    from quilt_tpu.io.simulate import simulate_truth_mosaic
+    from quilt_tpu.panel import assign_positions_to_grid, trans_rates
+    from quilt_tpu.utils import pack_bits_32, unpack_bits_32
+    from quilt_tpu.kernels.gibbs import GibbsInputs, run_gibbs_chains
+
+    K, nSNPs = 64, 256
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    rhb_t = pack_bits_32(haps)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    truth = simulate_truth_mosaic(rng, haps, n_latent=2)
+    reads, _ = simulate_sample_reads(
+        rng, truth, pos, grid, coverage=1.5, read_length_bp=300
+    )
+    reads = reads.sorted_by_grid()
+    trans = trans_rates(np.full(nGrids - 1, 0.98))
+    gin = GibbsInputs.build(reads, trans, nGrids)
+    pr = PaddedReads.build(reads, ref_error=0.001)
+    C, n_its = 2, 6
+    bits_u8 = np.broadcast_to(
+        unpack_bits_32(rhb_t, nGrids * 32)[None], (C, K, nGrids * 32)
+    )
+    bits_pk = np.broadcast_to(rhb_t[None], (C, K, nGrids))
+    uniforms = rng.random((n_its, C, gin.R)).astype(np.float32)
+    H0 = rng.choice(2, size=(C, gin.R)).astype(np.int32)
+    first = np.zeros(C, dtype=np.int32)
+    outs = []
+    for bits in (bits_u8, bits_pk):
+        outs.append(run_gibbs_chains(
+            bits=np.ascontiguousarray(bits), preads=pr, inputs=gin,
+            uniforms=uniforms, H0=H0, first_read=first, n_latent=2,
+            ff=0.0, n_burn_in=n_its - 1, iterative_init=False, K_real=K,
+        ))
+    for a, b, name in zip(outs[0], outs[1],
+                          ("gp", "gpF", "hd", "H", "ll", "uf", "Hc")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6,
+            err_msg=name,
+        )

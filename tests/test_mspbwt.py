@@ -199,7 +199,9 @@ def test_match_z_batch_equals_per_query(rng):
         match_z_batch
 
     K, nGrids = 120, 64
-    hm = rng.integers(0, 6, (K, nGrids)).astype(np.uint8)
+    hm = rng.integers(0, 256, (K, nGrids)).astype(np.uint8)
+    hm[:40] = hm[0]              # shared rows so long matches exist
+    assert (hm == 255).any()     # symbol 255 must be covered (uint8 wrap)
     idx = build_mspbwt_indices(hm, n_indices=1, egs=8)[0]
     Q = 9
     Z = np.stack([

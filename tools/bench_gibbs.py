@@ -57,7 +57,7 @@ def main():
     which = np.sort(rng.choice(K_panel, Ksub, replace=False))
     sub = rhb[which]
     sub = np.concatenate([sub, np.repeat(sub[:1], Kp - Ksub, axis=0)], axis=0)
-    bits1 = unpack_bits_32(sub, nGrids * 32)
+    bits1 = sub                         # packed words (production layout)
 
     results = {"device": str(jax.devices()[0]), "nReads": reads.nReads,
                "Ksubset": Ksub, "nGrids": nGrids}
@@ -69,7 +69,7 @@ def main():
         # device-resident inputs, as in the engine (bits are gathered from
         # the device panel per batch; uploading [C, K, S] through the
         # tunnel per call times the link, not the kernel)
-        bits = jnp.broadcast_to(bits1_dev[None], (C, Kp, nGrids * 32))
+        bits = jnp.broadcast_to(bits1_dev[None], (C, Kp, nGrids))
         bits = jax.device_put(bits).block_until_ready()
         uniforms = jnp.asarray(
             rng.random((n_its, C, ginputs.R)).astype(np.float32)
