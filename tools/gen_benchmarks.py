@@ -92,8 +92,11 @@ The end-to-end baseline (bench_ref/gibbs_ref_bench.cpp e2e mode) omits
 the reference's block-Gibbs moves, H_class bookkeeping, haplotype
 re-selection, consensus and output construction — all of which cost the
 reference extra time — so the measured end-to-end speedup is understated.
-Batch scaling: N=32 in the same harness reaches ~1.33 samples/s
-(BENCH_r04 context; the sweep's device cost is sublinear in rows).
+Run-to-run wall time varies ~20-30% with axon-tunnel latency; N=8 runs
+measure 1.0-1.5 samples/s on the same code. The reference denominator is
+per CORE — one 8-core node running 8 reference processes would tie a
+chip at ~0.7x of these numbers, but chips scale by mesh/host while the
+reference's per-sample fork model stops at the node.
 
 ## End-to-end per-stage breakdown (print_extra_timing_information)
 
