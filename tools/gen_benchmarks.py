@@ -93,10 +93,12 @@ the reference's block-Gibbs moves, H_class bookkeeping, haplotype
 re-selection, consensus and output construction — all of which cost the
 reference extra time — so the measured end-to-end speedup is understated.
 Run-to-run wall time varies ~20-30% with axon-tunnel latency; N=8 runs
-measure 1.0-1.5 samples/s on the same code. The reference denominator is
-per CORE — one 8-core node running 8 reference processes would tie a
-chip at ~0.7x of these numbers, but chips scale by mesh/host while the
-reference's per-sample fork model stops at the node.
+measure 1.0-1.5 samples/s on the same code. The NIPT path (3 latent
+haplotypes, ff=0.2, 2x coverage) measures 0.90 samples/s at N=8 with
+maternal r2 0.85 vs truth (same harness, method=nipt). The reference
+denominator is per CORE — one 8-core node running 8 reference processes
+would tie a chip at ~0.7x of these numbers, but chips scale by mesh/host
+while the reference's per-sample fork model stops at the node.
 
 ## End-to-end per-stage breakdown (print_extra_timing_information)
 
