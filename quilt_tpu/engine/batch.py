@@ -24,7 +24,7 @@ import jax
 from ..config import ImputeConfig
 from ..io.reads import SampleReads
 from ..kernels import PaddedReads, fb_full_batched
-from ..kernels.common import pad_to_multiple, unpack_bits_device
+from ..kernels.common import pad_to_multiple
 from ..kernels.emissions import gls_from_labels_device
 from ..kernels.gibbs import GibbsInputs, run_gibbs_chains
 
@@ -192,7 +192,7 @@ def impute_samples_batched(
                     boundaries=None if otf else bnd,
                     block_u=block_u, do_block=do_block_np,
                     resample_u=resample_u,
-                    smooth_w=ctx.smooth_w,
+                    smooth_w=ctx.smooth_w_dev(),
                     quantile_prob=ctx.block_quantile,
                     return_arrays=False,
                 )

@@ -25,7 +25,7 @@ from ..config import ImputeConfig
 from ..io.reads import SampleReads, bq_to_probs
 from ..panel.prepare import PreparedReference, trans_rates
 from ..kernels import FBInputs, fb_full_batched, PaddedReads
-from ..kernels.common import pad_to_multiple, unpack_bits_device
+from ..kernels.common import pad_to_multiple
 from ..kernels.gibbs import GibbsInputs, run_gibbs_chains
 from ..utils import print_message
 from .selection import (
@@ -66,6 +66,7 @@ class RegionContext:
     sharded_fb: Optional[object] = None       # dist.mesh.ShardedFB
     _rhb_dev_cache: Optional[object] = None
     _dh_bits_dev_cache: Optional[object] = None
+    _smooth_w_dev_cache: Optional[object] = None
 
     def rhb_dev(self):
         """Packed panel resident on device (uploaded once per region)."""
@@ -73,6 +74,18 @@ class RegionContext:
             object.__setattr__(self, "_rhb_dev_cache",
                                jnp.asarray(self.prep.rhb_t))
         return self._rhb_dev_cache
+
+    def smooth_w_dev(self):
+        """Banded smoothing operator device-resident (uploaded once per
+        region instead of per Gibbs call)."""
+        if self.smooth_w is None:
+            return None
+        if self._smooth_w_dev_cache is None:
+            object.__setattr__(
+                self, "_smooth_w_dev_cache",
+                tuple(jnp.asarray(x) for x in self.smooth_w),
+            )
+        return self._smooth_w_dev_cache
 
     def dh_bits_dev(self):
         """Distinct-hap alleles [nMaxDH, S] uint8 on device (uploaded once;
@@ -126,7 +139,7 @@ class RegionContext:
         if cfg.impute_rare_common and prep.sigma_all is not None:
             trans_all = trans_rates(prep.sigma_all)
             nGrids_all = len(prep.L_grid_all)
-        from ..panel.prepare import make_smoothed_rate, smoothing_matrix
+        from ..panel.prepare import make_smoothed_rate, smoothing_band
         from ..oracle.block_gibbs import detect_boundaries
         smooth = make_smoothed_rate(
             prep.sigma, prep.L_grid, cfg.shuffle_bin_radius
@@ -138,7 +151,7 @@ class RegionContext:
         smooth_w = None
         if (cfg.block_gibbs_boundary_detection == "gamma" and nGrids > 4
                 and cfg.max_block_gibbs_boundaries > 0):
-            smooth_w = smoothing_matrix(
+            smooth_w = smoothing_band(
                 prep.L_grid, cfg.shuffle_bin_radius
             )
         from ..utils.log import SectionTimers
@@ -240,11 +253,6 @@ def emat_read_vs_dosages(
     for h in range(nl):
         np.add.at(out[h], read_of_base, logterm[h])
     return np.exp(out)
-
-
-@jax.jit
-def _unpack_subset(rhb_sub: jnp.ndarray) -> jnp.ndarray:
-    return unpack_bits_device(rhb_sub)      # (legacy; kernels take packed)
 
 
 def _gather_topk_lists(tv, ti, thinned, n_latent, chain, K_top):
@@ -352,7 +360,7 @@ def impute_one_sample(
                     boundaries=None if otf else bnd,
                     block_u=block_u, do_block=do_block_np,
                     resample_u=resample_u,
-                    smooth_w=ctx.smooth_w,
+                    smooth_w=ctx.smooth_w_dev(),
                     quantile_prob=ctx.block_quantile,
                 )
             if not uf.any():

@@ -107,7 +107,8 @@ def _boundaries_from_rate(rate2, smooth_w, NB, quantile_prob):
 
     Mirrors Rcpp_define_blocked_snps_using_gamma_on_the_fly (reference:
     QUILT/src/gibbs-nipt-block.cpp:311-527): smooth the per-gap jump rate
-    over physical distance (smooth_w = panel.prepare.smoothing_matrix),
+    over physical distance (smooth_w = panel.prepare.smoothing_band, a
+    BANDED operator — O(Gm*band) instead of a dense [Gm, Gm] matrix),
     threshold at min(1, sorted[int(n*q)]) (rcpp_simple_quantile, :81-85),
     then keep one boundary per contiguous above-threshold run, at the
     run's maximum. DOCUMENTED DEVIATIONS: the reference's greedy
@@ -117,11 +118,17 @@ def _boundaries_from_rate(rate2, smooth_w, NB, quantile_prob):
     capped at NB (top-NB by smoothed rate), where the reference is
     uncapped.
 
-    rate2: [Gm, B] f32; smooth_w: [Gm, Gm]; returns [NB, B] int32
-    suffix-start grid indices, ascending per row, 0 = pad.
+    rate2: [Gm, B] f32; smooth_w: (band [Gm, bw], idx0 [Gm]); returns
+    [NB, B] int32 suffix-start grid indices, ascending per row, 0 = pad.
     """
     Gm, B = rate2.shape
-    smoothed = smooth_w @ rate2                            # [Gm, B]
+    band, idx0 = smooth_w
+    bw = band.shape[1]
+    gidx = jnp.clip(
+        idx0[:, None].astype(jnp.int32) + jnp.arange(bw)[None, :],
+        0, Gm - 1,
+    )                                                      # [Gm, bw]
+    smoothed = (band[:, :, None] * rate2[gidx]).sum(axis=1)  # [Gm, B]
     v = min(int(Gm * quantile_prob), Gm - 1)
     thresh = jnp.minimum(1.0, jnp.sort(smoothed, axis=0)[v])   # [B]
     avail = smoothed > thresh[None, :]                     # [Gm, B]
@@ -1421,7 +1428,7 @@ def run_gibbs_chains(
             if resample_u is not None else None
         ),
         block_within=_block_within_default(block_within),
-        smooth_w=(jnp.asarray(smooth_w, dtype=jnp.float32)
+        smooth_w=(tuple(jnp.asarray(x) for x in smooth_w)
                   if smooth_w is not None else None),
         quantile_prob=float(quantile_prob),
     )

@@ -1147,7 +1147,7 @@ def run_gibbs_chains_pallas(
             if resample_u is not None else None
         ),
         block_within=_block_within_default_pallas(block_within),
-        smooth_w=(jnp.asarray(smooth_w, dtype=jnp.float32)
+        smooth_w=(tuple(jnp.asarray(x) for x in smooth_w)
                   if smooth_w is not None else None),
         quantile_prob=float(quantile_prob),
     )

@@ -17,10 +17,12 @@ Rcpp_consider_block_relabelling (gibbs-nipt-block.cpp:590-954) in suffix
 formulation. Diploid keeps the single pairwise swap.
 
 Simplifications vs the reference (documented):
-- boundaries come from the smoothed recombination rate quantile only (the
-  reference also requires local gamma uncertainty);
-- relabelling applies to the whole suffix rather than within-block (two
-  suffix relabels compose to a block relabel).
+- the non-"within" suffix move set applies relabelling to the whole
+  suffix rather than within-block (two suffix relabels compose to a
+  block relabel); the production NIPT path uses the within-block set.
+Since round 4, boundary detection matches the reference's production
+behavior: on-the-fly from the live FB jump rate (live_jump_rate +
+boundaries_from_rate below), not the static map quantile.
 """
 from __future__ import annotations
 
@@ -87,7 +89,7 @@ def live_jump_rate(
 
 def boundaries_from_rate(
     rate2: np.ndarray,           # [G-1]
-    smooth_w: np.ndarray,        # [G-1, G-1] (panel.prepare.smoothing_matrix)
+    smooth_w,                    # (band, idx0) from prepare.smoothing_band
     max_boundaries: int = 32,
     quantile_prob: float = 0.95,
 ) -> np.ndarray:
@@ -103,7 +105,12 @@ def boundaries_from_rate(
     max_boundaries (top by smoothed rate), logged when it truncates.
     Returns ascending suffix-start indices (no pads)."""
     Gm = len(rate2)
-    smoothed = smooth_w @ rate2
+    band, idx0 = smooth_w
+    bw = band.shape[1]
+    gidx = np.clip(
+        idx0[:, None].astype(np.int64) + np.arange(bw)[None, :], 0, Gm - 1
+    )
+    smoothed = (band * rate2[gidx]).sum(axis=1)
     v = min(int(Gm * quantile_prob), Gm - 1)
     thresh = min(1.0, np.sort(smoothed)[v])
     avail = smoothed > thresh

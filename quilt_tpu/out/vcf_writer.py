@@ -91,10 +91,15 @@ def _fmt(x: float) -> str:
 def fmt_g(arr: np.ndarray, decimals: int = 3) -> np.ndarray:
     """Vectorized f"{round(x, decimals):g}" over an array.
 
-    Rounds to `decimals` places (half-to-even, like round()/np.round) and
-    formats via a lookup over the unique rounded values, so a whole-VCF
-    column formats in a handful of numpy passes instead of per-cell
-    Python round()+format (the dominant host cost of the column build)."""
+    Rounds half-to-even on the binary product x*10^decimals and formats
+    via a lookup over the unique rounded values, so a whole-VCF column
+    formats in a handful of numpy passes instead of per-cell Python
+    round()+format (the dominant host cost of the column build).
+    DEVIATION from Python round(): at values whose scaled product is an
+    exact binary half (e.g. 0.0005*1000 == 0.5 exactly) the tie breaks
+    on the product rather than the true decimal, so 0.0005 formats as
+    '0' where round(0.0005, 3) gives 0.001 — a <=1-ulp-of-last-digit
+    difference on probability fields."""
     a = np.asarray(arr, dtype=np.float64).ravel()
     scale = 10.0 ** decimals
     q = np.round(a * scale)

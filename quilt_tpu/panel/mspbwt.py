@@ -301,9 +301,10 @@ def match_z_batch(
     T, K = Y.shape
     Q = Z.shape[0]
     occ = index.occ
+    planes = index.planes
     cp_set = {int(c): i for i, c in enumerate(index.cp_cols)}
-    if occ is None:
-        # planes / scan rank structures: per-query path
+    if occ is None and planes is None:
+        # plain-scan rank structure: per-query path
         return [
             match_z(index, Z[q], X_rows, min_length=min_length, scan=scan)
             for q in range(Q)
@@ -328,12 +329,33 @@ def match_z_batch(
     Ct = C
     for t in range(T):
         zt = Z[:, t]
-        row = occ[t]
-        for s in np.unique(zt):
-            m = zt == s
-            si = int(s)                  # uint8 s+1 would wrap at 255
-            lo, hi = int(Ct[t, si]), int(Ct[t, si + 1])
-            p[m] = lo + np.searchsorted(row[lo:hi], p[m])
+        if occ is not None:
+            row = occ[t]
+            for s in np.unique(zt):
+                m = zt == s
+                si = int(s)              # uint8 s+1 would wrap at 255
+                lo, hi = int(Ct[t, si]), int(Ct[t, si + 1])
+                p[m] = lo + np.searchsorted(row[lo:hi], p[m])
+        else:
+            # UKB-scale rank structure (planes + subsampled occ): the
+            # subsample searchsorted vectorizes over same-symbol queries;
+            # the bounded popcount window refines each
+            row32 = index.occ32[t]
+            for s in np.unique(zt):
+                m = np.flatnonzero(zt == s)
+                si = int(s)
+                lo32, hi32 = int(index.C32[t, si]), int(index.C32[t, si + 1])
+                sub32 = row32[lo32:hi32]
+                js = np.searchsorted(sub32, p[m])
+                for q, j in zip(m, js):
+                    if j == 0:
+                        rank = 0
+                    else:
+                        o = int(sub32[j - 1])
+                        rank = 32 * (j - 1) + _rank_planes(
+                            planes[t], si, int(p[q]), a=o
+                        )
+                    p[q] = int(Ct[t, si]) + rank
         if t in cp_set:
             A = index.A_cp[cp_set[t]]
             for q in range(Q):

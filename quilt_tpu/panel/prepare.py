@@ -153,26 +153,31 @@ def make_smoothed_rate(
     return smoothed
 
 
-def smoothing_matrix(
+def smoothing_band(
     L_grid: np.ndarray, shuffle_bin_radius: int = 5000
-) -> np.ndarray:
-    """[nGrids-1, nGrids-1] linear operator version of
-    rcpp_make_smoothed_rate (reference: QUILT/src/copied-from-stitch.cpp:
-    446-518): smoothed = W @ rate, with row i holding the bp-overlap
-    weights of each gap's rate in the +/- shuffle_bin_radius window around
-    gap i's midpoint, normalized by the total bp added.
+) -> Tuple[np.ndarray, np.ndarray]:
+    """BANDED linear-operator form of rcpp_make_smoothed_rate (reference:
+    QUILT/src/copied-from-stitch.cpp:446-518): smoothed[i] =
+    sum_j band[i, j] * rate[idx0[i] + j], with band row i holding the
+    bp-overlap weights of the gaps inside the +/- shuffle_bin_radius
+    window around gap i's midpoint, normalized by the total bp added.
 
-    Built once per region so the on-the-fly block-Gibbs boundary detection
-    (Rcpp_define_blocked_snps_using_gamma_on_the_fly, QUILT/src/
-    gibbs-nipt-block.cpp:311-527) can smooth its live FB jump rate on
-    device as a single matmul.
+    Returns (band [Gm, bw] float32, idx0 [Gm] int32). The window spans
+    only the gaps within the radius, so memory is O(Gm * band) — a dense
+    [Gm, Gm] operator would need gigabytes at whole-chromosome Gm.
+    Built once per region so the on-the-fly block-Gibbs boundary
+    detection (Rcpp_define_blocked_snps_using_gamma_on_the_fly,
+    QUILT/src/gibbs-nipt-block.cpp:311-527) can smooth its live FB jump
+    rate on device as one banded gather-reduce.
     """
     L_grid = np.asarray(L_grid, dtype=np.int64)
     nGrids = len(L_grid)
     Gm = nGrids - 1
-    W = np.zeros((Gm, Gm), dtype=np.float64)
+    rows: list = []
+    lo_js = np.zeros(Gm, dtype=np.int32)
     for i in range(Gm):
         focal = (L_grid[i] + L_grid[i + 1]) // 2
+        w: dict = {}
         total_bp = 0.0
         # left
         j = i
@@ -185,7 +190,7 @@ def smoothing_matrix(
                 bp_remaining = 0
             else:
                 bp_remaining -= bp_to_add
-            W[i, j] += bp_to_add
+            w[j] = w.get(j, 0.0) + bp_to_add
             total_bp += bp_to_add
             bp_prev = L_grid[j]
             j -= 1
@@ -200,13 +205,21 @@ def smoothing_matrix(
                 bp_remaining = 0
             else:
                 bp_remaining -= bp_to_add
-            W[i, j - 1] += bp_to_add
+            w[j - 1] = w.get(j - 1, 0.0) + bp_to_add
             total_bp += bp_to_add
             bp_prev = L_grid[j]
             j += 1
-        if total_bp > 0:
-            W[i] /= total_bp
-    return W.astype(np.float32)
+        lo = min(w)
+        lo_js[i] = lo
+        rows.append(
+            np.array([w.get(lo + k, 0.0) for k in range(max(w) - lo + 1)])
+            / max(total_bp, 1.0)
+        )
+    bw = max(len(r) for r in rows)
+    band = np.zeros((Gm, bw), dtype=np.float32)
+    for i, r in enumerate(rows):
+        band[i, : len(r)] = r
+    return band, lo_js
 
 
 # ---------------------------------------------------------------------------

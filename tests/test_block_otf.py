@@ -34,22 +34,23 @@ from quilt_tpu.oracle.block_gibbs import (
     boundaries_from_rate,
     live_jump_rate,
 )
-from quilt_tpu.panel.prepare import smoothing_matrix
+from quilt_tpu.panel.prepare import smoothing_band
 
 
 def test_boundaries_from_rate_oracle_vs_device(rng):
     Gm, B, NB = 97, 5, 8
     L = np.sort(rng.choice(np.arange(100, 1_000_000, 37), Gm + 1,
                            replace=False))
-    W = smoothing_matrix(L, 5000)
+    W = smoothing_band(L, 5000)
     rate2 = (rng.random((Gm, B)) ** 3).astype(np.float32)
     dev = np.asarray(_boundaries_from_rate(
-        jnp.asarray(rate2), jnp.asarray(W), NB, 0.95
+        jnp.asarray(rate2), tuple(jnp.asarray(x) for x in W), NB, 0.95
     ))
     assert dev.shape == (NB, B)
     for b in range(B):
         want = boundaries_from_rate(
-            rate2[:, b].astype(np.float64), W.astype(np.float64),
+            rate2[:, b].astype(np.float64),
+            (W[0].astype(np.float64), W[1]),
             max_boundaries=NB, quantile_prob=0.95,
         )
         got = dev[:, b][dev[:, b] > 0]
@@ -61,10 +62,10 @@ def test_boundaries_flat_rate_gives_none(rng):
     # no boundaries (the reference's "cheap out", gibbs-nipt-block.cpp:418)
     Gm, B = 63, 3
     L = np.arange(Gm + 1) * 1000
-    W = smoothing_matrix(L, 5000)
+    W = smoothing_band(L, 5000)
     rate2 = np.full((Gm, B), 0.25, dtype=np.float32)
     dev = np.asarray(_boundaries_from_rate(
-        jnp.asarray(rate2), jnp.asarray(W), 8, 0.95
+        jnp.asarray(rate2), tuple(jnp.asarray(x) for x in W), 8, 0.95
     ))
     assert (dev == 0).all()
 

@@ -213,3 +213,94 @@ def test_match_z_batch_equals_per_query(rng):
     for q in range(Q):
         want = sorted(match_z(idx, Z[q], rows, min_length=3))
         assert sorted(batch[q]) == want, q
+
+
+def test_match_z_batch_planes_mode(rng):
+    """match_z_batch with the UKB-scale rank structure (planes +
+    subsampled occ) equals the occ-mode results."""
+    from quilt_tpu.panel.mspbwt import build_mspbwt_indices, match_z_batch
+
+    K, nGrids = 140, 64
+    hm = rng.integers(0, 256, (K, nGrids)).astype(np.uint8)
+    hm[:50] = hm[0]
+    Z = np.stack([hm[int(rng.integers(0, K))]] * 4)
+    outs = {}
+    for mode in ("occ", "planes"):
+        idx = build_mspbwt_indices(
+            hm, n_indices=1, egs=8, rank_mode=mode
+        )[0]
+        Zi = np.ascontiguousarray(Z[:, idx.grids])
+        sub = hm[:, idx.grids]
+        rows = lambda cands, upto, sub=sub: sub[cands, :upto]
+        outs[mode] = [
+            sorted(x) for x in match_z_batch(idx, Zi, rows, min_length=3)
+        ]
+    assert outs["occ"] == outs["planes"]
+    assert any(outs["occ"])
+
+
+def test_symbols_device_equals_host(rng):
+    """Device symbol extraction == host symbols_from_hap_dosage."""
+    import jax.numpy as jnp
+    from quilt_tpu.panel.mspbwt import (
+        symbols_device, symbols_from_hap_dosage,
+    )
+    from quilt_tpu.utils import unpack_bits_32
+
+    D, G = 64, 20
+    nSNPs = G * 32 - 9
+    dhB = rng.integers(0, 2**32, (D, G), dtype=np.uint32)
+    dh_bits = unpack_bits_32(dhB, G * 32)
+    hd = rng.random((3, 2, nSNPs))
+    zd = np.asarray(symbols_device(jnp.asarray(hd), jnp.asarray(dh_bits),
+                                   nSNPs))
+    for r in range(3):
+        for h in range(2):
+            zh = symbols_from_hap_dosage(hd[r, h], dhB, nSNPs)
+            np.testing.assert_array_equal(zd[r, h], zh)
+
+
+def test_select_batch_equals_per_row(rng):
+    """select_new_haps_mspbwt_batch == per-row select_new_haps_mspbwt
+    given the same retained sets (no random fill triggered)."""
+    from quilt_tpu.io import simulate_panel
+    from quilt_tpu.panel.prepare import compress_panel
+    from quilt_tpu.panel.mspbwt import (
+        build_mspbwt_indices, select_new_haps_mspbwt,
+        select_new_haps_mspbwt_batch, symbols_from_hap_dosage,
+    )
+    from quilt_tpu.utils import pack_bits_32, unpack_bits_32
+
+    K, nSNPs = 80, 640
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    haps[40:] = haps[:40]        # duplicated panel -> plentiful matches
+    rhb = pack_bits_32(haps)
+    panel = compress_panel(rhb, nSNPs, nMaxDH=32)
+    ms = build_mspbwt_indices(panel.hapMatcher, n_indices=2)
+    n_rows, nl, Knew = 3, 2, 4
+    hd = np.stack([
+        np.stack([haps[int(rng.integers(0, K))].astype(float)
+                  for _ in range(nl)])
+        for _ in range(n_rows)
+    ])
+    symbols = np.stack([
+        np.stack([
+            symbols_from_hap_dosage(hd[r, h], panel.distinctHapsB, nSNPs)
+            for h in range(nl)
+        ]) for r in range(n_rows)
+    ])
+    prev_list = [np.array([0, 1], dtype=np.int64) for _ in range(n_rows)]
+    batch = select_new_haps_mspbwt_batch(
+        ms, panel, symbols, Knew, K, prev_list,
+        np.random.default_rng(0),
+    )
+    for r in range(n_rows):
+        single = select_new_haps_mspbwt(
+            ms, panel, None, Knew, K, prev_list[r],
+            np.random.default_rng(0), symbols=symbols[r],
+        )
+        np.testing.assert_array_equal(
+            batch[r], single,
+            err_msg=f"row {r} (random fill must not trigger: ranked "
+                    f"matches should exceed Knew in this fixture)",
+        )

@@ -123,6 +123,8 @@ the device queue at their boundary):
         w(f"| {c} | {row['seconds_per_call']:.3f} | "
           f"{row['read_resamples_per_s']:,.0f} | "
           f"{row.get('backend', 'pallas')} |")
+    e2e_sps = e2e["samples_per_s"]
+    e2e_vs = e2e["vs_measured_ref_core"]
     w(f"""
 Rows past the fused sweep's VMEM chain cap fall back to the XLA sweep
 (the 256-row entry above); the engine clamps its sample batch to stay on
@@ -156,11 +158,11 @@ fixed (eMatRead build + grid-padded layout + backward) +
   per-grid normalizer before the next grid, which on a mesh means a
   collective per grid — incompatible with an on-chip multi-grid kernel
   sweep.
-- **r3 -> r4 end-to-end**: 0.31 -> ~1.3 samples/s/chip (N=32), now with
-  a measured reference denominator (4.7x single core). The r3-era
-  25x kernel-budget gap decomposed into: VCF column formatting (~25%,
-  vectorized), dispatch re-tracing (~30%, jitted), spurious block-Gibbs
-  boundaries (~40%, fixed by on-the-fly detection).
+- **r3 -> r4 end-to-end**: 0.31 -> {e2e_sps:.2f} samples/s/chip
+  ({e2e_vs:.1f}x the measured single core; headline table above). The
+  r3-era 25x kernel-budget gap decomposed into: VCF column formatting
+  (~25%, vectorized), dispatch re-tracing (~30%, jitted), spurious
+  block-Gibbs boundaries (~40%, fixed by on-the-fly detection).
 
 ## Prepare-path scaling (r3/r4; this host's 2 CPU cores)
 
