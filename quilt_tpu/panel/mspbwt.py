@@ -46,8 +46,6 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..utils import unpack_bits_32
-
 
 @dataclass
 class MsIndex:
