@@ -114,16 +114,22 @@ static void build_eMatRead(Workload& w) {
 }
 
 // One full Gibbs call: n_its iterations of {forward grid sweep with
-// per-read resampling} + backward pass, 2 latent haps.
+// per-read resampling} + backward pass, NL latent haps (2 = diploid,
+// 3 = NIPT triploid with label priors (0.5, (1-ff)/2, ff/2) — reference:
+// rcpp_gibbs_nipt_initialize label draw + sample_reads_in_grid 3-way
+// candidate weights, QUILT/src/gibbs-nipt.cpp:733-1341,1961-1978).
 // Returns a sink value so nothing is optimized away.
 static double gibbs_call(const Workload& w, std::vector<int>& H,
-                         std::vector<double>& u) {
+                         std::vector<double>& u, int NL = 2,
+                         double ff = 0.0) {
     const int K = w.Ksub, G = w.G, R = w.R;
-    std::vector<double> alpha((size_t)2 * K * G);
-    std::vector<double> beta((size_t)2 * K * G);
-    std::vector<double> emg((size_t)2 * K * G, 1.0);
-    std::vector<double> c(2 * G, 1.0);
-    std::vector<double> ab((size_t)2 * K);
+    std::vector<double> alpha((size_t)NL * K * G);
+    std::vector<double> beta((size_t)NL * K * G);
+    std::vector<double> emg((size_t)NL * K * G, 1.0);
+    std::vector<double> c(NL * G, 1.0);
+    std::vector<double> ab((size_t)NL * K);
+    double prior[3] = {0.5, 0.5, 0.0};
+    if (NL == 3) { prior[1] = (1.0 - ff) / 2; prior[2] = ff / 2; }
     double sink = 0.0;
 
     // initial eMatGrid from labels (rcpp init path)
@@ -137,7 +143,7 @@ static double gibbs_call(const Workload& w, std::vector<int>& H,
     size_t iu = 0;
     for (int it = 0; it < w.n_its; ++it) {
         // ---- forward sweep with in-grid resampling ----
-        for (int h = 0; h < 2; ++h) {
+        for (int h = 0; h < NL; ++h) {
             double* a0 = &alpha[((size_t)h * G) * K];
             const double* e0 = &emg[((size_t)h * G) * K];
             double s = 0.0;
@@ -147,7 +153,7 @@ static double gibbs_call(const Workload& w, std::vector<int>& H,
         }
         for (int g = 0; g < G; ++g) {
             if (g > 0) {
-                for (int h = 0; h < 2; ++h) {
+                for (int h = 0; h < NL; ++h) {
                     const double* ap = &alpha[((size_t)h * G + g - 1) * K];
                     double* ag = &alpha[((size_t)h * G + g) * K];
                     const double* eg = &emg[((size_t)h * G + g) * K];
@@ -174,8 +180,8 @@ static double gibbs_call(const Workload& w, std::vector<int>& H,
             // ---- resample reads in this grid ----
             int r0 = w.grid_start[g], r1 = w.grid_start[g + 1];
             if (r0 == r1) continue;
-            double pC[2];
-            for (int h = 0; h < 2; ++h) {
+            double pC[3];
+            for (int h = 0; h < NL; ++h) {
                 const double* ag = &alpha[((size_t)h * G + g) * K];
                 const double* bg = &beta[((size_t)h * G + g) * K];
                 double* abh = &ab[(size_t)h * K];
@@ -188,24 +194,44 @@ static double gibbs_call(const Workload& w, std::vector<int>& H,
             }
             for (int r = r0; r < r1; ++r) {
                 const double* e = &w.eMatRead[(size_t)r * K];
-                int hC = H[r], hA = 1 - hC;
-                // gain of adding the read to the other hap; loss of
-                // removing it from the current one
-                double gain = 0.0, loss = 0.0;
+                int hC = H[r];
+                // candidate weights: w[n] = prior[n] * gain[n] * loss_C *
+                // prod_{m != n, m != hC} pC[m]; w[hC] = prior[hC]*prod pC
                 const double* abC = &ab[(size_t)hC * K];
-                const double* abA = &ab[(size_t)hA * K];
-                for (int k = 0; k < K; ++k) gain += abA[k] * e[k];
+                double loss = 0.0;
                 for (int k = 0; k < K; ++k) loss += abC[k] / e[k];
-                double wC = pC[hC] * pC[hA];
-                double wA = loss * gain;
-                double tot = wC + wA;
-                double chance = u[iu++ % u.size()];
-                if (tot > 0 && chance < wA / tot) {
+                double wgt[3], tot = 0.0;
+                for (int n = 0; n < NL; ++n) {
+                    if (n == hC) {
+                        double p = prior[n];
+                        for (int m = 0; m < NL; ++m) p *= pC[m];
+                        wgt[n] = p;
+                    } else {
+                        const double* abN = &ab[(size_t)n * K];
+                        double gain = 0.0;
+                        for (int k = 0; k < K; ++k) gain += abN[k] * e[k];
+                        double p = prior[n] * gain * loss;
+                        for (int m = 0; m < NL; ++m)
+                            if (m != n && m != hC) p *= pC[m];
+                        wgt[n] = p;
+                    }
+                    tot += wgt[n];
+                }
+                double chance = u[iu++ % u.size()] * tot;
+                int hN = hC;
+                if (tot > 0) {
+                    double cum = 0.0;
+                    for (int n = 0; n < NL; ++n) {
+                        cum += wgt[n];
+                        if (chance < cum) { hN = n; break; }
+                    }
+                }
+                if (hN != hC) {
                     // flip: move the read's emission between the two haps
                     double* eC = &emg[((size_t)hC * G + g) * K];
-                    double* eA = &emg[((size_t)hA * G + g) * K];
+                    double* eA = &emg[((size_t)hN * G + g) * K];
                     double* abCm = &ab[(size_t)hC * K];
-                    double* abAm = &ab[(size_t)hA * K];
+                    double* abAm = &ab[(size_t)hN * K];
                     double sC = 0.0, sA = 0.0;
                     for (int k = 0; k < K; ++k) {
                         eC[k] /= e[k];
@@ -215,20 +241,14 @@ static double gibbs_call(const Workload& w, std::vector<int>& H,
                         sC += abCm[k];
                         sA += abAm[k];
                     }
-                    pC[hC] = sC; pC[hA] = sA;
-                    // alpha re-injection for the mutated grid
-                    for (int h = 0; h < 2; ++h) {
-                        double* ag = &alpha[((size_t)h * G + g) * K];
-                        const double* eg = &emg[((size_t)h * G + g) * K];
-                        (void)eg;
-                        sink += ag[0];
-                    }
-                    H[r] = hA;
+                    pC[hC] = sC; pC[hN] = sA;
+                    sink += alpha[((size_t)hC * G + g) * K];
+                    H[r] = hN;
                 }
             }
         }
-        // ---- backward pass (both haps) ----
-        for (int h = 0; h < 2; ++h) {
+        // ---- backward pass (all haps) ----
+        for (int h = 0; h < NL; ++h) {
             double* b = &beta[((size_t)h * G + (G - 1)) * K];
             for (int k = 0; k < K; ++k) b[k] = c[h * G + G - 1];
             for (int g = G - 2; g >= 0; --g) {

@@ -46,14 +46,14 @@ from .sample import (
     RegionContext,
     SampleResult,
     _gather_topk_lists,
-    emat_read_vs_dosages,
     sample_allele_count,
 )
 from .selection import (
     consensus_read_labels,
-    read_confidence,
+    read_confidence_device,
     recast_haps,
     recast_nipt_haps,
+    select_new_haps_device,
     select_new_haps_from_topk,
 )
 
@@ -66,6 +66,37 @@ def impute_samples_batched(
     ff_values: Optional[np.ndarray] = None,
     reads_all_list: Optional[Sequence[SampleReads]] = None,
 ) -> List[SampleResult]:
+    """Whole-batch underflow retry wrapper (reference: the per-call /10
+    retry of functions.R:2704-2714). The device seek loop defers the
+    underflow check to one end-of-batch fetch — a mid-loop check would
+    cost a ~60 ms host round trip per iteration over the bench tunnel —
+    so on underflow the whole batch reruns with the reduced
+    maxDifferenceBetweenReads."""
+    max_diff = cfg.maxDifferenceBetweenReads
+    for attempt in range(11):
+        results, uf_seen = _impute_samples_batched_once(
+            ctx, reads_list, cfg, seed + attempt, max_diff,
+            ff_values=ff_values, reads_all_list=reads_all_list,
+        )
+        if not uf_seen:
+            return results
+        max_diff = max(1.0, max_diff / 10.0)
+        print_message(
+            f"Underflow; rerunning batch with "
+            f"maxDifferenceBetweenReads={max_diff}"
+        )
+    return results
+
+
+def _impute_samples_batched_once(
+    ctx: RegionContext,
+    reads_list: Sequence[SampleReads],
+    cfg: ImputeConfig,
+    seed: int,
+    max_diff_0: float,
+    ff_values: Optional[np.ndarray] = None,
+    reads_all_list: Optional[Sequence[SampleReads]] = None,
+):
     prep = ctx.prep
     nSNPs, nGrids, K, nl = prep.nSNPs, prep.nGrids, prep.K, ctx.n_latent
     rng = np.random.default_rng(seed)
@@ -126,11 +157,19 @@ def impute_samples_batched(
         nr = reads_sorted[s].nReads
         for c in range(C):
             H[s * C + c, :nr] = rng.choice(nl, size=nr, p=label_prior)
-    max_diff = cfg.maxDifferenceBetweenReads
+    max_diff = max_diff_0
     first_read = np.array(
         [rng.integers(0, max(reads_sorted[b // C].nReads, 1))
          for b in range(B)], dtype=np.int32,
     )
+    # on-device seek loop: hap subsets, read labels and the underflow flag
+    # stay device-resident end to end (fb top-K selection runs on device);
+    # the mesh-sharded FB and mspbwt paths keep host-side selection
+    dev_sel = (
+        not cfg.use_mspbwt and ctx.sharded_fb is None and ctx.mesh is None
+    )
+    uf_dev = jnp.zeros((), dtype=bool)
+    sel_key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
 
     do_block_np = np.zeros(n_its, dtype=bool)
     for bit in cfg.small_ref_panel_block_gibbs_iterations:
@@ -145,14 +184,26 @@ def impute_samples_batched(
 
     def run_chains(which_b, H0_b, iterative, first_b, ginputs_b, preads_b,
                    max_diff):
-        Bb = which_b.shape[0]
-        # pad hap-subset indices by repeating the first entry: pad rows carry
-        # zero weight in all kernel sums
-        which_p = np.concatenate(
-            [which_b] + [which_b[:, :1]] * (Kp_sub - which_b.shape[1]), axis=1
-        ) if Kp_sub != which_b.shape[1] else which_b
+        """One 21-sweep Gibbs call. which_b is either a device [Bb, Ksub]
+        array (dev_sel mode) or host numpy; H0_b may be device. No host
+        round trips: the underflow flag is accumulated on device and
+        checked once at the end of the batch."""
+        nonlocal uf_dev
+        Bb = np.shape(which_b)[0]
+        Ksub_b = np.shape(which_b)[1]
         with _sec("gibbs:bits_gather"):
-            bits = _drain(_gather_words(rhb_dev, jnp.asarray(which_p)))
+            if isinstance(which_b, jax.Array):
+                which_p = which_b if Kp_sub == Ksub_b else jnp.concatenate(
+                    [which_b]
+                    + [which_b[:, :1]] * (Kp_sub - Ksub_b), axis=1
+                )
+            else:
+                # pad hap-subset indices by repeating the first entry: pad
+                # rows carry zero weight in all kernel sums
+                which_p = jnp.asarray(np.concatenate(
+                    [which_b] + [which_b[:, :1]] * (Kp_sub - Ksub_b), axis=1
+                ) if Kp_sub != Ksub_b else which_b)
+            bits = _drain(_gather_words(rhb_dev, which_p))
         with _sec("gibbs:rng"):
             key = jax.random.PRNGKey(int(rng.integers(0, 2**31)))
             k1, k2, k3 = jax.random.split(key, 3)
@@ -176,38 +227,27 @@ def impute_samples_batched(
             bits, H0_b, first_b = (
                 sharded["bits"], sharded["H0"], sharded["first"]
             )
-        for attempt in range(11):
-            # device-resident outputs: the batched path consumes only the
-            # read labels (and, under mspbwt, the hap dosages) host-side;
-            # fetching gp/gpF/hap_dos every call would move ~30 MB per
-            # iteration through the host link for nothing
-            with _sec("gibbs:sweep_kernel"):
-                gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
-                    bits=bits, preads=preads_b, inputs=ginputs_b,
-                    uniforms=uniforms, H0=H0_b, first_read=first_b,
-                    n_latent=nl,
-                    ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,
-                    K_real=which_b.shape[1], max_diff=max_diff,
-                    ref_error=prep.ref_error,
-                    boundaries=None if otf else bnd,
-                    block_u=block_u, do_block=do_block_np,
-                    resample_u=resample_u,
-                    smooth_w=ctx.smooth_w_dev(),
-                    quantile_prob=ctx.block_quantile,
-                    return_arrays=False,
-                )
-                _drain(hap_dos)
-            with _sec("gibbs:uf_fetch"):
-                uf_any = bool(np.asarray(uf).any())
-            if not uf_any:
-                break
-            max_diff = max(1.0, max_diff / 10.0)
-            print_message(
-                f"Underflow; retrying batch with "
-                f"maxDifferenceBetweenReads={max_diff}"
+        # device-resident outputs: the batched path consumes only the
+        # read labels (and, under mspbwt, the hap dosages) host-side;
+        # fetching gp/gpF/hap_dos every call would move ~30 MB per
+        # iteration through the host link for nothing
+        with _sec("gibbs:sweep_kernel"):
+            gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
+                bits=bits, preads=preads_b, inputs=ginputs_b,
+                uniforms=uniforms, H0=H0_b, first_read=first_b,
+                n_latent=nl,
+                ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,
+                K_real=Ksub_b, max_diff=max_diff,
+                ref_error=prep.ref_error,
+                boundaries=None if otf else bnd,
+                block_u=block_u, do_block=do_block_np,
+                resample_u=resample_u,
+                smooth_w=ctx.smooth_w_dev(),
+                quantile_prob=ctx.block_quantile,
+                return_arrays=False,
             )
-        with _sec("gibbs:H_fetch"):
-            Hn = np.asarray(Hn)
+            _drain(hap_dos)
+        uf_dev = jnp.logical_or(uf_dev, jnp.asarray(uf).any())
         return gp, gpF, hap_dos, Hn, max_diff
 
     # mspbwt mode has no FBInputs; S_pad only feeds the FB path's GL build
@@ -221,8 +261,8 @@ def impute_samples_batched(
         "pa": jnp.asarray(preads1.lpa),
     }
 
-    def run_fb_and_select(H_b, which_b, row_to_sample):
-        Bb = H_b.shape[0]
+    def run_fb_and_select(H_b, which_b, row_to_sample, sel_key_it):
+        Bb = np.shape(H_b)[0]
         pd = preads_dev if Bb == B else preads1_dev
         with _sec("fb:gl_build"):
             gls = _drain(gls_from_labels_device(
@@ -236,20 +276,30 @@ def impute_samples_batched(
                 tv, ti = res_fb[2], res_fb[3]
             thin_rows = ctx.thinned_grids
         else:
-            # dosages stay DEVICE-resident: only the (small) thinned top-K
-            # lists cross to the host for the selection loop; the hap
-            # dosages feed device-side accumulation and are fetched once
-            # at the end of the seek loop
+            # dosages and top-K lists stay DEVICE-resident: the selection
+            # runs on device (select_new_haps_device), so nothing crosses
+            # the host link inside the seek loop
             with _sec("fb:kernel"):
                 res_fb = fb_full_batched(
                     gls, ctx.fb_inputs, K_top=max(8, cfg.K_top_matches),
                     ref_error=prep.ref_error, return_arrays=False,
                 )
                 dosage = _drain(res_fb[0])[:, :nSNPs]
+            if dev_sel:
+                hap_dos = dosage.reshape(Bb, nl, nSNPs)
+                with _sec("fb:select"):
+                    tg = jnp.asarray(ctx.thinned_grids)
+                    new_sets = select_new_haps_device(
+                        res_fb[2][tg], res_fb[3][tg], which_b, sel_key_it,
+                        ctx.Ksub - ctx.Knew, ctx.Knew, K, nl,
+                        cfg.K_top_matches,
+                    )
+                    _drain(new_sets)
+                return hap_dos, new_sets
             with _sec("fb:topk_fetch"):
-                # gather the thinned rows ON DEVICE before fetching: the
-                # full [G, B, K_top] lists are zeros off the thinned grids
-                # and the host link is the bottleneck (~10x less traffic)
+                # host selection (mesh / diagnostic paths): gather the
+                # thinned rows ON DEVICE before fetching — the host link
+                # is the bottleneck (~10x less traffic)
                 tg = jnp.asarray(ctx.thinned_grids)
                 tv, ti = np.asarray(res_fb[2][tg]), np.asarray(res_fb[3][tg])
             thin_rows = np.arange(len(ctx.thinned_grids))
@@ -358,6 +408,10 @@ def impute_samples_batched(
     hap_dos_final = np.zeros((B, nl, nSNPs))
     row_to_sample = np.repeat(np.arange(S), C)
 
+    if dev_sel:
+        which_haps = jnp.asarray(which_haps.astype(np.int32))
+    first_read = jnp.asarray(first_read)
+
     for i_it in range(1, ctx.n_seek_its + 1):
         iterative = i_it == 1
         gp_g, gpF_g, hap_dos_g, H, max_diff = run_chains(
@@ -393,7 +447,8 @@ def impute_samples_batched(
                     )
         else:
             hap_dos, which_haps = run_fb_and_select(
-                H, which_haps, row_to_sample
+                H, which_haps, row_to_sample,
+                jax.random.fold_in(sel_key, i_it),
             )
         if i_it > ctx.n_burn_in_seek_its:
             # device-side accumulation (reassignment keeps jnp arrays; an
@@ -421,10 +476,13 @@ def impute_samples_batched(
             n_acc += C
         hap_dos_final = hap_dos
     with _sec("final_fetch"):
-        hap_dos_final = np.asarray(hap_dos_final)
         dosage_acc, gp_acc = np.asarray(dosage_acc), np.asarray(gp_acc)
         fet_dosage_acc = np.asarray(fet_dosage_acc)
         fet_gp_acc = np.asarray(fet_gp_acc)
+        if rare_common:
+            hap_dos_final = np.asarray(hap_dos_final)
+            if isinstance(which_haps, jax.Array):
+                which_haps = np.asarray(which_haps)
 
     if rare_common:
         gp_a, gpF_a, hd_a = run_all_snp_gibbs(
@@ -446,18 +504,24 @@ def impute_samples_batched(
             fet_gp_all_acc[:, 2] += (h1a * h3a).sum(axis=1)
         n_all_acc += C
 
-    # per-sample consensus
+    # per-sample consensus: read confidence computed on device from the
+    # final per-chain hap dosages; one small [B, R] fetch feeds the host
+    # flip-detection walk (inherently sequential, reference
+    # functions.R:1680-1832)
     with _sec("consensus"):
+        conf_dev = read_confidence_device(
+            jnp.asarray(hap_dos_final) if not isinstance(
+                hap_dos_final, jax.Array
+            ) else hap_dos_final,
+            preads_dev["u"], preads_dev["pr"], preads_dev["pa"], nl,
+        )
+        conf_np = np.asarray(conf_dev)
+        H = np.asarray(H)
         cons_list = []
         for s in range(S):
             nr = reads_sorted[s].nReads
             labels_all = H[s * C:(s + 1) * C, :nr].T.astype(np.int64)
-            conf_all = np.zeros_like(labels_all, dtype=bool)
-            for c in range(C):
-                em = emat_read_vs_dosages(
-                    reads_sorted[s], hap_dos_final[s * C + c]
-                )
-                conf_all[:, c] = read_confidence(em)
+            conf_all = conf_np[s * C:(s + 1) * C, :nr].T
             if nl == 3:
                 labels2 = labels_all.copy()
                 conf2 = conf_all & (labels_all != 2)
@@ -475,12 +539,15 @@ def impute_samples_batched(
     for s in range(S):
         for c in range(C):
             H_p[s * C + c, : reads_sorted[s].nReads] = cons_list[s]
-    wh_p = np.repeat(
-        which_haps[np.arange(S) * C + (C - 1)], C, axis=0
-    ).copy()
+    rows_last = np.arange(S) * C + (C - 1)
+    if isinstance(which_haps, jax.Array):
+        wh_p = jnp.repeat(which_haps[jnp.asarray(rows_last)], C, axis=0)
+    else:
+        wh_p = np.repeat(which_haps[rows_last], C, axis=0).copy()
+    first_zero = jnp.zeros(B, dtype=jnp.int32)
     for i_it in range(1, ctx.n_seek_its + 1):
         gp_p, gpF_p, hap_dos_p, H_p, max_diff = run_chains(
-            wh_p, H_p, False, np.zeros(B, dtype=np.int32), ginputs, preads,
+            wh_p, H_p, False, first_zero, ginputs, preads,
             max_diff,
         )
         if cfg.use_mspbwt:
@@ -508,8 +575,18 @@ def impute_samples_batched(
                     )
             hap_dos_ph = hap_dos_p[:, :, :nSNPs]
         else:
-            hap_dos_ph, wh_p = run_fb_and_select(H_p, wh_p, row_to_sample)
-    hap_dos_ph = np.asarray(hap_dos_ph)
+            hap_dos_ph, wh_p = run_fb_and_select(
+                H_p, wh_p, row_to_sample,
+                jax.random.fold_in(sel_key, 100 + i_it),
+            )
+    rows0 = np.arange(S) * C
+    if rare_common:
+        hap_dos_ph = np.asarray(hap_dos_ph)
+        if isinstance(wh_p, jax.Array):
+            wh_p = np.asarray(wh_p)
+    else:
+        # only row 0 of each sample feeds the outputs: fetch S rows, not B
+        hap_dos_ph = np.asarray(jnp.asarray(hap_dos_ph)[jnp.asarray(rows0)])
 
     if rare_common:
         # final phased all-SNP Gibbs; rows are replicated x C, take row 0
@@ -550,9 +627,7 @@ def impute_samples_batched(
                     mat_gp=gp_all, fet_gp=fet_gp_all,
                     mat_dosage=dosage_all, fet_dosage=fet_dosage_all,
                 ))
-        return results
-
-    hap_dos_ph = hap_dos_ph[np.arange(S) * C]      # row 0 of each sample
+        return results, bool(np.asarray(uf_dev))
 
     results: List[SampleResult] = []
     for s in range(S):
@@ -584,4 +659,4 @@ def impute_samples_batched(
                 mat_gp=gp, fet_gp=fet_gp, mat_dosage=dosage,
                 fet_dosage=fet_dosage,
             ))
-    return results
+    return results, bool(np.asarray(uf_dev))

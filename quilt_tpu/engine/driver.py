@@ -136,11 +136,11 @@ def quilt_impute(
         # envelope (chains = samples x nGibbsSamples rows; oversize groups
         # would silently fall back to the much slower XLA sweep)
         from ..kernels.common import pad_to_multiple as _ptm
-        from ..kernels.gibbs_pallas import max_pallas_chains
+        from ..kernels.gibbs_pallas import max_hbm_chains
         nl_eff = 3 if method == "nipt" else 2
-        # W from the region's ACTUAL max reads-per-grid (the default W=16
-        # under-estimates the per-row VMEM for dense-coverage regions and
-        # the clamped batch would silently fall back to the XLA sweep)
+        # W from the region's ACTUAL max reads-per-grid; the fused sweep's
+        # VMEM row ceiling no longer limits the batch (oversize batches run
+        # as chunked Pallas sub-batches), so the clamp is HBM-footprint only
         W_max = 1
         for r in samples:
             if r is not None and r.nReads:
@@ -149,15 +149,16 @@ def quilt_impute(
                     minlength=prep.nGrids,
                 )
                 W_max = max(W_max, int(cnt.max()))
-        cap_chains = max_pallas_chains(
-            _ptm(max(cfg.Ksubset, 1), 128), nl_eff, W=W_max
+        cap_chains = max_hbm_chains(
+            _ptm(max(cfg.Ksubset, 1), 128), nl_eff, W=W_max,
+            G=prep.nGrids,
         )
         group_cap = max(1, cap_chains // max(cfg.nGibbsSamples, 1))
         sample_batch = min(cfg.sample_batch, group_cap)
         if sample_batch < cfg.sample_batch:
             print_message(
                 f"Clamping sample_batch {cfg.sample_batch} -> "
-                f"{sample_batch} (fused Gibbs VMEM envelope at "
+                f"{sample_batch} (Gibbs batch HBM envelope at "
                 f"Ksubset={cfg.Ksubset})"
             )
         # NIPT batches share one ff (the kernel's class tables are

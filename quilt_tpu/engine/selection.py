@@ -1,9 +1,15 @@
-"""Haplotype re-selection between seek iterations (host side).
+"""Haplotype re-selection between seek iterations.
 
 Implements everything_select_good_haps (reference:
 QUILT/R/functions.R:2262-2310): merge the per-latent-hap, per-thinned-grid
 top-match lists breadth-first (all rank-1 matches, then rank-2, ...) into
 Knew fresh haplotypes, excluding the retained previously-selected set.
+
+Two implementations: the host reference (select_new_haps_from_topk, used
+by the per-sample engine and as the oracle) and a batched device version
+(select_new_haps_device) that keeps the whole seek loop on-device — over
+the bench tunnel a single host round trip costs ~60 ms, so the batched
+engine cannot afford to fetch top-K lists / read labels every iteration.
 """
 from __future__ import annotations
 
@@ -52,6 +58,96 @@ def select_new_haps_from_topk(
         fill = rng.choice(pool, size=Knew - len(keep), replace=False)
         keep.extend(fill.tolist())
     return np.asarray(keep[:Knew], dtype=np.int64)
+
+
+def select_new_haps_device(
+    tv,                         # [nThin, B*nl, K_top] thinned top-match vals
+    ti,                         # [nThin, B*nl, K_top] hap indices
+    which,                      # [B, Ksub] current subsets (device, i32)
+    key,                        # jax PRNG key
+    n_keep: int,
+    Knew: int,
+    K: int,
+    nl: int,
+    K_top_matches: int,
+):
+    """Batched on-device everything_select_good_haps.
+
+    Same selection semantics as select_new_haps_from_topk, vectorized over
+    the chain batch with a key-based formulation: every panel hap gets a
+    priority key — ranked candidates get (depth + intra-depth noise),
+    depths past K_top_matches are demoted behind all primary depths
+    (the reference's 'exhausted ranked lists' fallback), untouched haps get
+    a large random key (the random pool fill), retained haps +inf — and
+    the Knew smallest keys win. Scatter-min performs the first-occurrence
+    dedup. The intra-depth random order replaces the reference's random
+    subset at the boundary depth (equivalent in distribution).
+
+    Returns the new sorted subsets [B, Ksub] (device)."""
+    import jax
+    import jax.numpy as jnp
+
+    nThin, BN, K_top = tv.shape
+    B = BN // nl
+    Ksub = which.shape[1]
+    k1, k2, k3 = jax.random.split(key, 3)
+    # retained previously-selected rows: random n_keep of the current set
+    perm_keys = jax.random.uniform(k1, (B, Ksub))
+    order = jnp.argsort(perm_keys, axis=1)[:, :n_keep]
+    prev = jnp.take_along_axis(which, order, axis=1)          # [B, n_keep]
+
+    # candidate lists -> [B, n_lists, K_top]
+    ti_b = ti.reshape(nThin, B, nl, K_top).transpose(1, 2, 0, 3).reshape(
+        B, nl * nThin, K_top
+    )
+    tv_b = tv.reshape(nThin, B, nl, K_top).transpose(1, 2, 0, 3).reshape(
+        B, nl * nThin, K_top
+    )
+    depth = jnp.arange(K_top, dtype=jnp.float32)[None, None, :]
+    demote = jnp.where(depth < K_top_matches, 0.0, 1e4)
+    noise = jax.random.uniform(k2, ti_b.shape)
+    cand_key = depth + demote + noise
+    cand_key = jnp.where(tv_b > 0, cand_key, jnp.inf)
+    cand = jnp.clip(ti_b, 0, K - 1).reshape(B, -1)
+    cand_key = cand_key.reshape(B, -1)
+
+    pool = 1e6 + jax.random.uniform(k3, (B, K))               # random fill
+    bidx = jnp.arange(B)[:, None]
+    keymat = pool.at[
+        jnp.broadcast_to(bidx, cand.shape), cand
+    ].min(cand_key)
+    keymat = keymat.at[
+        jnp.broadcast_to(bidx, prev.shape), prev
+    ].set(jnp.inf)
+    _, new = jax.lax.top_k(-keymat, Knew)                     # [B, Knew]
+    return jnp.sort(
+        jnp.concatenate([prev, new.astype(which.dtype)], axis=1), axis=1
+    )
+
+
+def read_confidence_device(
+    hap_dos,                    # [B, nl, S] final per-chain hap dosages
+    u_pad,                      # [B, R, J] device i32
+    lpr,                        # [B, R, J] device f32 (log pR; 0 at pads)
+    lpa,                        # [B, R, J] device f32
+    nl: int,
+    minrp: float = 0.95,
+):
+    """Batched device read confidence (reference:
+    assess_ability_of_reads_to_be_confident, functions.R:1615-1660, via
+    the P(read | hap dosage) products of emat_read_vs_dosages)."""
+    import jax.numpy as jnp
+
+    B, R, J = u_pad.shape
+    u_flat = u_pad.reshape(B, 1, R * J)
+    e = jnp.take_along_axis(hap_dos, u_flat, axis=2).reshape(B, nl, R, J)
+    pR = jnp.exp(lpr)[:, None]
+    pA = jnp.exp(lpa)[:, None]
+    term = e * pA + (1.0 - e) * pR
+    logp = jnp.log(jnp.maximum(term, 1e-30)).sum(axis=3)      # [B, nl, R]
+    em = jnp.exp(logp - logp.max(axis=1, keepdims=True))
+    p = em / jnp.maximum(em.sum(axis=1, keepdims=True), 1e-30)
+    return p.max(axis=1) > minrp                              # [B, R]
 
 
 def consensus_read_labels(

@@ -1271,6 +1271,113 @@ def _gibbs_core(
     return gp, gpF, hap_dos, H, per_it_ll, underflow, H_class
 
 
+def _pallas_chunk_size(inputs, B: int, K: int, nl: int):
+    """Sub-batch row count for batches past the fused kernel's VMEM row
+    ceiling; None when chunking cannot help (already fits, or a single
+    row's working set is itself too large)."""
+    from .gibbs_pallas import max_pallas_chains, padded_layout_ok
+
+    W = int(inputs.read_count.max()) if inputs.read_count.size else 1
+    cap = max_pallas_chains(K, nl, W=W)
+    if cap < 8 or B <= cap:
+        return None
+    n = -(-B // cap)
+    Bc = (-(-B // n) + 7) // 8 * 8
+    if not padded_layout_ok(inputs, B=Bc, K=K, nl=nl):
+        return None
+    return Bc
+
+
+def _run_gibbs_chains_chunked(
+    Bc, bits, preads, inputs, uniforms, H0, first_read, n_latent, ff,
+    n_burn_in, iterative_init, K_real, max_diff, ref_error, eMatRead,
+    boundaries, block_u, do_block, relabel_u, do_entire, resample_u,
+    block_within, smooth_w, quantile_prob, return_arrays,
+):
+    """Run an oversize chain batch as ceil(B/Bc) fused-Pallas sub-batches.
+
+    Rows are independent chains, so the split is exact; the last chunk is
+    padded by repeating the final row (results discarded). Sub-batches
+    share one compiled kernel shape and dispatch back-to-back with no
+    host synchronisation. Sliced per-row read structures are cached on
+    `inputs` so their device uploads happen once per region."""
+    from .gibbs_pallas import run_gibbs_chains_pallas
+
+    B = np.shape(bits)[0]
+    n_chunks = -(-B // Bc)
+    rows_of = [
+        np.minimum(np.arange(c * Bc, (c + 1) * Bc), B - 1)
+        for c in range(n_chunks)
+    ]
+    cache = getattr(inputs, "_chunk_cache", None)
+    if cache is None or cache.get("Bc") != Bc or cache.get("B") != B:
+        per_row_in = inputs.read_start.shape[0] == B
+        per_row_pr = (
+            np.ndim(preads.u_pad) == 3 and np.shape(preads.u_pad)[0] == B
+        )
+        subs = []
+        for rows in rows_of:
+            gi = inputs
+            pr = preads
+            if per_row_in:
+                gi = GibbsInputs(
+                    wif0=inputs.wif0[rows], read_start=inputs.read_start[rows],
+                    read_count=inputs.read_count[rows],
+                    read_mask=inputs.read_mask[rows], trans=inputs.trans,
+                    G=inputs.G, R=inputs.R,
+                )
+            if per_row_pr:
+                pr = PaddedReads(
+                    u_pad=preads.u_pad[rows], lr=preads.lr[rows],
+                    la=preads.la[rows], mask=preads.mask[rows],
+                    wif0=preads.wif0[rows], nReads=preads.nReads,
+                    J=preads.J, lpr=preads.lpr[rows], lpa=preads.lpa[rows],
+                )
+            subs.append((gi, pr))
+        cache = {"Bc": Bc, "B": B, "subs": subs}
+        try:
+            object.__setattr__(inputs, "_chunk_cache", cache)
+        except (AttributeError, TypeError):
+            pass
+
+    def tak(x, axis, rows):
+        if x is None:
+            return None
+        return jnp.take(jnp.asarray(x), jnp.asarray(rows), axis=axis)
+
+    outs = []
+    for c, rows in enumerate(rows_of):
+        gi, pr = cache["subs"][c]
+        outs.append(run_gibbs_chains_pallas(
+            bits=tak(bits, 0, rows), preads=pr, inputs=gi,
+            uniforms=tak(uniforms, 1, rows), H0=tak(H0, 0, rows),
+            first_read=tak(first_read, 0, rows), n_latent=n_latent, ff=ff,
+            n_burn_in=n_burn_in, iterative_init=iterative_init,
+            K_real=K_real, max_diff=max_diff, ref_error=ref_error,
+            eMatRead=tak(eMatRead, 0, rows),
+            boundaries=boundaries,
+            block_u=tak(block_u, 3, rows) if block_u is not None else None,
+            do_block=do_block,
+            relabel_u=(
+                tak(relabel_u, 1, rows) if relabel_u is not None else None
+            ),
+            do_entire=do_entire,
+            resample_u=(
+                tak(resample_u, 1, rows) if resample_u is not None else None
+            ),
+            block_within=block_within, smooth_w=smooth_w,
+            quantile_prob=quantile_prob, return_arrays=False,
+        ))
+    cat = lambda i, ax: jnp.concatenate([o[i] for o in outs], axis=ax)
+    res = (
+        cat(0, 0)[:B], cat(1, 0)[:B], cat(2, 0)[:B], cat(3, 0)[:B],
+        cat(4, 1)[:, :B], cat(5, 0)[:B], cat(6, 0)[:B],
+    )
+    if not return_arrays:
+        return res
+    return tuple(np.asarray(r) for r in res)
+
+
 def run_gibbs_chains(
     bits: np.ndarray,            # [B, K, S] uint8 subset alleles (K padded ok)
     preads: PaddedReads,
@@ -1327,6 +1434,27 @@ def run_gibbs_chains(
             inputs, B=np.shape(bits)[0], K=np.shape(bits)[1], nl=n_latent
         )
         if want_pallas and not layout_ok:
+            # rows are shared-nothing chains: batches past the fused
+            # kernel's VMEM row ceiling run as several Pallas sub-batches
+            # (same compiled kernel, zero extra host syncs) instead of
+            # falling off the 2.5x-slower XLA cliff
+            Bc = _pallas_chunk_size(
+                inputs, np.shape(bits)[0], np.shape(bits)[1], n_latent
+            )
+            if Bc is not None:
+                return _run_gibbs_chains_chunked(
+                    Bc, bits=bits, preads=preads, inputs=inputs,
+                    uniforms=uniforms, H0=H0, first_read=first_read,
+                    n_latent=n_latent, ff=ff, n_burn_in=n_burn_in,
+                    iterative_init=iterative_init, K_real=K_real,
+                    max_diff=max_diff, ref_error=ref_error,
+                    eMatRead=eMatRead, boundaries=boundaries,
+                    block_u=block_u, do_block=do_block,
+                    relabel_u=relabel_u, do_entire=do_entire,
+                    resample_u=resample_u, block_within=block_within,
+                    smooth_w=smooth_w, quantile_prob=quantile_prob,
+                    return_arrays=return_arrays,
+                )
             from ..utils import print_message
             print_message(
                 "Gibbs: grid-padded layout exceeds the Pallas HBM budget; "

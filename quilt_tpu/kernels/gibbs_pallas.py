@@ -60,11 +60,18 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
     slot width: grid dim 1 tiles the read-slot axis in W-wide chunks so
     dense-coverage grids (reads/grid > 64) no longer fall back to XLA —
     alpha advance runs at chunk 0, reads continue sequentially across
-    chunks through the VMEM scratch state."""
+    chunks through the VMEM scratch state.
+
+    The four per-slot planes (uniform bits / labels / skip / read id) ride
+    ONE packed [4, W, B] int32 input: each extra streamed operand costs a
+    fixed per-step DMA overhead comparable to its transfer time at these
+    block sizes, and in-place aliasing serialises the pipeline on the
+    write-after-read hazard (measured: ~1.7 us/step), so lemg/H are
+    ping-ponged by XLA between sweeps instead of aliased."""
     log_prior = tuple(float(np.log(p)) for p in prior)
 
     def kernel(
-        lemg_in, beta_in, lem_blk, u_blk, h_in, skip_blk, r_blk, first_rd,
+        lemg_in, beta_in, lem_blk, slots_blk, first_rd,
         trans_s, cnt_s,
         lemg_out, alpha_out, h_out, logc_out, uf_out,
         alpha_s, pc_s, logc_s, uf_s,
@@ -75,8 +82,7 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
         km = (
             jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) < K_real
         ).astype(f32)
-
-        h_out[0] = h_in[0]
+        h_out[0] = slots_blk[0, 1]
         col = lambda x: jnp.transpose(x, (1, 0))           # (1,B) -> (B,1)
 
         @pl.when((g == 0) & (wc == 0))
@@ -108,7 +114,7 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
                 )
             uf_s[...] = ufv
             s_safe = jnp.where(s > 0, s, 1.0)
-            alpha_s[...] = a_raw / s_safe
+            alpha_s[...] = a_raw * (1.0 / s_safe)
             logc_s[...] = logc_s[...] + jnp.log(s_safe) + mx
             pc_s[...] = jnp.sum(
                 alpha_s[...] * beta_in[0], axis=1, keepdims=True
@@ -121,10 +127,12 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
             lem_i = lem_blk[0, i].astype(f32)              # (B, K)
             emk = jnp.exp(lem_i)
             inv = jnp.exp(-lem_i)
-            u = col(u_blk[0, pl.ds(i, 1), :])              # (B, 1)
+            u = col(jax.lax.bitcast_convert_type(
+                slots_blk[0, 0, pl.ds(i, 1), :], jnp.float32
+            ))                                             # (B, 1)
             h_rC = col(h_out[0, pl.ds(i, 1), :])           # (B, 1) int32
-            skip = col(skip_blk[0, pl.ds(i, 1), :]) > 0
-            rg = col(r_blk[0, pl.ds(i, 1), :])
+            skip = col(slots_blk[0, 2, pl.ds(i, 1), :]) > 0
+            rg = col(slots_blk[0, 3, pl.ds(i, 1), :])
             alpha = alpha_s[...]
             pc = pc_s[...]
             gain = []
@@ -225,11 +233,12 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
                 pc_h = jnp.where(flip, pc_new, pc_h)
                 sh = s_new[h]
                 sh_safe = jnp.where(sh > 0, sh, 1.0)
-                alpha_s[h * B:(h + 1) * B] = new_alpha[h] / sh_safe
+                rs = 1.0 / sh_safe                         # (B, 1): one divide
+                alpha_s[h * B:(h + 1) * B] = new_alpha[h] * rs
                 logc_s[h * B:(h + 1) * B] = (
                     logc_s[h * B:(h + 1) * B] + jnp.log(sh_safe)
                 )
-                pc_s[h * B:(h + 1) * B] = pc_h / sh_safe
+                pc_s[h * B:(h + 1) * B] = pc_h * rs
             return 0
 
         n_loc = jnp.clip(cnt_s[0, g] - wc * W, 0, W)
@@ -243,17 +252,21 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("nl", "K_real", "it_mode", "prior"),
+    static_argnames=("nl", "K_real", "it_mode", "prior", "want_alpha"),
 )
 def _fwd_sweep(
-    lemg, beta, lem_pad, u_it, H_pad, skip_pad, r_pad, first_read, trans,
-    cnt_max, nl, K_real, it_mode, prior,
+    lemg, beta, lem_pad, slots, first_read, trans,
+    cnt_max, nl, K_real, it_mode, prior, want_alpha=True,
 ):
     """One forward Gibbs sweep. Shapes:
     lemg/beta [G, BN, K] f32; lem_pad [G, W, B, K] f16/f32;
-    u_it [G, W, B] f32; H_pad/skip_pad/r_pad [G, W, B] i32;
-    first_read [B, 1] i32; trans [2, G] f32 (SMEM); cnt_max [1, G] i32.
-    Returns (lemg', alphas, H_pad', logc [BN,1], uf [B,1])."""
+    slots [G, 4, W, B] i32 (packed planes: uniform bits / H / skip / read
+    id); first_read [B, 1] i32; trans [2, G] f32 (SMEM); cnt_max [1, G]
+    i32. Returns (lemg', alphas, H_pad', logc [BN,1], uf [B,1]).
+
+    want_alpha=False skips streaming the [G, BN, K] alpha planes back to
+    HBM (the alphas are only consumed on block-move and final iterations);
+    the output is a dummy [1, BN, K] the caller must ignore."""
     G, BN, K = lemg.shape
     W = lem_pad.shape[1]
     B = BN // nl
@@ -269,6 +282,14 @@ def _fwd_sweep(
                                 memory_space=pltpu.VMEM)
     const2 = lambda a, b: pl.BlockSpec((a, b), lambda g, wc: (0, 0),
                                        memory_space=pltpu.VMEM)
+    if want_alpha:
+        alpha_spec = big()
+        alpha_shape = jax.ShapeDtypeStruct((G, BN, K), jnp.float32)
+    else:
+        # constant-index dummy block: written back once, not per step
+        alpha_spec = pl.BlockSpec((1, BN, K), lambda g, wc: (0, 0, 0),
+                                  memory_space=pltpu.VMEM)
+        alpha_shape = jax.ShapeDtypeStruct((1, BN, K), jnp.float32)
     out = pl.pallas_call(
         kernel,
         grid=(G, n_wc),
@@ -277,24 +298,22 @@ def _fwd_sweep(
             big(),                                         # beta_in
             pl.BlockSpec((1, Wc, B, K), lambda g, wc: (g, wc, 0, 0),
                          memory_space=pltpu.VMEM),         # lem_blk
-            slot(),                                        # u_blk
-            slot(),                                        # h_in
-            slot(),                                        # skip_blk
-            slot(),                                        # r_blk
+            pl.BlockSpec((1, 4, Wc, B), lambda g, wc: (g, 0, wc, 0),
+                         memory_space=pltpu.VMEM),         # slots (packed)
             const2(B, 1),                                  # first_read
             pl.BlockSpec(memory_space=pltpu.SMEM),         # trans (whole)
             pl.BlockSpec(memory_space=pltpu.SMEM),         # cnt_max (whole)
         ],
         out_specs=[
             big(),                                         # lemg_out
-            big(),                                         # alpha_out
+            alpha_spec,                                    # alpha_out
             slot(),                                        # h_out
             const2(BN, 1),                                 # logc_out
             const2(B, 1),                                  # uf_out
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, BN, K), jnp.float32),
-            jax.ShapeDtypeStruct((G, BN, K), jnp.float32),
+            alpha_shape,
             jax.ShapeDtypeStruct((G, W, B), jnp.int32),
             jax.ShapeDtypeStruct((BN, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
@@ -305,10 +324,8 @@ def _fwd_sweep(
             pltpu.VMEM((BN, 1), jnp.float32),              # logc_s
             pltpu.VMEM((B, 1), jnp.float32),               # uf_s
         ],
-        input_output_aliases={0: 0, 4: 2},                 # lemg, H in-place
         interpret=_interpret(),
-    )(lemg, beta, lem_pad, u_it, H_pad, skip_pad, r_pad, first_read, trans,
-      cnt_max)
+    )(lemg, beta, lem_pad, slots, first_read, trans, cnt_max)
     return out
 
 
@@ -771,10 +788,24 @@ def _gibbs_core_pallas(
             it_mode = it
         else:
             it_mode = 2
+        # alphas are consumed only on block-move / relabelling / final
+        # iterations; elsewhere the fwd kernel skips streaming the
+        # [G, BN, K] planes back to HBM entirely
+        want_alpha = bool(
+            do_block[it] or it == n_its - 1 or do_entire
+            or (nl == 3 and it == n_its - 1)
+        )
+        slots_it = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(u_pad[it], jnp.int32),
+                H_pad, skip_pad, r_pad,
+            ],
+            axis=1,
+        )                                                   # [G, 4, W, B]
         lemg, alphas, H_pad, logc, uf_it = _fwd_sweep(
-            lemg, beta, lem_pad, u_pad[it], H_pad, skip_pad, r_pad,
-            first_col, trans_t, cnt_t,
+            lemg, beta, lem_pad, slots_it, first_col, trans_t, cnt_t,
             nl=nl, K_real=K_real, it_mode=it_mode, prior=prior_t,
+            want_alpha=want_alpha,
         )
         uf = jnp.maximum(uf, uf_it)
         beta = _bwd_sweep(lemg, trans_t, nl=nl, K_real=K_real)
@@ -977,10 +1008,28 @@ def padded_layout_ok(inputs, B: int = 8, K: int = 768, nl: int = 2) -> bool:
 
 
 def max_pallas_chains(K_pad: int, nl: int, W: int = 16) -> int:
-    """Largest chain batch the fused sweep runs without the XLA fallback
-    (used by the engine to clamp sample_batch * nGibbsSamples)."""
+    """Largest chain batch one fused-sweep kernel runs (VMEM envelope);
+    bigger batches are split into sub-batches of this size by
+    gibbs._run_gibbs_chains_chunked."""
     per_row = 6 * nl * K_pad * 4 + 4 * min(max(W, 1), _MAX_W) * K_pad * 2
     return max((12 << 20) // per_row, 1)
+
+
+def max_hbm_chains(
+    K_pad: int, nl: int, W: int = 16, G: int = 512,
+    hbm_budget: int = 10 << 30,
+) -> int:
+    """Largest chain batch whose per-call HBM working set fits the chip
+    (the VMEM row ceiling is handled by sub-batch chunking instead). Main
+    per-row tensors: the lemg/beta/alpha [G, nl*K] f32 planes (x2 for
+    XLA ping-pong), the [G, W, K] bf16 slot emissions, and the
+    [K, R~G*3] f32 eMatRead."""
+    per_row = (
+        2 * 3 * G * nl * K_pad * 4
+        + G * max(W, 1) * K_pad * 2
+        + K_pad * G * 4 * 4
+    )
+    return max(hbm_budget // per_row, 8)
 
 
 def _round_up(x: int, m: int) -> int:

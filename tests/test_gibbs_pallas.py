@@ -142,3 +142,55 @@ def test_pallas_dense_coverage_tiled():
     dx = gx[0][:, 1, :nSNPs] + 2 * gx[0][:, 2, :nSNPs]
     dp = gp[0][:, 1, :nSNPs] + 2 * gp[0][:, 2, :nSNPs]
     np.testing.assert_allclose(dp, dx, atol=5e-3)
+
+
+def test_chunked_rows_match_single():
+    """Oversize chain batches run as Pallas sub-batches
+    (gibbs._run_gibbs_chains_chunked); the split is exact row-wise."""
+    from quilt_tpu.kernels.gibbs import _run_gibbs_chains_chunked
+
+    rng = np.random.default_rng(7)
+    nl, B = 2, 10
+    K, nSNPs = 24, 128
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    reads_list = []
+    for _ in range(B):
+        truth = simulate_truth_mosaic(rng, haps, n_latent=nl)
+        r, _ = simulate_sample_reads(
+            rng, truth, pos, grid, coverage=2.0, read_length_bp=600,
+            phred=25,
+        )
+        reads_list.append(r.sorted_by_grid())
+    trans = trans_rates(np.full(nGrids - 1, 0.985))
+    inputs = GibbsInputs.build_batched(reads_list, trans, nGrids)
+    preads = PaddedReads.build_batched(reads_list, ref_error=0.001)
+    n_its, R = 4, inputs.R
+    uniforms = rng.random((n_its, B, R)).astype(np.float32)
+    H0 = rng.choice(nl, size=(B, R)).astype(np.int32)
+    S = nGrids * 32
+    bits1 = np.zeros((K, S), dtype=np.uint8)
+    bits1[:, :nSNPs] = haps
+    bits = np.broadcast_to(bits1[None], (B, K, S)).copy()
+    first = rng.integers(0, 50, B).astype(np.int32)
+    kw = dict(
+        preads=preads, inputs=inputs, n_latent=nl, ff=0.0,
+        n_burn_in=n_its - 1, iterative_init=True, K_real=K,
+    )
+    os.environ["QUILT_TPU_GIBBS"] = "pallas"
+    try:
+        ref = run_gibbs_chains(
+            bits=bits, uniforms=uniforms, H0=H0, first_read=first, **kw
+        )
+        chk = _run_gibbs_chains_chunked(
+            4, bits=bits, uniforms=uniforms, H0=H0, first_read=first,
+            max_diff=1e10, ref_error=0.001, eMatRead=None, boundaries=None,
+            block_u=None, do_block=None, relabel_u=None, do_entire=False,
+            resample_u=None, block_within=None, smooth_w=None,
+            quantile_prob=0.95, return_arrays=True, **kw,
+        )
+    finally:
+        os.environ.pop("QUILT_TPU_GIBBS", None)
+    nr = min(r.nReads for r in reads_list)
+    assert (ref[3][:, :nr] == chk[3][:, :nr]).mean() > 0.99
+    np.testing.assert_allclose(chk[0], ref[0], atol=5e-3)
