@@ -25,7 +25,9 @@ from ..config import ImputeConfig
 from ..io.reads import SampleReads
 from ..kernels import PaddedReads, fb_full_batched
 from ..kernels.common import pad_to_multiple
-from ..kernels.emissions import gls_from_labels_device
+from ..kernels.emissions import (
+    ReadWindowCache, gls_from_labels_device, gls_from_labels_windowed,
+)
 from ..kernels.gibbs import GibbsInputs, run_gibbs_chains
 
 
@@ -227,6 +229,15 @@ def _impute_samples_batched_once(
             bits, H0_b, first_b = (
                 sharded["bits"], sharded["H0"], sharded["first"]
             )
+        lem_pair = None
+        if lem_full is not None and ctx.mesh is None and Bb == B:
+            # subset emissions from the per-batch whole-panel cache: one
+            # flat row gather + rescale instead of a gather-einsum build
+            with _sec("gibbs:lem_subset"):
+                flat_idx = sp_of_row[:, None] * K + which_p
+                lem_pair = lem_subset(
+                    lem_full, flat_idx, max_diff, ginputs_b.R
+                )
         # device-resident outputs: the batched path consumes only the
         # read labels (and, under mspbwt, the hap dosages) host-side;
         # fetching gp/gpF/hap_dos every call would move ~30 MB per
@@ -234,6 +245,7 @@ def _impute_samples_batched_once(
         with _sec("gibbs:sweep_kernel"):
             gp, gpF, hap_dos, Hn, ll, uf, Hcls = run_gibbs_chains(
                 bits=bits, preads=preads_b, inputs=ginputs_b,
+                lem_read=lem_pair,
                 uniforms=uniforms, H0=H0_b, first_read=first_b,
                 n_latent=nl,
                 ff=ff, n_burn_in=n_its - 1, iterative_init=iterative,
@@ -261,14 +273,42 @@ def _impute_samples_batched_once(
         "pa": jnp.asarray(preads1.lpa),
     }
 
+    # per-batch window cache: reads are fixed across the seek loop, so the
+    # windowed coefficient rows upload/build once and every GL call is a
+    # couple of one-hot matmuls per read chunk
+    gl_cache = ReadWindowCache(
+        preads1.u_pad, preads1.lpr, preads1.lpa, preads1.mask, nGrids,
+        lr=preads1.lr, la=preads1.la,
+    )
+    # whole-panel log eMatRead, built once per batch from the same window
+    # cache (gated by HBM footprint; large panels fall back to the
+    # per-call subset build inside run_gibbs_chains)
+    from ..kernels.emissions import lem_full_from_cache, lem_subset
+    lem_full = None
+    lem_bytes = S * K * gl_cache.Rpad * 4
+    if lem_bytes <= int(2.5e9) and K * nGrids * 32 * 2 <= int(5e8):
+        with _sec("emat:full_build"):
+            dh, dl = gl_cache.diff
+            lem_full = _drain(lem_full_from_cache(
+                ctx.e_full_dev(), dh, dl, gl_cache.base, gl_cache.s0,
+                gl_cache.Rc, gl_cache.Swin,
+            ))
+    sp_of_row = jnp.asarray(np.repeat(np.arange(S), C).astype(np.int32))
+
     def run_fb_and_select(H_b, which_b, row_to_sample, sel_key_it):
         Bb = np.shape(H_b)[0]
-        pd = preads_dev if Bb == B else preads1_dev
         with _sec("fb:gl_build"):
-            gls = _drain(gls_from_labels_device(
-                pd["u"], pd["pr"], pd["pa"], jnp.asarray(H_b), nl, S_pad,
-                minGLValue=cfg.minGLValue,
-            ))
+            if Bb == B:
+                gls = _drain(gls_from_labels_windowed(
+                    gl_cache, jnp.asarray(H_b), nl, C, S_pad,
+                    minGLValue=cfg.minGLValue,
+                ))
+            else:
+                pd = preads1_dev
+                gls = _drain(gls_from_labels_device(
+                    pd["u"], pd["pr"], pd["pa"], jnp.asarray(H_b), nl,
+                    S_pad, minGLValue=cfg.minGLValue,
+                ))
         if ctx.sharded_fb is not None:
             with _sec("fb:kernel"):
                 res_fb = ctx.sharded_fb(np.asarray(gls))

@@ -67,6 +67,7 @@ class RegionContext:
     _rhb_dev_cache: Optional[object] = None
     _dh_bits_dev_cache: Optional[object] = None
     _smooth_w_dev_cache: Optional[object] = None
+    _e_full_dev_cache: Optional[object] = None
 
     def rhb_dev(self):
         """Packed panel resident on device (uploaded once per region)."""
@@ -74,6 +75,15 @@ class RegionContext:
             object.__setattr__(self, "_rhb_dev_cache",
                                jnp.asarray(self.prep.rhb_t))
         return self._rhb_dev_cache
+
+    def e_full_dev(self):
+        """{0,1} bf16 expansion of the whole packed panel (once per
+        region; operand of the batched engine's eMatRead matmuls)."""
+        if self._e_full_dev_cache is None:
+            from ..kernels.emissions import expand_panel_bf16
+            object.__setattr__(self, "_e_full_dev_cache",
+                               expand_panel_bf16(self.rhb_dev()))
+        return self._e_full_dev_cache
 
     def smooth_w_dev(self):
         """Banded smoothing operator device-resident (uploaded once per

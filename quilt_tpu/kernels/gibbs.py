@@ -1292,7 +1292,7 @@ def _run_gibbs_chains_chunked(
     Bc, bits, preads, inputs, uniforms, H0, first_read, n_latent, ff,
     n_burn_in, iterative_init, K_real, max_diff, ref_error, eMatRead,
     boundaries, block_u, do_block, relabel_u, do_entire, resample_u,
-    block_within, smooth_w, quantile_prob, return_arrays,
+    block_within, smooth_w, quantile_prob, return_arrays, lem_read=None,
 ):
     """Run an oversize chain batch as ceil(B/Bc) fused-Pallas sub-batches.
 
@@ -1367,6 +1367,10 @@ def _run_gibbs_chains_chunked(
             ),
             block_within=block_within, smooth_w=smooth_w,
             quantile_prob=quantile_prob, return_arrays=False,
+            lem_read=(
+                (tak(lem_read[0], 0, rows), tak(lem_read[1], 0, rows))
+                if lem_read is not None else None
+            ),
         ))
     cat = lambda i, ax: jnp.concatenate([o[i] for o in outs], axis=ax)
     res = (
@@ -1403,6 +1407,7 @@ def run_gibbs_chains(
     smooth_w: Optional[np.ndarray] = None,
     quantile_prob: float = 0.95,
     return_arrays: bool = True,
+    lem_read=None,
 ):
     """Run B independent Gibbs chains; returns numpy outputs
     (gp, gpF, hap_dos, H, per_it_ll, underflow, H_class).
@@ -1453,7 +1458,7 @@ def run_gibbs_chains(
                     relabel_u=relabel_u, do_entire=do_entire,
                     resample_u=resample_u, block_within=block_within,
                     smooth_w=smooth_w, quantile_prob=quantile_prob,
-                    return_arrays=return_arrays,
+                    return_arrays=return_arrays, lem_read=lem_read,
                 )
             from ..utils import print_message
             print_message(
@@ -1471,7 +1476,7 @@ def run_gibbs_chains(
                 do_block=do_block, relabel_u=relabel_u, do_entire=do_entire,
                 resample_u=resample_u, block_within=block_within,
                 smooth_w=smooth_w, quantile_prob=quantile_prob,
-                return_arrays=return_arrays,
+                return_arrays=return_arrays, lem_read=lem_read,
             )
     if n_latent == 2:
         prior = np.array([0.5, 0.5], dtype=np.float32)

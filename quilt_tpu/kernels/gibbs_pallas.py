@@ -700,7 +700,9 @@ def _suffix_nipt_composed_padded(
     ),
 )
 def _gibbs_core_pallas(
-    em_all,           # [B, K, R] f32 eMatRead (probability domain)
+    em_all,           # [B, K, R] f32 eMatRead (probability domain) or None
+    lem_in,           # [B, K, R] f32 log eMatRead (rescaled+floored) or None
+    skip_in,          # [B, R] bool uninformative-read flags or None
     bits,             # [B, K, S] uint8
     r_pad,            # [G, W, B] int32 (-1 = empty slot)
     cnt_max,          # [G, 1] int32
@@ -721,15 +723,24 @@ def _gibbs_core_pallas(
     do_entire, resample_u=None, block_within=True, smooth_w=None,
     quantile_prob=0.95,
 ):
-    B, K, R = em_all.shape
+    if em_all is not None:
+        B, K, R = em_all.shape
+    else:
+        B, K, R = lem_in.shape
     G, W = r_pad.shape[0], r_pad.shape[1]
     BN = nl * B
     bits_packed = bits.dtype != jnp.uint8
     S = bits.shape[2] * (32 if bits_packed else 1)
     # log emission + uninformative-read skip mask, fused into this jit so
-    # the dispatch path issues ONE device call per sweep
-    lem_all = jnp.log(em_all)
-    skip_r = (em_all > 1.0 - 1e-12).all(axis=1) | ~valid_r
+    # the dispatch path issues ONE device call per sweep; the batched
+    # engine passes precomputed log emissions from its per-batch
+    # whole-panel matmul cache instead
+    if em_all is not None:
+        lem_all = jnp.log(em_all)
+        skip_r = (em_all > 1.0 - 1e-12).all(axis=1) | ~valid_r
+    else:
+        lem_all = lem_in
+        skip_r = skip_in | ~valid_r
     prior = jnp.asarray(prior_t, dtype=jnp.float32)
     log_prior = jnp.log(prior)
     trans_t = jnp.transpose(trans)                          # (2, G) for SMEM
@@ -1061,8 +1072,14 @@ def run_gibbs_chains_pallas(
     smooth_w=None,
     quantile_prob=0.95,
     return_arrays=True,
+    lem_read=None,
 ):
-    """Drop-in replacement for kernels.gibbs.run_gibbs_chains on TPU."""
+    """Drop-in replacement for kernels.gibbs.run_gibbs_chains on TPU.
+
+    lem_read: optional (lem [B, K, R] f32, skip [B, R] bool) pair of
+    precomputed rescaled/floored log emissions (the batched engine's
+    per-batch whole-panel matmul cache); skips the per-call eMatRead
+    build entirely."""
     from . import nipt as nipt_tables
     from .emissions import emat_read_from_bits
 
@@ -1076,7 +1093,7 @@ def run_gibbs_chains_pallas(
         bits = jnp.asarray(bits)
     R = inputs.R
     G = inputs.G
-    if eMatRead is None:
+    if eMatRead is None and lem_read is None:
         # device-resident read tensors cached on the PaddedReads object —
         # the engine reuses one PaddedReads across the whole seek loop, so
         # the [B, R, J] uploads cross the host link once per region
@@ -1167,6 +1184,8 @@ def run_gibbs_chains_pallas(
 
     gp, gpF, hap_dos, H, ll, uf, H_class = _gibbs_core_pallas(
         eMatRead,
+        lem_read[0] if lem_read is not None else None,
+        lem_read[1] if lem_read is not None else None,
         bits,
         cache["r_pad"],
         cache["cnt_max"],
