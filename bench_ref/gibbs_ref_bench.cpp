@@ -334,45 +334,67 @@ static double fb_full_pass(int K, int G, int D,
 }
 
 int main(int argc, char** argv) {
+    // usage: gibbs_ref_bench [mode] [Ksub] [G] [nReads] [n_its] [J]
+    // modes: sweep | e2e   (diploid, NL=2)
+    //        sweep3 | e2e3 (NIPT triploid, NL=3, ff=0.2 — reference
+    //                       semantics gibbs-nipt.cpp:1961-1978)
+    // J = SNPs per read (16 short-read default; ~100 for ONT-shaped
+    //     long reads, reference README.md:28 high-error long reads)
     std::string mode = argc > 1 ? argv[1] : "sweep";
     int Ksub = argc > 2 ? atoi(argv[2]) : 600;
     int G = argc > 3 ? atoi(argv[3]) : 512;
     int R = argc > 4 ? atoi(argv[4]) : 1638;
     int n_its = argc > 5 ? atoi(argv[5]) : 21;
+    int J = argc > 6 ? atoi(argv[6]) : 16;
+    int NL = (mode == "sweep3" || mode == "e2e3") ? 3 : 2;
+    double ff = NL == 3 ? 0.2 : 0.0;
 
     Workload w = make_workload(Ksub, G, R, n_its);
+    w.J = J;
+    if (J != 16) {
+        std::uniform_real_distribution<double> be(0.3, 1.0);
+        w.base_e.resize((size_t)R * J);
+        for (auto& v : w.base_e) v = be(rng);
+    }
     std::uniform_real_distribution<double> unif(0.0, 1.0);
     std::vector<double> u(1 << 16);
     for (auto& v : u) v = unif(rng);
     std::vector<int> H(R);
-    for (int r = 0; r < R; ++r) H[r] = (int)(rng() & 1);
+    for (int r = 0; r < R; ++r) {
+        if (NL == 2) H[r] = (int)(rng() & 1);
+        else {
+            double x = unif(rng);
+            H[r] = x < 0.5 ? 0 : (x < 0.5 + (1 - ff) / 2 ? 1 : 2);
+        }
+    }
     double sink = 0.0;
 
-    if (mode == "sweep") {
+    if (mode == "sweep" || mode == "sweep3") {
         // one 21-sweep Gibbs call incl. its eMatRead build, as the engine
         // issues it; 7 chains run SEQUENTIALLY on the reference's core
         build_eMatRead(w);
         std::vector<int> H0 = H;
-        sink += gibbs_call(w, H0, u);          // warm caches
+        sink += gibbs_call(w, H0, u, NL, ff);  // warm caches
         int chains = 7, reps = 2;
         auto t0 = std::chrono::steady_clock::now();
         for (int rep = 0; rep < reps; ++rep)
             for (int ch = 0; ch < chains; ++ch) {
                 std::vector<int> Hc = H;
-                sink += gibbs_call(w, Hc, u);
+                sink += gibbs_call(w, Hc, u, NL, ff);
             }
         auto t1 = std::chrono::steady_clock::now();
         double dt = std::chrono::duration<double>(t1 - t0).count() / reps;
         double resamples = (double)n_its * chains * R;
-        printf("{\"mode\": \"sweep\", \"gibbs_resamples_per_s_core\": %.1f, "
+        printf("{\"mode\": \"%s\", \"gibbs_resamples_per_s_core\": %.1f, "
                "\"seconds_per_7_chain_call\": %.4f, \"Ksub\": %d, "
                "\"nGrids\": %d, \"nReads\": %d, \"n_its\": %d, "
-               "\"sink\": %g}\n",
-               resamples / dt, dt, Ksub, G, R, n_its, sink);
+               "\"n_latent\": %d, \"J\": %d, \"sink\": %g}\n",
+               mode.c_str(), resamples / dt, dt, Ksub, G, R, n_its, NL, J,
+               sink);
     } else {
         // whole-sample loop at the BENCH_FULL workload shape:
         // (7 Gibbs samples + 1 phasing) x 3 seek its x
-        //   {eMatRead build + Gibbs call + 2 full-panel FB passes}
+        //   {eMatRead build + Gibbs call + NL full-panel FB passes}
         int K_panel = 5120, D = 255;
         std::uniform_int_distribution<int> dh_dist(1, D);
         std::vector<uint8_t> hm_full((size_t)G * K_panel);
@@ -385,19 +407,21 @@ int main(int argc, char** argv) {
             for (int si = 0; si < seek; ++si) {
                 build_eMatRead(w);
                 std::vector<int> Hc = H;
-                sink += gibbs_call(w, Hc, u);
-                for (int h = 0; h < 2; ++h)
+                sink += gibbs_call(w, Hc, u, NL, ff);
+                for (int h = 0; h < NL; ++h)
                     sink += fb_full_pass(K_panel, G, D, hm_full, eMatDH);
             }
         }
         auto t1 = std::chrono::steady_clock::now();
         double dt = std::chrono::duration<double>(t1 - t0).count();
-        printf("{\"mode\": \"e2e\", \"samples_per_s_core\": %.5f, "
+        printf("{\"mode\": \"%s\", \"samples_per_s_core\": %.5f, "
                "\"seconds_per_sample\": %.2f, \"K_panel\": %d, "
                "\"Ksub\": %d, \"nGrids\": %d, \"nReads\": %d, "
+               "\"n_latent\": %d, \"J\": %d, "
                "\"config\": \"8 chain-runs x 3 seek its x (%d-sweep Gibbs "
-               "+ 2 full-panel FB)\", \"sink\": %g}\n",
-               1.0 / dt, dt, K_panel, Ksub, G, R, n_its, sink);
+               "+ %d full-panel FB)\", \"sink\": %g}\n",
+               mode.c_str(), 1.0 / dt, dt, K_panel, Ksub, G, R, NL, J,
+               n_its, NL, sink);
     }
     return 0;
 }

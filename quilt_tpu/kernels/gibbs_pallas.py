@@ -71,10 +71,10 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
     log_prior = tuple(float(np.log(p)) for p in prior)
 
     def kernel(
-        lemg_in, beta_in, lem_blk, slots_blk, first_rd,
+        lemg_in, beta_in, lem_blk, slots_blk, first_rd, lab_init,
         trans_s, cnt_s,
-        lemg_out, alpha_out, h_out, logc_out, uf_out,
-        alpha_s, pc_s, logc_s, uf_s,
+        lemg_out, alpha_out, h_out, logc_out, uf_out, lab_out,
+        alpha_s, pc_s, logc_s, uf_s, lab_s,
     ):
         g = pl.program_id(0)
         wc = pl.program_id(1)
@@ -90,6 +90,7 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
             alpha_s[...] = jnp.zeros_like(alpha_s)
             logc_s[...] = jnp.zeros_like(logc_s)
             uf_s[...] = jnp.zeros_like(uf_s)
+            lab_s[...] = lab_init[...]
 
         # ---- alpha advance into grid g (first chunk only) ----
         @pl.when(wc == 0)
@@ -219,6 +220,13 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
                 lemg_out[0, h * B:(h + 1) * B] = (
                     lemg_out[0, h * B:(h + 1) * B] + d_h * lem_i
                 )
+                # running per-row label counts (feeds the per-iteration
+                # likelihood row without an XLA [G, W, B] pass); unlike
+                # the lemg delta, an init-pass assignment also vacates the
+                # read's previous (randomly initialised) label
+                lab_s[:, h:h + 1] = lab_s[:, h:h + 1] + (
+                    oh_N[h].astype(f32) - oh_C[h].astype(f32)
+                ) * flip_f
             h_out[0, pl.ds(i, 1), :] = jnp.transpose(
                 jnp.where(flip, h_new, h_rC), (1, 0)
             )
@@ -246,6 +254,7 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
         alpha_out[0] = alpha_s[...]
         logc_out[...] = logc_s[...]
         uf_out[...] = uf_s[...]
+        lab_out[...] = lab_s[...]
 
     return kernel
 
@@ -255,14 +264,15 @@ def _make_fwd_kernel(nl, B, W, K, K_real, it_mode, prior):
     static_argnames=("nl", "K_real", "it_mode", "prior", "want_alpha"),
 )
 def _fwd_sweep(
-    lemg, beta, lem_pad, slots, first_read, trans,
+    lemg, beta, lem_pad, slots, first_read, lab_init, trans,
     cnt_max, nl, K_real, it_mode, prior, want_alpha=True,
 ):
     """One forward Gibbs sweep. Shapes:
     lemg/beta [G, BN, K] f32; lem_pad [G, W, B, K] f16/f32;
     slots [G, 4, W, B] i32 (packed planes: uniform bits / H / skip / read
     id); first_read [B, 1] i32; trans [2, G] f32 (SMEM); cnt_max [1, G]
-    i32. Returns (lemg', alphas, H_pad', logc [BN,1], uf [B,1]).
+    i32; lab_init [B, nl] f32 label counts entering the sweep. Returns
+    (lemg', alphas, H_pad', logc [BN,1], uf [B,1], lab [B, nl]).
 
     want_alpha=False skips streaming the [G, BN, K] alpha planes back to
     HBM (the alphas are only consumed on block-move and final iterations);
@@ -301,6 +311,7 @@ def _fwd_sweep(
             pl.BlockSpec((1, 4, Wc, B), lambda g, wc: (g, 0, wc, 0),
                          memory_space=pltpu.VMEM),         # slots (packed)
             const2(B, 1),                                  # first_read
+            const2(B, nl),                                 # lab_init
             pl.BlockSpec(memory_space=pltpu.SMEM),         # trans (whole)
             pl.BlockSpec(memory_space=pltpu.SMEM),         # cnt_max (whole)
         ],
@@ -310,6 +321,7 @@ def _fwd_sweep(
             slot(),                                        # h_out
             const2(BN, 1),                                 # logc_out
             const2(B, 1),                                  # uf_out
+            const2(B, nl),                                 # lab_out
         ],
         out_shape=[
             jax.ShapeDtypeStruct((G, BN, K), jnp.float32),
@@ -317,15 +329,17 @@ def _fwd_sweep(
             jax.ShapeDtypeStruct((G, W, B), jnp.int32),
             jax.ShapeDtypeStruct((BN, 1), jnp.float32),
             jax.ShapeDtypeStruct((B, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, nl), jnp.float32),
         ],
         scratch_shapes=[
             pltpu.VMEM((BN, K), jnp.float32),              # alpha_s
             pltpu.VMEM((BN, 1), jnp.float32),              # pc_s
             pltpu.VMEM((BN, 1), jnp.float32),              # logc_s
             pltpu.VMEM((B, 1), jnp.float32),               # uf_s
+            pltpu.VMEM((B, nl), jnp.float32),              # lab_s
         ],
         interpret=_interpret(),
-    )(lemg, beta, lem_pad, slots, first_read, trans, cnt_max)
+    )(lemg, beta, lem_pad, slots, first_read, lab_init, trans, cnt_max)
     return out
 
 
@@ -396,6 +410,62 @@ def _bwd_sweep(lemg, trans, nl, K_real):
         interpret=_interpret(),
     )(lemg, trans)
     return beta
+
+
+# ---------------------------------------------------------------------------
+# dosage kernel
+# ---------------------------------------------------------------------------
+
+
+def _make_dos_kernel(nl, B, K, K_real, ref_error):
+    def kernel(alpha_in, beta_in, words_in, hd_out):
+        f32 = jnp.float32
+        km = (
+            jax.lax.broadcasted_iota(jnp.int32, (1, K), 1) < K_real
+        ).astype(f32)
+        gam = alpha_in[0] * beta_in[0] * km                 # (BN, K)
+        s = jnp.sum(gam, axis=1, keepdims=True)
+        gam = gam * (1.0 / jnp.maximum(s, 1e-30))
+        w = words_in[0]                                     # (B, K) i32
+        for t in range(32):
+            bit = ((w >> t) & 1).astype(f32)
+            e_t = bit * (1.0 - 2.0 * ref_error) + ref_error
+            for h in range(nl):
+                hd_out[0, h * B:(h + 1) * B, t] = jnp.sum(
+                    gam[h * B:(h + 1) * B] * e_t, axis=1
+                )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nl", "K_real", "ref_error")
+)
+def _dosage_sweep(alphas, beta, words_T, nl, K_real, ref_error):
+    """Per-grid haplotype dosages from the final FB state: gamma
+    normalisation + packed-word unpack + per-bit contraction fused in one
+    Pallas pass (the XLA scan paid a per-grid dispatch and a slow
+    variable-shift expansion). alphas/beta [G, BN, K]; words_T [G, B, K]
+    packed. Returns hd [G, BN, 32] f32."""
+    G, BN, K = alphas.shape
+    B = words_T.shape[1]
+    kernel = _make_dos_kernel(BN // B, B, K, K_real, float(ref_error))
+    return pl.pallas_call(
+        kernel,
+        grid=(G,),
+        in_specs=[
+            pl.BlockSpec((1, BN, K), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BN, K), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, K), lambda g: (g, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, BN, 32), lambda g: (g, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((G, BN, 32), jnp.float32),
+        interpret=_interpret(),
+    )(alphas, beta, words_T)
 
 
 # ---------------------------------------------------------------------------
@@ -793,6 +863,13 @@ def _gibbs_core_pallas(
     Hc_pad = jnp.zeros((G, W, B), dtype=jnp.int32)
     live = valid & ~(skip_pad > 0)                          # [G, W, B]
     prior = jnp.asarray(prior_t, dtype=jnp.float32)
+    validf = valid.astype(jnp.float32)
+
+    def counts_of(Hp):
+        oh = jax.nn.one_hot(jnp.clip(Hp, 0, nl - 1), nl, dtype=jnp.float32)
+        return (oh * validf[..., None]).sum(axis=(0, 1))    # [B, nl]
+
+    lab = counts_of(H_pad)
 
     for it in range(n_its):
         if iterative_init and it <= 1:
@@ -813,8 +890,8 @@ def _gibbs_core_pallas(
             ],
             axis=1,
         )                                                   # [G, 4, W, B]
-        lemg, alphas, H_pad, logc, uf_it = _fwd_sweep(
-            lemg, beta, lem_pad, slots_it, first_col, trans_t, cnt_t,
+        lemg, alphas, H_pad, logc, uf_it, lab = _fwd_sweep(
+            lemg, beta, lem_pad, slots_it, first_col, lab, trans_t, cnt_t,
             nl=nl, K_real=K_real, it_mode=it_mode, prior=prior_t,
             want_alpha=want_alpha,
         )
@@ -887,6 +964,7 @@ def _gibbs_core_pallas(
                 )
                 H_pad = H_rb.reshape(G, W, B)
                 Hc_pad = Hc_rb.reshape(G, W, B)
+                lab = counts_of(H_pad)
             elif nl == 3:
                 if use_otf:
                     (lemg, beta, alphas, H_pad,
@@ -900,6 +978,7 @@ def _gibbs_core_pallas(
                         lemg, beta, alphas, H_pad, Hc_pad, valid,
                         boundaries, block_u[it], B, K_real, clp, perm_mask,
                     )
+                lab = counts_of(H_pad)
             else:
                 if use_otf:
                     lemg, beta, alphas, H_pad = _suffix_pair_composed_padded(
@@ -911,6 +990,7 @@ def _gibbs_core_pallas(
                         lemg, beta, alphas, H_pad, valid, boundaries,
                         block_u[it], nl, B, K_real, log_prior,
                     )
+                lab = counts_of(H_pad)
         if do_entire and nl == 3:
             # entire relabelling (rcpp_consider_and_try_entire_relabelling,
             # gibbs-nipt.cpp:1553-1577)
@@ -923,16 +1003,13 @@ def _gibbs_core_pallas(
                 chosen, all_g, valid, lemg, beta, alphas, H_pad, Hc_pad
             )
             relabel = chosen + 1
+            lab = counts_of(H_pad)
         p_O_h = jnp.transpose(logc.reshape(nl, B))          # [B, nl]
         p_O = p_O_h.sum(axis=1)
-        p_H = (
-            log_prior[H_pad] * valid.astype(jnp.float32)
-        ).sum(axis=(0, 1))
-        oh_l = jax.nn.one_hot(
-            jnp.clip(H_pad, 0, nl - 1), nl, dtype=jnp.float32
-        )
-        rc_l = (oh_l * valid[..., None].astype(jnp.float32)).sum(axis=(0, 1))
-        p_set = _log_dmultinom(rc_l, prior)
+        # per-iteration label stats from the kernel-tracked counts: no
+        # [G, W, B] pass per sweep
+        p_H = (lab * jnp.log(prior)[None, :]).sum(axis=1)
+        p_set = _log_dmultinom(lab, prior)
         p_O3 = p_O_h[:, 2] if nl == 3 else jnp.zeros_like(p_O)
         row = jnp.stack(
             [
@@ -951,26 +1028,36 @@ def _gibbs_core_pallas(
     Hc_out = jnp.take_along_axis(Hc_flat, idx_back, axis=1)
     Hc_out = jnp.where(valid_r, Hc_out, 0).astype(jnp.int32)
 
-    def dos_step(_, g):
-        a = jax.lax.dynamic_index_in_dim(alphas, g, 0, False)
-        bt = jax.lax.dynamic_index_in_dim(beta, g, 0, False)
-        gam = (a * bt * km[None, :]).reshape(nl, B, K)
-        gam = jnp.transpose(gam, (1, 0, 2))
-        gam = gam / jnp.maximum(gam.sum(axis=2, keepdims=True), 1e-30)
-        if bits_packed:
-            w_g = jax.lax.dynamic_slice(bits, (0, 0, g), (B, K, 1))
-            sh32 = jnp.arange(32, dtype=w_g.dtype)
-            bits_g = (w_g >> sh32[None, None, :]) & 1
-        else:
+    if bits_packed:
+        words_T = jnp.transpose(bits, (2, 0, 1)).astype(jnp.int32)
+        hd_g = _dosage_sweep(
+            alphas, beta, words_T, nl=nl, K_real=K_real,
+            ref_error=float(ref_error),
+        )                                                   # [G, BN, 32]
+        hap_dos = (
+            hd_g.reshape(G, nl, B, 32)
+            .transpose(2, 1, 0, 3)
+            .reshape(B, nl, S)
+        )
+    else:
+        def dos_step(_, g):
+            a = jax.lax.dynamic_index_in_dim(alphas, g, 0, False)
+            bt = jax.lax.dynamic_index_in_dim(beta, g, 0, False)
+            gam = (a * bt * km[None, :]).reshape(nl, B, K)
+            gam = jnp.transpose(gam, (1, 0, 2))
+            gam = gam / jnp.maximum(gam.sum(axis=2, keepdims=True), 1e-30)
             bits_g = jax.lax.dynamic_slice(
                 bits, (0, 0, g * 32), (B, K, 32)
             )
-        e_g = bits_g.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
-        hd = jnp.einsum("bhk,bks->bhs", gam, e_g)
-        return None, hd
+            e_g = (
+                bits_g.astype(jnp.float32) * (1.0 - 2.0 * ref_error)
+                + ref_error
+            )
+            hd = jnp.einsum("bhk,bks->bhs", gam, e_g)
+            return None, hd
 
-    _, hd = jax.lax.scan(dos_step, None, jnp.arange(G))
-    hap_dos = hd.transpose(1, 2, 0, 3).reshape(B, nl, S)
+        _, hd = jax.lax.scan(dos_step, None, jnp.arange(G))
+        hap_dos = hd.transpose(1, 2, 0, 3).reshape(B, nl, S)
     gp = jnp.stack(
         [
             (1 - hap_dos[:, 0]) * (1 - hap_dos[:, 1]),

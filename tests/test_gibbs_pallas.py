@@ -194,3 +194,49 @@ def test_chunked_rows_match_single():
     nr = min(r.nReads for r in reads_list)
     assert (ref[3][:, :nr] == chk[3][:, :nr]).mean() > 0.99
     np.testing.assert_allclose(chk[0], ref[0], atol=5e-3)
+
+
+def test_pallas_packed_bits_matches_xla():
+    """PACKED panel words through the fused sweep + dosage kernel (the
+    production layout) agree with the XLA path."""
+    from quilt_tpu.utils import pack_bits_32
+
+    rng = np.random.default_rng(23)
+    nl, B = 2, 3
+    K, nSNPs = 24, 128
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    truth = simulate_truth_mosaic(rng, haps, n_latent=nl)
+    reads, _ = simulate_sample_reads(
+        rng, truth, pos, grid, coverage=3.0, read_length_bp=600, phred=25,
+    )
+    trans = trans_rates(np.full(nGrids - 1, 0.985))
+    inputs = GibbsInputs.build(reads, trans, nGrids)
+    n_its, R = 5, inputs.R
+    uniforms = rng.random((n_its, B, R)).astype(np.float32)
+    H0 = rng.choice(nl, size=(B, R)).astype(np.int32)
+    preads = PaddedReads.build(reads, ref_error=0.001)
+    S = nGrids * 32
+    bits1 = np.zeros((K, S), dtype=np.uint8)
+    bits1[:, :nSNPs] = haps
+    words = pack_bits_32(bits1)
+    bits_p = np.broadcast_to(words[None], (B,) + words.shape).copy()
+    first = rng.integers(0, reads.nReads, B).astype(np.int32)
+    res = {}
+    for backend in ["xla", "pallas"]:
+        os.environ["QUILT_TPU_GIBBS"] = backend
+        try:
+            res[backend] = run_gibbs_chains(
+                bits=bits_p, preads=preads, inputs=inputs,
+                uniforms=uniforms, H0=H0, first_read=first, n_latent=nl,
+                ff=0.0, n_burn_in=n_its - 1, iterative_init=True, K_real=K,
+            )
+        finally:
+            os.environ.pop("QUILT_TPU_GIBBS", None)
+    gx, gp = res["xla"], res["pallas"]
+    nr = reads.nReads
+    assert (gx[3][:, :nr] == gp[3][:, :nr]).mean() > 0.995
+    dx = gx[0][:, 1, :nSNPs] + 2 * gx[0][:, 2, :nSNPs]
+    dp = gp[0][:, 1, :nSNPs] + 2 * gp[0][:, 2, :nSNPs]
+    np.testing.assert_allclose(dp, dx, atol=5e-3)
+    np.testing.assert_allclose(gp[4], gx[4], rtol=1e-4, atol=1e-3)

@@ -65,7 +65,27 @@ def main():
     bits1_dev = jnp.asarray(bits1)
     jax.block_until_ready(bits1_dev)
 
-    def timed_call(C, n_its, reps=3):
+    # production emission cache (engine/batch.py): whole-panel log
+    # eMatRead built once per batch; per call = flat row gather + rescale
+    from quilt_tpu.kernels.emissions import (
+        ReadWindowCache, expand_panel_bf16, lem_full_from_cache, lem_subset,
+    )
+    wcache = ReadWindowCache(
+        preads.u_pad[None], preads.lpr[None], preads.lpa[None],
+        preads.mask[None], nGrids, lr=preads.lr[None], la=preads.la[None],
+    )
+    dh_, dl_ = wcache.diff
+    E_full = expand_panel_bf16(jnp.asarray(rhb))
+    lem_full = lem_full_from_cache(
+        E_full, dh_, dl_, wcache.base, wcache.s0, wcache.Rc, wcache.Swin,
+    )
+    jax.block_until_ready(lem_full)
+    which_p_dev = jnp.asarray(
+        np.concatenate([which, np.repeat(which[:1], Kp - Ksub)])
+        .astype(np.int32)
+    )
+
+    def timed_call(C, n_its, reps=3, use_lem=True):
         # device-resident inputs, as in the engine (bits are gathered from
         # the device panel per batch; uploading [C, K, S] through the
         # tunnel per call times the link, not the kernel)
@@ -82,25 +102,40 @@ def main():
             n_burn_in=n_its - 1, iterative_init=True, K_real=Ksub,
             return_arrays=False,
         )
-        out = run_gibbs_chains(**args)        # warm (compile)
-        float(out[4].sum())                   # drain via tiny ll matrix
-        t0 = time.time()
-        for _ in range(reps):
+        flat_idx = jnp.broadcast_to(which_p_dev[None], (C, Kp))
+
+        def call():
+            if use_lem:
+                args["lem_read"] = lem_subset(
+                    lem_full, flat_idx, 1e10, ginputs.R
+                )
             out = run_gibbs_chains(**args)
             float(out[4].sum())
+        call()                                # warm (compile)
+        t0 = time.time()
+        for _ in range(reps):
+            call()
         return (time.time() - t0) / reps
 
     # batch scaling at 21 sweeps
     table = {}
-    for C in (7, 28, 56, 112, 256):
+    for C in (7, 28, 56, 112, 224, 256):
+        from quilt_tpu.kernels.gibbs import _pallas_chunk_size
         from quilt_tpu.kernels.gibbs_pallas import padded_layout_ok
         dt = timed_call(C, 21)
+        if padded_layout_ok(ginputs, B=C, K=Kp, nl=2):
+            backend = "pallas"
+        elif _pallas_chunk_size(ginputs, C, Kp, 2):
+            backend = (
+                f"pallas-chunked x{-(-C // _pallas_chunk_size(ginputs, C, Kp, 2))}"
+            )
+        else:
+            backend = "xla-fallback"
         table[str(C)] = {
             "seconds_per_call": round(dt, 4),
             "read_resamples_per_s": round(21 * C * reads.nReads / dt, 1),
             "chain_sweeps_per_s": round(21 * C / dt, 2),
-            "backend": "pallas" if padded_layout_ok(
-                ginputs, B=C, K=Kp, nl=2) else "xla-fallback",
+            "backend": backend,
         }
         print(f"C={C}: {dt:.3f}s -> {21*C*reads.nReads/dt:,.0f} resamples/s",
               flush=True)
