@@ -197,6 +197,65 @@ def main():
     }
     prep.ms_indices = None
 
+    # ---------------- end-to-end at UKB panel scale (K~100k) ------------
+    # the reference's headline claim is "hundreds of thousands or millions
+    # of haplotypes" (/root/reference/README.md:33); this measures the
+    # full engine at K=98304 on one chip, QUILT1 (K-tiled FB selection)
+    # and QUILT2 (planes-mspbwt selection), against the same-K measured
+    # reference core (bench_ref/gibbs_ref_bench e2e ... 98304)
+    K_big = 98304
+    rhb_100k = fast_packed_panel(rng, K_big, nSNPs // 32)
+    panel_100k = compress_panel(rhb_100k, nSNPs, nMaxDH=255)
+    prep_100k = PreparedReference(
+        chrom="chr20", pos=pos,
+        ref_allele=np.array(["A"] * nSNPs),
+        alt_allele=np.array(["G"] * nSNPs),
+        rhb_t=rhb_100k, af=unpack_bits_32(rhb_100k[:2048], nSNPs).mean(0),
+        grid=grid, L_grid=np.asarray(L_grid), cM_grid=cm, sigma=sigma,
+        panel=panel_100k, regionStart=None, regionEnd=None, buffer=0,
+        nGen=100, ref_error=0.001,
+    )
+    N_big = 8
+    samples_big = samples[:N_big]
+    cfg_big = dc_replace(cfg, sample_batch=N_big)
+    names_big = names[:N_big]
+    ref_sps_100k = _baseline("samples_per_s_core_K98304")
+    quilt_impute(prep_100k, samples_big, names_big, cfg_big)   # warm-up
+    t0 = time.time()
+    quilt_impute(prep_100k, samples_big, names_big, cfg_big)
+    dt = time.time() - t0
+    results["end_to_end_K100k"] = {
+        "samples_per_s": N_big / dt,
+        "seconds_for_N_samples": dt,
+        "N": N_big, "K_panel": K_big,
+        "config": "QUILT1 path, K-tiled FB selection, same shapes",
+        "vs_measured_ref_core_same_K": (
+            (N_big / dt) / ref_sps_100k if ref_sps_100k else None
+        ),
+    }
+    from quilt_tpu.panel.mspbwt import build_mspbwt_indices as _bmi
+    t0 = time.time()
+    prep_100k.ms_indices = _bmi(panel_100k.hapMatcher)
+    ms_build_s = time.time() - t0
+    cfg_big2 = dc_replace(cfg_big, use_mspbwt=True)
+    quilt_impute(prep_100k, samples_big, names_big, cfg_big2)  # warm-up
+    t0 = time.time()
+    quilt_impute(prep_100k, samples_big, names_big, cfg_big2)
+    dt2 = time.time() - t0
+    results["end_to_end_K100k_quilt2"] = {
+        "samples_per_s": N_big / dt2,
+        "seconds_for_N_samples": dt2,
+        "N": N_big, "K_panel": K_big,
+        "mspbwt_build_seconds": ms_build_s,
+        "config": "QUILT2 path: planes-mspbwt selection, same shapes",
+        "vs_measured_ref_core_same_K": (
+            (N_big / dt2) / ref_sps_100k if ref_sps_100k else None
+        ),
+    }
+    prep_100k = None
+    rhb_100k = None
+    panel_100k = None
+
     # ---------------- Gibbs sweep alone -------------------------------
     from quilt_tpu.engine.sample import RegionContext as RC
     from quilt_tpu.kernels import PaddedReads

@@ -334,7 +334,7 @@ static double fb_full_pass(int K, int G, int D,
 }
 
 int main(int argc, char** argv) {
-    // usage: gibbs_ref_bench [mode] [Ksub] [G] [nReads] [n_its] [J]
+    // usage: gibbs_ref_bench [mode] [Ksub] [G] [nReads] [n_its] [J] [K_panel]
     // modes: sweep | e2e   (diploid, NL=2)
     //        sweep3 | e2e3 (NIPT triploid, NL=3, ff=0.2 — reference
     //                       semantics gibbs-nipt.cpp:1961-1978)
@@ -346,6 +346,7 @@ int main(int argc, char** argv) {
     int R = argc > 4 ? atoi(argv[4]) : 1638;
     int n_its = argc > 5 ? atoi(argv[5]) : 21;
     int J = argc > 6 ? atoi(argv[6]) : 16;
+    int K_panel_arg = argc > 7 ? atoi(argv[7]) : 5120;
     int NL = (mode == "sweep3" || mode == "e2e3") ? 3 : 2;
     double ff = NL == 3 ? 0.2 : 0.0;
 
@@ -395,7 +396,7 @@ int main(int argc, char** argv) {
         // whole-sample loop at the BENCH_FULL workload shape:
         // (7 Gibbs samples + 1 phasing) x 3 seek its x
         //   {eMatRead build + Gibbs call + NL full-panel FB passes}
-        int K_panel = 5120, D = 255;
+        int K_panel = K_panel_arg, D = 255;
         std::uniform_int_distribution<int> dh_dist(1, D);
         std::vector<uint8_t> hm_full((size_t)G * K_panel);
         for (auto& v : hm_full) v = (uint8_t)dh_dist(rng);

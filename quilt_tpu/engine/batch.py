@@ -37,8 +37,12 @@ def _gather_words(rhb_dev, which):
     [B, Ksub] index array crosses the host link, and the panel stays
     bit-packed all the way into the kernels (the emission builder and
     dosage pass unpack words on the fly — no [B, K, S] byte panel in
-    HBM)."""
-    return rhb_dev[which]
+    HBM). Flat 1-D row indices: the 2-D batched gather lowering is ~10x
+    slower at UKB panel sizes."""
+    B, Kp = which.shape
+    return jnp.take(
+        rhb_dev, which.reshape(-1), axis=0
+    ).reshape(B, Kp, rhb_dev.shape[1])
 
 
 def _device_uniforms(key, shape):

@@ -59,7 +59,34 @@ def quilt_impute(
     validate_impute_config(cfg)
     validate_region_consistency(prep, cfg)
     N = len(samples)
-    ctx = RegionContext.build(prep, cfg)
+    # region setup (distinct-hap escape tables, device panel uploads,
+    # mspbwt symbol caches) is per-region work the reference amortises by
+    # loading one RData per job; cache it on the prepared reference so
+    # repeated quilt_impute calls on one region pay it once. The key
+    # covers every cfg field RegionContext.build consumes.
+    ctx_key = (
+        cfg.method, cfg.Ksubset, cfg.Knew, cfg.n_seek_its,
+        cfg.resolved_n_burn_in_seek_its(), cfg.use_mspbwt, cfg.hla_run,
+        cfg.gamma_physically_closest_to, cfg.impute_rare_common,
+        cfg.heuristic_match_thin, cfg.shuffle_bin_radius,
+        cfg.block_gibbs_boundary_detection, cfg.max_block_gibbs_boundaries,
+        cfg.block_gibbs_quantile_prob, cfg.K_top_matches,
+        cfg.override_default_params_for_small_ref_panel,
+        cfg.mesh_data, cfg.mesh_panel,
+    )
+    cached = getattr(prep, "_region_ctx_cache", None)
+    if cached is not None and cached[0] == ctx_key:
+        ctx = cached[1]
+        from ..utils.log import SectionTimers
+        object.__setattr__(
+            ctx, "timers", SectionTimers(cfg.print_extra_timing_information)
+        )
+    else:
+        ctx = RegionContext.build(prep, cfg)
+        try:
+            prep._region_ctx_cache = (ctx_key, ctx)
+        except AttributeError:
+            pass
     method = cfg.method
     ff_values = np.asarray(
         ff_values if ff_values is not None else np.zeros(N)
