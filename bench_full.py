@@ -135,7 +135,7 @@ def main():
         regionStart=None, regionEnd=None, buffer=0, nGen=100,
         ref_error=0.001,
     )
-    N = int(os.environ.get("QUILT_BENCH_N", "8"))   # batch-scaling knob
+    N = int(os.environ.get("QUILT_BENCH_N", "32"))   # batch-scaling knob
     samples = []
     n_reads_total = 0
     for i in range(N):
@@ -196,6 +196,148 @@ def main():
         "vs_measured_ref_core": (N / dt2) / ref_sps if ref_sps else None,
     }
     prep.ms_indices = None
+
+    # ---------------- NIPT end-to-end (BASELINE config 3) ---------------
+    # triploid cfDNA imputation, ff=0.2, measured against the triploid
+    # reference core (bench_ref/gibbs_ref_bench e2e3)
+    ref_sps_nipt = _baseline("samples_per_s_core_nipt")
+    samples_nipt = []
+    for i in range(N):
+        truth3 = simulate_truth_mosaic(rng, haps, n_latent=3)
+        r3, _ = simulate_sample_reads(
+            rng, truth3, pos, grid, coverage=1.0, read_length_bp=600,
+            phred=25, ff=0.2,
+        )
+        samples_nipt.append(r3)
+    cfg_nipt = dc_replace(cfg, method="nipt")
+    ff_arr = np.full(N, 0.2)
+    quilt_impute(prep, samples_nipt, names, cfg_nipt, ff_values=ff_arr)
+    t0 = time.time()
+    quilt_impute(prep, samples_nipt, names, cfg_nipt, ff_values=ff_arr)
+    dtn = time.time() - t0
+    results["end_to_end_nipt"] = {
+        "samples_per_s": N / dtn,
+        "seconds_for_N_samples": dtn,
+        "N": N, "ff": 0.2, "K_panel": K_panel,
+        "config": "triploid mother+fetus, 7 chains x 3 seek its",
+        "vs_measured_ref_core": (
+            (N / dtn) / ref_sps_nipt if ref_sps_nipt else None
+        ),
+    }
+
+    # ---------------- ONT end-to-end (BASELINE config 4) ----------------
+    # long high-error reads (reference README.md:28); denominator is the
+    # same-shape reference core (J~100 SNPs/read, 10% error)
+    ref_sps_ont = _baseline("samples_per_s_core_ont")
+    samples_ont = []
+    for i in range(N):
+        trutho = simulate_truth_mosaic(rng, haps, n_latent=2)
+        ro, _ = simulate_sample_reads(
+            rng, trutho, pos, grid, coverage=1.0, read_length_bp=6000,
+            phred=10,
+        )
+        samples_ont.append(ro)
+    quilt_impute(prep, samples_ont, names, cfg)
+    t0 = time.time()
+    quilt_impute(prep, samples_ont, names, cfg)
+    dto = time.time() - t0
+    results["end_to_end_ont"] = {
+        "samples_per_s": N / dto,
+        "seconds_for_N_samples": dto,
+        "N": N, "K_panel": K_panel,
+        "mean_snps_per_read": float(np.mean(
+            [np.diff(r.offsets).mean() for r in samples_ont]
+        )),
+        "config": "ONT-shaped: ~6kb reads at 10% error, 1x coverage",
+        "vs_measured_ref_core": (
+            (N / dto) / ref_sps_ont if ref_sps_ont else None
+        ),
+    }
+
+    # ---------------- HLA typing wall time (BASELINE config 5) ----------
+    # synthetic IMGT-style world (the in-environment maximum: no IPD-IMGT
+    # release or real BAMs without network); wall time covers the full
+    # per-sample pipeline — gamma-capture QUILT run + kmer filtering +
+    # per-allele read likelihoods + combination. No reference denominator
+    # (the reference HLA path shells out to samtools and needs the real
+    # database); recorded as absolute wall time.
+    from quilt_tpu.hla import (
+        HLAGene, prepare_hla_reference, simulate_hla_db, type_hla_sample,
+    )
+    from quilt_tpu.hla.db import BASES as _BASES, alleles_at_positions
+    from quilt_tpu.hla.typing import GeneRead
+    from quilt_tpu.engine.sample import (
+        RegionContext as _RC, impute_one_sample as _i1s,
+    )
+    from quilt_tpu.panel import prepare_panel
+    gene = HLAGene("HLA-A", "chr6", 10_001, 16_000)
+    db = simulate_hla_db(rng, gene, n_alleles=40, n_variant_sites=400)
+    var_sites = np.flatnonzero((db.seqs != db.seqs[0][None, :]).any(axis=0))
+    pos_h = gene.start + var_sites.astype(np.int64)
+    ref_h = np.array([_BASES[b] for b in db.seqs[0, var_sites]])
+    alt_h = []
+    for s in var_sites:
+        col = db.seqs[:, s]
+        others = col[col != db.seqs[0, s]]
+        alt_h.append(_BASES[others[0]])
+    alt_h = np.array(alt_h)
+    K_h = 200
+    hap_allele = rng.integers(0, db.n_alleles, K_h)
+    states_h, _ = alleles_at_positions(db, pos_h, ref_h, alt_h)
+    haps_h = np.zeros((K_h, len(pos_h)), dtype=np.uint8)
+    for k in range(K_h):
+        haps_h[k] = np.where(states_h[hap_allele[k]] == 1, 1, 0)
+    prep_h = prepare_panel(
+        chrom="chr6", pos=pos_h, ref_allele=ref_h, alt_allele=alt_h,
+        haps=haps_h, nMaxDH=64,
+    )
+    hla_ref = prepare_hla_reference(db, prep_h, k=10)
+    true_a = (1, 3)
+    truth_h = np.stack([
+        np.where(states_h[true_a[0]] == 1, 1, 0),
+        np.where(states_h[true_a[1]] == 1, 1, 0),
+    ]).astype(np.uint8)
+    reads_imp, _ = simulate_sample_reads(
+        rng, truth_h, prep_h.pos, prep_h.grid, coverage=2.0,
+        read_length_bp=400, phred=28,
+    )
+    L = 150
+    gene_reads = []
+    for r in range(200):
+        a = true_a[r % 2]
+        start = int(rng.integers(0, gene.length - L))
+        seq = db.seqs[a, start:start + L].copy()
+        err = rng.random(L) < 0.01
+        seq = np.where(err, (seq + 1) % 4, seq).astype(np.uint8)
+        gene_reads.append(GeneRead(
+            pos0=gene.start - 1 + start, seq=seq, qual=np.full(L, 30),
+        ))
+    cfg_h = ImputeConfig(
+        nGibbsSamples=7, n_seek_its=2, Ksubset=K_h, Knew=K_h,
+        small_ref_panel_gibbs_iterations=20, hla_run=True,
+        gamma_physically_closest_to=(gene.start + gene.end) // 2,
+        override_default_params_for_small_ref_panel=False, seed=5,
+    )
+    ctx_h = _RC.build(prep_h, cfg_h)
+    res_imp = _i1s(ctx_h, reads_imp, cfg_h, seed=11)       # warm-up
+    t0 = time.time()
+    res_imp = _i1s(ctx_h, reads_imp, cfg_h, seed=11)
+    res_t = type_hla_sample(
+        hla_ref, gene_reads, gammas=res_imp.hla_gamma_total
+    )
+    dth = time.time() - t0
+    expected_h = {db.allele_names[true_a[0]], db.allele_names[true_a[1]]}
+    results["hla_typing"] = {
+        "seconds_per_sample": dth,
+        "n_gene_reads": len(gene_reads), "n_alleles": db.n_alleles,
+        "K_panel": K_h,
+        "call_correct": {res_t.bestallele1, res_t.bestallele2} == expected_h,
+        "config": (
+            "synthetic IMGT-style world; full pipeline: gamma-capture "
+            "QUILT run + kmer filter + per-allele read likelihoods + "
+            "combination"
+        ),
+    }
 
     # ---------------- end-to-end at UKB panel scale (K~100k) ------------
     # the reference's headline claim is "hundreds of thousands or millions

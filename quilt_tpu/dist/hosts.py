@@ -71,9 +71,12 @@ def allgather_columns(
 
     blob_parts = []
     for i in sorted(local_columns):
-        col = "\n".join(local_columns[i])
-        blob_parts.append(f"{i}\x01{col}")
-    blob = "\x00".join(blob_parts).encode()
+        cells = [
+            c if isinstance(c, bytes) else c.encode()
+            for c in local_columns[i]
+        ]                       # column builders emit bytes since round 5
+        blob_parts.append(b"%d\x01" % i + b"\n".join(cells))
+    blob = b"\x00".join(blob_parts)
     n = np.array([len(blob)], dtype=np.int64)
     max_n = int(np.asarray(multihost_utils.process_allgather(n)).max())
     padded = np.zeros(max(max_n, 1), dtype=np.uint8)

@@ -27,7 +27,7 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..kernels.fb_full import FBInputs, _fb_core_impl
+from ..kernels.fb_full import FBInputs, _fb_core_impl, _fb_core_segmented
 
 
 def make_mesh(n_data: int, n_panel: int, devices=None) -> Mesh:
@@ -117,6 +117,12 @@ class ShardedFB:
         inp = inputs
         K_top_ = K_top
         ref_error_ = ref_error
+        import os
+        # default body: segment-fused collectives (one psum per SEG_LEN
+        # grids instead of 4 per grid — SURVEY section 7 hard part 4);
+        # QUILT_SHARDED_FB=pergrid restores the per-grid-psum body
+        seg = os.environ.get("QUILT_SHARDED_FB", "segmented") != "pergrid"
+        core = _fb_core_segmented if seg else _fb_core_impl
 
         @partial(
             jax.shard_map,
@@ -142,7 +148,7 @@ class ShardedFB:
         )
         def run(gl_l, dh_l, ie_l, bits_l, eg_l, ek_l, eb_l, ev_l,
                 trans_l, thin_l, cap_l):
-            dosage, log_like, tv, ti, gcap = _fb_core_impl(
+            dosage, log_like, tv, ti, gcap = core(
                 gl_l, dh_l[0], ie_l, bits_l,
                 eg_l[0], ek_l[0], eb_l[0], trans_l, thin_l, cap_l,
                 K=inp.K, K_pad=self.K_shard, nMaxDH=inp.nMaxDH,

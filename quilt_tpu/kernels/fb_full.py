@@ -174,6 +174,81 @@ def _escape_emissions_flat(gl, esc_grid, esc_bits, ref_error):
     return jnp.moveaxis(out, 0, 1).reshape(B, npad)[:, :nnz]
 
 
+def _dosage_from_gammas(
+    gammas, dh, ie, esc_grid, esc_k, esc_bits, K_pad, nMaxDH, nnz,
+    ref_error, grid_chunk, ksum, esc_valid, B, S, G,
+):
+    """Per-SNP dosages from stored gammas via chunked MXU matmuls
+    through the distinct-hap table + exact escape corrections (shared
+    by the per-grid and segment-fused FB bodies)."""
+    D1 = nMaxDH + 1
+    # ---- dosage: chunked MXU matmuls through the distinct-hap table
+    ie_g = ie.reshape(D1, G, 32)
+    n_chunks = (G + grid_chunk - 1) // grid_chunk
+    Gp = n_chunks * grid_chunk
+    if Gp != G:
+        gammas_p = jnp.pad(gammas, ((0, Gp - G), (0, 0), (0, 0)))
+        dh_p = jnp.pad(dh, ((0, Gp - G), (0, 0)))
+        ie_p = jnp.pad(ie_g, ((0, 0), (0, Gp - G), (0, 0)))
+    else:
+        gammas_p, dh_p, ie_p = gammas, dh, ie_g
+
+    def dos_chunk(_, c):
+        g0 = c * grid_chunk
+        gam = jax.lax.dynamic_slice(
+            gammas_p, (g0, 0, 0), (grid_chunk, B, K_pad)
+        )
+        dh_c = jax.lax.dynamic_slice(dh_p, (g0, 0), (grid_chunk, K_pad))
+        onehot = jax.nn.one_hot(dh_c, D1, dtype=jnp.bfloat16)   # [CG, K, D+1]
+        matched = ksum(jnp.einsum(
+            "gbk,gkd->gbd", gam.astype(jnp.bfloat16), onehot,
+            preferred_element_type=jnp.float32,
+        ))
+        ie_c = jax.lax.dynamic_slice(ie_p, (0, g0, 0), (D1, grid_chunk, 32))
+        dos = jnp.einsum(
+            "gbd,dgs->gbs", matched, ie_c, preferred_element_type=jnp.float32
+        )
+        return None, dos
+
+    _, dos_chunks = jax.lax.scan(dos_chunk, None, jnp.arange(n_chunks))
+    dosage = (
+        dos_chunks.reshape(Gp, B, 32)[:G].transpose(1, 0, 2).reshape(B, S)
+    )
+    if nnz > 0:
+        # exact escape dosage: gamma of escape haps x their inflated alleles,
+        # chunked over nnz and scatter-added per grid
+        e_inf_all = esc_bits.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
+        n_chunks = (nnz + ESC_CHUNK - 1) // ESC_CHUNK
+        npad = n_chunks * ESC_CHUNK
+        eg = _pad_nnz(esc_grid, npad)
+        ek = _pad_nnz(esc_k, npad)
+        ei = _pad_nnz(e_inf_all, npad)
+        valid_nnz = (esc_valid if esc_valid is not None
+                     else jnp.ones((nnz,), jnp.float32))
+        valid = _pad_nnz(valid_nnz, npad)
+        # per-grid reduction via sorted segment_sum (chunked to bound the
+        # [chunk, B, 32] transient): ~5x faster than scatter-adds on TPU
+        dos_esc0 = jnp.zeros((G, B * 32), dtype=jnp.float32)
+
+        def chunk(dg, c):
+            g_c = jax.lax.dynamic_slice(eg, (c * ESC_CHUNK,), (ESC_CHUNK,))
+            k_c = jax.lax.dynamic_slice(ek, (c * ESC_CHUNK,), (ESC_CHUNK,))
+            e_c = jax.lax.dynamic_slice(ei, (c * ESC_CHUNK, 0), (ESC_CHUNK, 32))
+            v_c = jax.lax.dynamic_slice(valid, (c * ESC_CHUNK,), (ESC_CHUNK,))
+            gam_esc = gammas[g_c, :, k_c] * v_c[:, None]       # [chunk, B]
+            contrib = gam_esc[:, :, None] * e_c[:, None, :]    # [chunk, B, 32]
+            return dg + jax.ops.segment_sum(
+                contrib.reshape(ESC_CHUNK, B * 32), g_c, num_segments=G,
+                indices_are_sorted=esc_valid is None,
+            ), None
+
+        dos_esc, _ = jax.lax.scan(chunk, dos_esc0, jnp.arange(n_chunks))
+        dos_esc = dos_esc.reshape(G, B, 32)
+        dos_g = jnp.moveaxis(dosage.reshape(B, G, 32), 0, 1) + ksum(dos_esc)
+        dosage = jnp.moveaxis(dos_g, 0, 1).reshape(B, S)
+    return dosage
+
+
 def _fb_core_impl(
     gl: jnp.ndarray,          # [B, 2, S] f32 (pad SNPs = 1)
     dh: jnp.ndarray,          # [G, K_pad] int32
@@ -345,70 +420,10 @@ def _fb_core_impl(
     top_vals = tv_rc[::-1].reshape(G, B, K_top)
     top_idx = ti_rc[::-1].reshape(G, B, K_top)
 
-    # ---- dosage: chunked MXU matmuls through the distinct-hap table
-    ie_g = ie.reshape(D1, G, 32)
-    n_chunks = (G + grid_chunk - 1) // grid_chunk
-    Gp = n_chunks * grid_chunk
-    if Gp != G:
-        gammas_p = jnp.pad(gammas, ((0, Gp - G), (0, 0), (0, 0)))
-        dh_p = jnp.pad(dh, ((0, Gp - G), (0, 0)))
-        ie_p = jnp.pad(ie_g, ((0, 0), (0, Gp - G), (0, 0)))
-    else:
-        gammas_p, dh_p, ie_p = gammas, dh, ie_g
-
-    def dos_chunk(_, c):
-        g0 = c * grid_chunk
-        gam = jax.lax.dynamic_slice(
-            gammas_p, (g0, 0, 0), (grid_chunk, B, K_pad)
-        )
-        dh_c = jax.lax.dynamic_slice(dh_p, (g0, 0), (grid_chunk, K_pad))
-        onehot = jax.nn.one_hot(dh_c, D1, dtype=jnp.bfloat16)   # [CG, K, D+1]
-        matched = _ksum(jnp.einsum(
-            "gbk,gkd->gbd", gam.astype(jnp.bfloat16), onehot,
-            preferred_element_type=jnp.float32,
-        ))
-        ie_c = jax.lax.dynamic_slice(ie_p, (0, g0, 0), (D1, grid_chunk, 32))
-        dos = jnp.einsum(
-            "gbd,dgs->gbs", matched, ie_c, preferred_element_type=jnp.float32
-        )
-        return None, dos
-
-    _, dos_chunks = jax.lax.scan(dos_chunk, None, jnp.arange(n_chunks))
-    dosage = (
-        dos_chunks.reshape(Gp, B, 32)[:G].transpose(1, 0, 2).reshape(B, S)
+    dosage = _dosage_from_gammas(
+        gammas, dh, ie, esc_grid, esc_k, esc_bits, K_pad, nMaxDH, nnz,
+        ref_error, grid_chunk, _ksum, esc_valid, B, S, G,
     )
-    if nnz > 0:
-        # exact escape dosage: gamma of escape haps x their inflated alleles,
-        # chunked over nnz and scatter-added per grid
-        e_inf_all = esc_bits.astype(jnp.float32) * (1.0 - 2.0 * ref_error) + ref_error
-        n_chunks = (nnz + ESC_CHUNK - 1) // ESC_CHUNK
-        npad = n_chunks * ESC_CHUNK
-        eg = _pad_nnz(esc_grid, npad)
-        ek = _pad_nnz(esc_k, npad)
-        ei = _pad_nnz(e_inf_all, npad)
-        valid_nnz = (esc_valid if esc_valid is not None
-                     else jnp.ones((nnz,), jnp.float32))
-        valid = _pad_nnz(valid_nnz, npad)
-        # per-grid reduction via sorted segment_sum (chunked to bound the
-        # [chunk, B, 32] transient): ~5x faster than scatter-adds on TPU
-        dos_esc0 = jnp.zeros((G, B * 32), dtype=jnp.float32)
-
-        def chunk(dg, c):
-            g_c = jax.lax.dynamic_slice(eg, (c * ESC_CHUNK,), (ESC_CHUNK,))
-            k_c = jax.lax.dynamic_slice(ek, (c * ESC_CHUNK,), (ESC_CHUNK,))
-            e_c = jax.lax.dynamic_slice(ei, (c * ESC_CHUNK, 0), (ESC_CHUNK, 32))
-            v_c = jax.lax.dynamic_slice(valid, (c * ESC_CHUNK,), (ESC_CHUNK,))
-            gam_esc = gammas[g_c, :, k_c] * v_c[:, None]       # [chunk, B]
-            contrib = gam_esc[:, :, None] * e_c[:, None, :]    # [chunk, B, 32]
-            return dg + jax.ops.segment_sum(
-                contrib.reshape(ESC_CHUNK, B * 32), g_c, num_segments=G,
-                indices_are_sorted=esc_valid is None,
-            ), None
-
-        dos_esc, _ = jax.lax.scan(chunk, dos_esc0, jnp.arange(n_chunks))
-        dos_esc = dos_esc.reshape(G, B, 32)
-        dos_g = jnp.moveaxis(dosage.reshape(B, G, 32), 0, 1) + _ksum(dos_esc)
-        dosage = jnp.moveaxis(dos_g, 0, 1).reshape(B, S)
     return dosage, log_like, top_vals, top_idx, gamma_cap
 
 
@@ -417,6 +432,268 @@ _fb_core = partial(
     static_argnames=("K", "K_pad", "nMaxDH", "nnz", "K_top", "ref_error",
                      "grid_chunk"),
 )(_fb_core_impl)
+
+
+SEG_LEN = 8    # grids per collective in the segment-fused sharded FB
+
+
+def _fb_core_segmented(
+    gl, dh, ie, dh_bits, esc_grid, esc_k, esc_bits, trans, thin_flag,
+    capture_flag, K, K_pad, nMaxDH, nnz, K_top, ref_error,
+    grid_chunk: int = 64, axis_name=None, esc_valid=None,
+    seg_len: int = SEG_LEN,
+):
+    """Segment-fused panel-sharded FB (SURVEY section 7, hard part 4).
+
+    _fb_core_impl under shard_map pays 4 collectives PER GRID (forward
+    normalizer psum; backward jump-mass psum + pmax; gamma normalizer
+    psum). Within a segment of L grids the Li & Stephens step is affine
+    with a DIAGONAL propagator plus a rank-1 jump inflow
+    (reference-single.cpp:441-580: alpha' = e*(t0*alpha + t1*mass/K)), so
+    the cross-shard coupling over a whole segment reduces to L scalar
+    masses per batch row satisfying a lower-triangular system whose
+    coefficients are segment-local reductions: the elementwise cumulative
+    products S_i = prod(t0_j e_j) give
+        A_i = S_i*(a_0 + sum_{l<=i} c_l M_{l-1} / S_{l-1}),
+        M_i = h_i + sum_l c_l M_{l-1} P_{l-1,i},
+    with h_i = sum_k S_i a_0, P_{l,i} = sum_k S_i/S_l, c_l = t1_l/(K t0_l).
+    One psum of the [L(L+3)/2]-vector (h + lower-tri P) replaces L
+    per-grid psums; the backward recursion mirrors it with
+    emission-weighted pair sums. Per-grid emissions are pre-scaled by
+    their GLOBAL max (one [G, B] pmax per call) so the in-segment
+    products stay in f32 range; zero columns (pad haps, underflowed
+    emissions) are handled by clamped denominators.
+
+    Exact same outputs as _fb_core_impl (within f32 tolerance); per-grid
+    collectives drop from 4 to ~3/L."""
+    ksum = (lambda x: jax.lax.psum(x, axis_name)) if axis_name else (
+        lambda x: x
+    )
+    kmax = (lambda x: jax.lax.pmax(x, axis_name)) if axis_name else (
+        lambda x: x
+    )
+    B, _, S = gl.shape
+    G = S // 32
+    D1 = nMaxDH + 1
+    L = seg_len
+    NSC = G // L
+    assert NSC * L == G, "grid axis must be a multiple of seg_len"
+    TINY = 1e-30
+
+    # ---- emissions (identical to _fb_core_impl) ----
+    eMatDH = emat_dh_from_gl(gl, dh_bits, ref_error)
+    eMatDH_t = jnp.moveaxis(eMatDH, 0, 1)
+    NEC = G // np.gcd(G, EMIT_CHUNK)
+    EC = G // NEC if NEC > 0 else G
+
+    def e_chunk(_, c):
+        g0 = c * EC
+        tab = jax.lax.dynamic_slice(eMatDH_t, (g0, 0, 0), (EC, B, D1))
+        dh_c = jax.lax.dynamic_slice(dh, (g0, 0), (EC, K_pad))
+        onehot = jax.nn.one_hot(dh_c, D1, dtype=jnp.bfloat16)
+        e = jnp.einsum(
+            "gbd,gkd->gbk", tab.astype(jnp.bfloat16), onehot,
+            preferred_element_type=jnp.float32,
+        )
+        return None, e
+
+    _, E = jax.lax.scan(e_chunk, None, jnp.arange(NEC))
+    E = E.reshape(G, B, K_pad)
+    if nnz > 0:
+        esc_e = _escape_emissions_flat(gl, esc_grid, esc_bits, ref_error)
+        if esc_valid is not None:
+            esc_e = esc_e * esc_valid[None, :]
+        sorted_unique = esc_valid is None
+        E = E.at[esc_grid, :, esc_k].add(
+            esc_e.T, unique_indices=sorted_unique,
+            indices_are_sorted=sorted_unique,
+        )
+
+    # ---- one global pmax for every grid's emission scale ----
+    mu = jnp.maximum(kmax(E.max(axis=2)), TINY)            # [G, B]
+    Eh = E / mu[:, :, None]
+    Eh_c = Eh.reshape(NSC, L, B, K_pad)
+    trans_c = trans.reshape(NSC, L, 2)
+    log_mu_seg = jnp.log(mu).reshape(NSC, L, B).sum(axis=1)   # [NSC, B]
+
+    # ---- forward: one psum per segment ----
+    def fwd_seg(a0, xs):
+        e_ch, t_ch = xs                 # [L, B, K], [L, 2]
+        t0s, t1s = t_ch[:, 0], t_ch[:, 1]
+        # direct suffix products R[(l, i)] = prod_{j=l..i} t0_j e_j
+        # (the math ratio S_{i+1}/S_l): division-free, so weak columns
+        # underflow harmlessly to 0 instead of overflowing 1/S terms
+        T = [t0s[i] * e_ch[i] for i in range(L)]
+        R = {}
+        for l in range(L):
+            U = T[l]
+            R[(l, l)] = U
+            for i in range(l + 1, L):
+                U = U * T[i]
+                R[(l, i)] = U
+        # local reductions: h_i = sum_k R[(0,i)] a0, P[(l,i)] = sum_k R
+        flat = jnp.stack(
+            [(R[(0, i)] * a0).sum(axis=1) for i in range(L)]
+            + [R[(l, i)].sum(axis=1) for l in range(L)
+               for i in range(l, L)]
+        )
+        flat = ksum(flat)
+        h = flat[:L]
+        P = {}
+        off = L
+        for l in range(L):
+            for i in range(l, L):
+                P[(l, i)] = flat[off]
+                off += 1
+        # lower-triangular mass solve; M[0] = 1 (a0 enters normalized; at
+        # the very first grid trans row (1,1) injects the 1/K prior)
+        c_l = [t1s[i] / (K * jnp.maximum(t0s[i], TINY)) for i in range(L)]
+        M = [jnp.ones((B,), jnp.float32)]
+        for i in range(L):
+            acc = h[i]
+            for l in range(i + 1):
+                acc = acc + c_l[l] * M[l] * P[(l, i)]
+            M.append(acc)
+        # reconstruction by direct inflow accumulation
+        outs = []
+        ll = jnp.log(jnp.maximum(M[L], TINY))
+        for i in range(L):
+            A_i = R[(0, i)] * a0
+            for l in range(i + 1):
+                A_i = A_i + (c_l[l] * M[l])[:, None] * R[(l, i)]
+            outs.append(A_i / jnp.maximum(M[i + 1], TINY)[:, None])
+        return outs[-1], (jnp.stack(outs), ll)
+
+    alpha0 = jnp.zeros((B, K_pad), dtype=jnp.float32)
+    _, (alphas_c, ll_seg) = jax.lax.scan(fwd_seg, alpha0, (Eh_c, trans_c))
+    log_like = (ll_seg + log_mu_seg).sum(axis=0)
+
+    # ---- backward: mirrored segment solve ----
+    thin_c = thin_flag.reshape(NSC, L)
+    cap_c = capture_flag.reshape(NSC, L)
+
+    def bwd_seg(carry, c):
+        beta_R, e_R, t_R, gcap = carry  # state right of this segment
+        ci = NSC - 1 - c
+        e_ch = Eh_c[ci]
+        t_ch = trans_c[ci]
+        a_ch = alphas_c[ci]
+        # recursion: B_j = T_j*B_{j+1} + cb_j*N_{j+1}, with propagator
+        # T_j = t0_{j+1} e_{j+1}, inflow cb_j = t1_{j+1}/K and mass
+        # N_j = sum_k e_j B_j (N_L = sum_k e_R beta_R at the boundary);
+        # step j = L-1 uses the NEXT segment's first grid (e_R, t_R)
+        nxt_e = [e_ch[j + 1] for j in range(L - 1)] + [e_R]
+        nxt_t = [t_ch[j + 1] for j in range(L - 1)] + [t_R]
+        cb = [nxt_t[j][1] / K for j in range(L)]
+        # direct products Rb[(j, l)] = prod_{m=j..l} T_m = Sb_j / Sb_{l+1}
+        T = [nxt_t[j][0] * nxt_e[j] for j in range(L)]
+        Rb = {}
+        for j in range(L - 1, -1, -1):
+            U = T[j]
+            Rb[(j, j)] = U
+            for l in range(j + 1, L):
+                U = Rb[(j, l - 1)] * T[l]
+                Rb[(j, l)] = U
+        # local reductions: boundary mass NR, q_j = sum_k e_j Sb_j beta_R
+        # (Sb_j = Rb[(j, L-1)]), Qr_{j,l} = sum_k e_j Sb_j/Sb_l
+        NR_loc = (e_R * beta_R).sum(axis=1)
+        q_loc = [
+            (e_ch[j] * Rb[(j, L - 1)] * beta_R).sum(axis=1)
+            for j in range(L)
+        ]
+        Qr_loc = {}
+        for j in range(L):
+            for l in range(j, L):
+                w = e_ch[j] if l == j else e_ch[j] * Rb[(j, l - 1)]
+                Qr_loc[(j, l)] = w.sum(axis=1)
+        flat = jnp.stack(
+            q_loc + [NR_loc]
+            + [Qr_loc[(j, l)] for j in range(L) for l in range(j, L)]
+        )
+        flat = ksum(flat)
+        q = flat[:L]
+        Qr = {}
+        off = L + 1
+        for j in range(L):
+            for l in range(j, L):
+                Qr[(j, l)] = flat[off]
+                off += 1
+        # descending mass solve: N_j = q_j + sum_{l>=j} cb_l N_{l+1} Qr_{j,l}
+        N = [None] * (L + 1)
+        N[L] = flat[L]
+        for j in range(L - 1, -1, -1):
+            acc = q[j]
+            for l in range(j, L):
+                acc = acc + cb[l] * N[l + 1] * Qr[(j, l)]
+            N[j] = acc
+        # reconstruction by direct inflow accumulation:
+        # B_j = Sb_j beta_R + cb_j N_{j+1} + sum_{l>j} cb_l N_{l+1} Rb[(j,l-1)]
+        Bs = [None] * L
+        for j in range(L - 1, -1, -1):
+            B_j = Rb[(j, L - 1)] * beta_R + (cb[j] * N[j + 1])[:, None]
+            for l in range(j + 1, L):
+                B_j = B_j + (cb[l] * N[l + 1])[:, None] * Rb[(j, l - 1)]
+            Bs[j] = B_j
+        # gamma + top-K + capture; one psum for the L normalizers + the
+        # carry normalizer
+        gn_loc = jnp.stack(
+            [(a_ch[j] * Bs[j]).sum(axis=1) for j in range(L)]
+            + [Bs[0].sum(axis=1)]
+        )
+        gn = ksum(gn_loc)
+        gammas = []
+        tvs = []
+        tis = []
+        for j in range(L):
+            gamma = a_ch[j] * Bs[j] / jnp.maximum(gn[j], TINY)[:, None]
+            gammas.append(gamma)
+            tf = thin_c[ci, j]
+
+            def do_topk(_):
+                v, ix = jax.lax.top_k(
+                    gamma[:, :K] if axis_name is None else gamma, K_top
+                )
+                ix = ix.astype(jnp.int32)
+                if axis_name is not None:
+                    ix = ix + jax.lax.axis_index(axis_name) * K_pad
+                return v, ix
+
+            def no_topk(_):
+                return (
+                    jnp.zeros((B, K_top), dtype=gamma.dtype),
+                    jnp.zeros((B, K_top), dtype=jnp.int32),
+                )
+
+            tv, ti = jax.lax.cond(tf >= 0, do_topk, no_topk, None)
+            tvs.append(tv)
+            tis.append(ti)
+            gcap = gcap + gamma * cap_c[ci, j]
+        # carry: beta at the segment's left edge, normalized by its
+        # global sum (mass normalization, psum-batched above)
+        beta_L = Bs[0] / jnp.maximum(gn[L], TINY)[:, None]
+        return (beta_L, e_ch[0], t_ch[0], gcap), (
+            jnp.stack(gammas), jnp.stack(tvs), jnp.stack(tis)
+        )
+
+    carry0 = (
+        jnp.ones((B, K_pad), dtype=jnp.float32),
+        jnp.ones((B, K_pad), dtype=jnp.float32),   # e right of last grid
+        jnp.asarray([1.0, 0.0], dtype=jnp.float32),
+        jnp.zeros((B, K_pad), dtype=jnp.float32),
+    )
+    (_, _, _, gamma_cap), (gammas_rc, tv_rc, ti_rc) = jax.lax.scan(
+        bwd_seg, carry0, jnp.arange(NSC)
+    )
+    gammas = gammas_rc[::-1].reshape(G, B, K_pad)
+    top_vals = tv_rc[::-1].reshape(G, B, K_top)
+    top_idx = ti_rc[::-1].reshape(G, B, K_top)
+
+    # ---- dosage (identical to _fb_core_impl) ----
+    dosage = _dosage_from_gammas(
+        gammas, dh, ie, esc_grid, esc_k, esc_bits, K_pad, nMaxDH, nnz,
+        ref_error, grid_chunk, ksum, esc_valid, B, S, G,
+    )
+    return dosage, log_like, top_vals, top_idx, gamma_cap
 
 
 def _fb_mode() -> str:

@@ -1083,6 +1083,7 @@ def _gibbs_core_pallas(
 
 
 _MAX_PAD_BYTES = 8 << 30     # HBM cap for the grid-padded emission tensor
+_VMEM_BUDGET = int(13.5 * (1 << 20))   # of the ~16M Mosaic scoped limit
 
 
 def padded_layout_ok(inputs, B: int = 8, K: int = 768, nl: int = 2) -> bool:
@@ -1101,16 +1102,19 @@ def padded_layout_ok(inputs, B: int = 8, K: int = 768, nl: int = 2) -> bool:
     bytes_needed = 2 * G * W_alloc * B * K
     if bytes_needed > _MAX_PAD_BYTES:
         return False
-    vmem_est = 6 * nl * B * K * 4 + 4 * min(W_alloc, _MAX_W) * B * K * 2
-    return vmem_est <= 12 << 20
+    # 9 f32 [BN, K] planes (double-buffered lemg in/out, beta, alpha_out
+    # + scratch) + the double-buffered bf16 slot emissions; calibrated
+    # against measured Mosaic VMEM failures (224 rows @ W=4 needs 16.3M)
+    vmem_est = 9 * nl * B * K * 4 + 4 * min(W_alloc, _MAX_W) * B * K * 2
+    return vmem_est <= _VMEM_BUDGET
 
 
 def max_pallas_chains(K_pad: int, nl: int, W: int = 16) -> int:
     """Largest chain batch one fused-sweep kernel runs (VMEM envelope);
     bigger batches are split into sub-batches of this size by
     gibbs._run_gibbs_chains_chunked."""
-    per_row = 6 * nl * K_pad * 4 + 4 * min(max(W, 1), _MAX_W) * K_pad * 2
-    return max((12 << 20) // per_row, 1)
+    per_row = 9 * nl * K_pad * 4 + 4 * min(max(W, 1), _MAX_W) * K_pad * 2
+    return max(_VMEM_BUDGET // per_row, 1)
 
 
 def max_hbm_chains(
