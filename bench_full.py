@@ -75,6 +75,42 @@ def main():
         / reference_cells_per_s(),
     }
 
+    # ---------------- sharded-FB bodies (VERDICT r4 item 5) -------------
+    # single-chip throughput of the two shard_map bodies: the segment-
+    # fused body (one psum per SEG_LEN grids; dist/mesh.py default) vs
+    # the per-grid-psum body. Sharded equality is covered by
+    # tests/test_dist_sharded.py on the CPU mesh.
+    from quilt_tpu.kernels.fb_full import (
+        SEG_LEN, _fb_core_impl, _fb_core_segmented,
+    )
+    import functools as _ft
+    dev_fb = inputs.device()
+    fb_args = (gl, dev_fb["dh"], dev_fb["ie"], dev_fb["dh_bits"],
+               dev_fb["esc_grid"], dev_fb["esc_k"], dev_fb["esc_bits"],
+               dev_fb["trans"], dev_fb["thin_flag"], dev_fb["capture_flag"])
+    fb_kw = dict(K=inputs.K, K_pad=inputs.K_pad, nMaxDH=inputs.nMaxDH,
+                 nnz=inputs.nnz, K_top=8, ref_error=0.001)
+    cells_body = 2.0 * B * K * nGrids_fb
+    results["sharded_fb_body"] = {"seg_len": SEG_LEN,
+                                  "collectives_per_grid_pergrid": 4.0,
+                                  "collectives_per_grid_segmented":
+                                  round(3.0 / SEG_LEN + 1.0 / nGrids_fb, 3)}
+    for name, body in (("pergrid", _fb_core_impl),
+                       ("segmented", _fb_core_segmented)):
+        f = _ft.partial(
+            jax.jit(body, static_argnames=tuple(fb_kw)), **fb_kw
+        )
+        ob = f(*fb_args)
+        float(ob[1].sum())
+        t0 = time.time()
+        for _ in range(3):
+            ob = f(*fb_args)
+            float(ob[1].sum())
+        dtb = (time.time() - t0) / 3
+        results["sharded_fb_body"][name] = {
+            "cells_per_s": cells_body / dtb, "seconds": dtb,
+        }
+
     # ---------------- FB kernel, K-tiled (VERDICT r3 item 3) ------------
     # panels past the fused kernel's VMEM K-ceiling run the K-tiled
     # kernels (fb_pallas_tiled_core); single chip, B=16

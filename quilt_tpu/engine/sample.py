@@ -159,11 +159,32 @@ class RegionContext:
         # the kernel each block iteration (reference production behavior);
         # the bp-smoothing operator is the only per-region precompute
         smooth_w = None
+        nb_cap = cfg.max_block_gibbs_boundaries
         if (cfg.block_gibbs_boundary_detection == "gamma" and nGrids > 4
                 and cfg.max_block_gibbs_boundaries > 0):
             smooth_w = smoothing_band(
                 prep.L_grid, cfg.shuffle_bin_radius
             )
+            # the reference's detector is UNCAPPED (gibbs-nipt-block.cpp
+            # greedy loop); auto-raise the on-the-fly slot count to the
+            # static map's run estimate so the cap only ever bites on maps
+            # hotter than the marginal recombination field suggests
+            if smooth is not None and len(smooth) > 1:
+                above = smooth >= np.quantile(
+                    smooth, cfg.block_gibbs_quantile_prob
+                )
+                n_runs = int(
+                    (above & ~np.concatenate([[False], above[:-1]])).sum()
+                )
+                est = 2 * n_runs           # cascade allowance per run
+                raised = max(nb_cap, min(est, 128))
+                if raised > nb_cap:
+                    print_message(
+                        f"Raising max_block_gibbs_boundaries "
+                        f"{nb_cap} -> {raised} (static map suggests "
+                        f"~{est} above-quantile boundaries)"
+                    )
+                    nb_cap = raised
         from ..utils.log import SectionTimers
         # multi-chip: build the mesh from mesh_data/mesh_panel and hold a
         # panel-sharded FB when the panel axis is split (SURVEY section 2.7)
@@ -188,7 +209,7 @@ class RegionContext:
             nGrids_all=nGrids_all, boundaries=boundaries, smooth_cm=smooth,
             smooth_w=smooth_w,
             block_quantile=cfg.block_gibbs_quantile_prob,
-            block_nb_cap=cfg.max_block_gibbs_boundaries,
+            block_nb_cap=nb_cap,
             hla_capture=hla_capture,
             timers=SectionTimers(cfg.print_extra_timing_information),
             mesh=mesh, sharded_fb=sharded_fb,

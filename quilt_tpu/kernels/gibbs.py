@@ -102,6 +102,40 @@ def _perm_block_probs(cmat, ns, clp, perm_mask):
     return w / w.sum(axis=-1, keepdims=True)
 
 
+_BOUNDARY_PASSES = 4   # cascade depth matched exactly vs the greedy loop
+
+
+def _run_peaks(smoothed, avail):
+    """Per-run maxima of contiguous available runs (leftmost on ties,
+    matching the reference's stable descending sort). Returns
+    (peak mask [Gm, B], run-start mask, run-end mask)."""
+    Gm, B = smoothed.shape
+    score = jnp.where(avail, smoothed, -jnp.inf)
+    start = avail & jnp.concatenate(
+        [jnp.ones((1, B), bool), ~avail[:-1]], axis=0
+    )
+    end = avail & jnp.concatenate(
+        [~avail[1:], jnp.ones((1, B), bool)], axis=0
+    )
+
+    # segmented running max over contiguous runs (associative: a reset
+    # flag re-anchors the max at run starts)
+    def seg_op(a, b):
+        (ma, sa), (mb, sb) = a, b
+        return jnp.where(sb, mb, jnp.maximum(ma, mb)), sa | sb
+
+    fwd_max, _ = jax.lax.associative_scan(seg_op, (score, start), axis=0)
+    bwd_max, _ = jax.lax.associative_scan(
+        seg_op, (score[::-1], end[::-1]), axis=0
+    )
+    run_max = jnp.maximum(fwd_max, bwd_max[::-1])
+    prev_fwd = jnp.concatenate(
+        [jnp.full((1, B), -jnp.inf), fwd_max[:-1]], axis=0
+    )
+    peak = avail & (score >= run_max) & (start | (prev_fwd < score))
+    return peak, start, end
+
+
 def _boundaries_from_rate(rate2, smooth_w, NB, quantile_prob):
     """Per-row block-Gibbs boundaries from the live FB jump rate.
 
@@ -110,13 +144,16 @@ def _boundaries_from_rate(rate2, smooth_w, NB, quantile_prob):
     over physical distance (smooth_w = panel.prepare.smoothing_band, a
     BANDED operator — O(Gm*band) instead of a dense [Gm, Gm] matrix),
     threshold at min(1, sorted[int(n*q)]) (rcpp_simple_quantile, :81-85),
-    then keep one boundary per contiguous above-threshold run, at the
-    run's maximum. DOCUMENTED DEVIATIONS: the reference's greedy
-    descending-peak loop can emit a second boundary inside a run whose
-    maximum sits at the run edge (its d==3 neighborhood test, :440-470) —
-    here every run yields exactly one; and the number of boundaries is
-    capped at NB (top-NB by smoothed rate), where the reference is
-    uncapped.
+    then replicate the greedy descending-peak loop (:440-470) as
+    vectorized passes: each pass keeps every remaining run's maximum; an
+    interior maximum (d == 3 neighborhood fully available) consumes its
+    whole run, a run-edge maximum consumes only its ±1 neighborhood so
+    the run remainder feeds the next pass — the reference's cascade that
+    emits several boundaries per edge-peaked run. DOCUMENTED DEVIATIONS:
+    the cascade is truncated at _BOUNDARY_PASSES passes (the greedy is
+    unbounded; oracle greedy_peak_boundaries is exact), and the count is
+    capped at NB by smoothed rate (the engine auto-raises NB to the
+    static-map run estimate; see RegionContext.build).
 
     rate2: [Gm, B] f32; smooth_w: (band [Gm, bw], idx0 [Gm]); returns
     [NB, B] int32 suffix-start grid indices, ascending per row, 0 = pad.
@@ -132,31 +169,32 @@ def _boundaries_from_rate(rate2, smooth_w, NB, quantile_prob):
     v = min(int(Gm * quantile_prob), Gm - 1)
     thresh = jnp.minimum(1.0, jnp.sort(smoothed, axis=0)[v])   # [B]
     avail = smoothed > thresh[None, :]                     # [Gm, B]
-    score = jnp.where(avail, smoothed, -jnp.inf)
-    start = avail & jnp.concatenate(
-        [jnp.ones((1, B), bool), ~avail[:-1]], axis=0
-    )
 
-    # segmented running max over contiguous runs (associative: a reset
-    # flag re-anchors the max at run starts)
-    def seg_op(a, b):
-        (ma, sa), (mb, sb) = a, b
-        return jnp.where(sb, mb, jnp.maximum(ma, mb)), sa | sb
+    def shift_or(m):
+        up = jnp.concatenate([m[1:], jnp.zeros((1, B), bool)], axis=0)
+        dn = jnp.concatenate([jnp.zeros((1, B), bool), m[:-1]], axis=0)
+        return m | up | dn
 
-    fwd_max, _ = jax.lax.associative_scan(seg_op, (score, start), axis=0)
-    end = avail & jnp.concatenate(
-        [~avail[1:], jnp.ones((1, B), bool)], axis=0
-    )
-    bwd_max, _ = jax.lax.associative_scan(
-        seg_op, (score[::-1], end[::-1]), axis=0
-    )
-    run_max = jnp.maximum(fwd_max, bwd_max[::-1])
-    prev_fwd = jnp.concatenate(
-        [jnp.full((1, B), -jnp.inf), fwd_max[:-1]], axis=0
-    )
-    peak = avail & (score >= run_max) & (start | (prev_fwd < score))
+    all_peaks = jnp.zeros((Gm, B), bool)
+    for _ in range(_BOUNDARY_PASSES):
+        peak, start, end = _run_peaks(smoothed, avail)
+        all_peaks = all_peaks | peak
+        interior = peak & ~start & ~end
+        # interior peak consumes its whole run: broadcast over the run
+        def seg_or(a, b):
+            (fa, sa), (fb, sb) = a, b
+            return jnp.where(sb, fb, fa | fb), sa | sb
+
+        fwd_f, _ = jax.lax.associative_scan(
+            seg_or, (interior, start), axis=0
+        )
+        bwd_f, _ = jax.lax.associative_scan(
+            seg_or, (interior[::-1], end[::-1]), axis=0
+        )
+        consumed_run = fwd_f | bwd_f[::-1]
+        avail = avail & ~consumed_run & ~shift_or(peak)
     # top-NB peaks per row by smoothed rate; boundary = gap index + 1
-    pscore = jnp.where(peak, score, -jnp.inf)
+    pscore = jnp.where(all_peaks, smoothed, -jnp.inf)
     vals, idx = jax.lax.top_k(pscore.T, min(NB, Gm))       # [B, NB]
     bnd = jnp.where(jnp.isfinite(vals), idx + 1, 0)
     if bnd.shape[1] < NB:

@@ -87,6 +87,39 @@ def live_jump_rate(
     return rate2
 
 
+def greedy_peak_boundaries(smoothed: np.ndarray, thresh: float) -> np.ndarray:
+    """FAITHFUL port of the reference's greedy descending-peak loop
+    (Rcpp_define_blocked_snps_using_gamma_on_the_fly, reference:
+    QUILT/src/gibbs-nipt-block.cpp:400-481): take above-threshold gaps in
+    descending smoothed-rate order; a peak whose 3-neighborhood is fully
+    available (d == 3) consumes its whole run
+    (rcpp_determine_where_to_stop left+right); a peak at a run edge
+    (d < 3) consumes only its ±1 neighborhood, so the rest of the run
+    stays eligible and lower peaks in the same run are also kept (the
+    cascade emits up to every other gap of an edge-peaked run). Returns
+    ascending suffix-start indices (gap index + 1), uncapped."""
+    Gm = len(smoothed)
+    avail = smoothed > thresh
+    order = np.argsort(-smoothed, kind="stable")
+    keep = []
+    for s in order:
+        if not avail[s]:
+            continue
+        a, b = max(s - 1, 0), min(s + 1, Gm - 1)
+        if int(avail[a:b + 1].sum()) == 3:
+            left = s
+            while left - 1 >= 0 and avail[left - 1]:
+                left -= 1
+            right = s
+            while right + 1 < Gm and avail[right + 1]:
+                right += 1
+            avail[left:right + 1] = False
+        else:
+            avail[a:b + 1] = False
+        keep.append(s + 1)
+    return np.array(sorted(keep), dtype=np.int64)
+
+
 def boundaries_from_rate(
     rate2: np.ndarray,           # [G-1]
     smooth_w,                    # (band, idx0) from prepare.smoothing_band
@@ -98,11 +131,11 @@ def boundaries_from_rate(
     Mirrors Rcpp_define_blocked_snps_using_gamma_on_the_fly (reference:
     QUILT/src/gibbs-nipt-block.cpp:366-500): smooth over physical
     distance, threshold at min(1, sorted[int(n*q)]) (rcpp_simple_quantile,
-    :81-85), one boundary per contiguous above-threshold run at the run's
-    maximum. Documented deviations (shared with the device kernel): the
-    reference's greedy descending-peak loop can emit a second boundary in
-    a run whose maximum sits at the run edge; and the count is capped at
-    max_boundaries (top by smoothed rate), logged when it truncates.
+    :81-85), then the faithful greedy peak loop (greedy_peak_boundaries).
+    Deviation from the reference (shared with the device kernel, whose
+    second pass covers one cascade step): the count is capped at
+    max_boundaries (top by smoothed rate), logged when it truncates; the
+    engine auto-raises the cap to the static-map run estimate.
     Returns ascending suffix-start indices (no pads)."""
     Gm = len(rate2)
     band, idx0 = smooth_w
@@ -113,27 +146,16 @@ def boundaries_from_rate(
     smoothed = (band * rate2[gidx]).sum(axis=1)
     v = min(int(Gm * quantile_prob), Gm - 1)
     thresh = min(1.0, np.sort(smoothed)[v])
-    avail = smoothed > thresh
-    bounds = []
-    g = 0
-    while g < Gm:
-        if avail[g]:
-            end = g
-            while end + 1 < Gm and avail[end + 1]:
-                end += 1
-            run = smoothed[g:end + 1]
-            bounds.append((g + int(np.argmax(run)) + 1, run.max()))
-            g = end + 1
-        else:
-            g += 1
-    if len(bounds) > max_boundaries:
+    keep = greedy_peak_boundaries(smoothed, thresh)
+    if len(keep) > max_boundaries:
         from ..utils import print_message
         print_message(
             f"block-Gibbs boundary cap: keeping the top {max_boundaries} "
-            f"of {len(bounds)} run peaks"
+            f"of {len(keep)} run peaks"
         )
-        bounds = sorted(bounds, key=lambda t: -t[1])[:max_boundaries]
-    return np.array(sorted(b for b, _ in bounds), dtype=np.int64)
+        order = np.argsort(-smoothed[keep - 1], kind="stable")
+        keep = np.sort(keep[order[:max_boundaries]])
+    return keep.astype(np.int64)
 
 
 def _pairs(nl: int) -> List[Tuple[int, int]]:
