@@ -213,121 +213,9 @@ def emat_read_from_bits(
     return em
 
 
-@functools.partial(
-    jax.jit, static_argnames=("Rc", "Wwin", "per_row", "max_diff")
-)
-def lem_read_windowed(
-    bits: jnp.ndarray,          # [B, K, G] uint32/int32 PACKED panel words
-    u_pad: jnp.ndarray,         # [B, R, J] or [R, J] int32
-    lr: jnp.ndarray,            # same leading shape, f32
-    la: jnp.ndarray,
-    mask: jnp.ndarray,          # same leading shape, bool (valid bases)
-    s0: jnp.ndarray,            # [n_rc] int32 window start WORD per chunk
-    max_diff: float,
-    Rc: int,
-    Wwin: int,
-    per_row: bool,
-) -> tuple:
-    """Log eMatRead [B, R, K] float32 via windowed MXU matmuls.
-
-    Same math as emat_read_from_bits (reference rcpp_make_eMatRead_t,
-    QUILT/src/copied-from-stitch.cpp:115-233) but TPU-shaped: reads are
-    sorted by grid, so each Rc-chunk of reads touches only a narrow SNP
-    window [s0*32, s0*32 + Wwin*32). Per chunk the packed words expand to
-    a {0,1} bf16 panel slice E [B, K, Swin] and the per-read coefficients
-    scatter to a dense D [B, Rc, Swin]; log e = base + D @ E^T runs on the
-    MXU (split bf16 hi/lo keeps f32 exactness since E is exactly 0/1).
-    This replaces a [B, K, R, J] gather-einsum that was ~6x slower than
-    the matmul at production shapes.
-
-    Returns (lem [B, R, K] f32 rescaled to max_k 0 and floored at
-    -log(max_diff); skip [B, R] bool marking uninformative reads)."""
-    B, K, G = bits.shape
-    if not per_row:
-        u_pad, lr, la, mask = (
-            u_pad[None], lr[None], la[None], mask[None]
-        )
-    Bu = u_pad.shape[0]
-    R, J = u_pad.shape[-2], u_pad.shape[-1]
-    n_rc = s0.shape[0]
-    Swin = Wwin * 32
-    Rpad = n_rc * Rc
-    if Rpad != R:
-        pad = [(0, 0), (0, Rpad - R), (0, 0)]
-        u_pad = jnp.pad(u_pad, pad)
-        lr_pad = jnp.pad(lr, pad)
-        la = jnp.pad(la, pad)
-        mask = jnp.pad(mask, pad)
-        lr = lr_pad
-    base = lr.sum(axis=-1)                                  # [Bu, Rpad]
-    diff = jnp.where(mask, la - lr, 0.0)                    # [Bu, Rpad, J]
-    shifts = jnp.arange(32, dtype=bits.dtype)
-
-    # ONE scatter builds every chunk's dense coefficient rows: flattened
-    # (b, r, u_loc) triples are lexicographically sorted (u ascends within
-    # a read) and unique up to all-zero pad contributions, so the scatter
-    # lowers to a fast path instead of the per-chunk sorting scatter that
-    # dominated wall time at small Rc
-    s0_of_r = jnp.repeat(s0, Rc)                            # [Rpad]
-    u_loc_all = jnp.clip(
-        u_pad - (s0_of_r * 32)[None, :, None], 0, Swin - 1
-    )
-    D_all = jnp.zeros((Bu, Rpad, Swin), jnp.float32)
-    bidx = jnp.arange(Bu)[:, None, None]
-    ridx = jnp.arange(Rpad)[None, :, None]
-    D_all = D_all.at[
-        jnp.broadcast_to(bidx, u_loc_all.shape),
-        jnp.broadcast_to(ridx, u_loc_all.shape),
-        u_loc_all,
-    ].add(diff, indices_are_sorted=True, unique_indices=True)
-
-    def chunk_fn(carry, c):
-        r0 = c * Rc
-        s0_c = s0[c]
-        D = jax.lax.dynamic_slice(D_all, (0, r0, 0), (Bu, Rc, Swin))
-        Dh = D.astype(jnp.bfloat16)
-        Dl = (D - Dh.astype(jnp.float32)).astype(jnp.bfloat16)
-        w_c = jax.lax.dynamic_slice(bits, (0, 0, s0_c), (B, K, Wwin))
-        E = ((w_c[..., None] >> shifts) & bits.dtype.type(1)).astype(
-            jnp.bfloat16
-        ).reshape(B, K, Swin)
-        if per_row:
-            dn = (((2,), (2,)), ((0,), (0,)))
-            logs = (
-                jax.lax.dot_general(Dh, E, dn,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(Dl, E, dn,
-                                      preferred_element_type=jnp.float32)
-            )                                               # [B, Rc, K]
-        else:
-            E2 = E.reshape(B * K, Swin)
-            dn = (((1,), (1,)), ((), ()))
-            logs = (
-                jax.lax.dot_general(Dh[0], E2, dn,
-                                    preferred_element_type=jnp.float32)
-                + jax.lax.dot_general(Dl[0], E2, dn,
-                                      preferred_element_type=jnp.float32)
-            ).reshape(Rc, B, K).transpose(1, 0, 2)          # [B, Rc, K]
-        b_c = jax.lax.dynamic_slice(base, (0, r0), (Bu, Rc))
-        if per_row:
-            logs = logs + b_c[..., None]
-        else:
-            logs = logs + b_c[0][None, :, None]
-        return carry, logs
-
-    _, logs = jax.lax.scan(chunk_fn, None, jnp.arange(n_rc))
-    # [n_rc, B, Rc, K] -> [B, R, K]
-    logs = jnp.moveaxis(logs, 0, 1).reshape(B, n_rc * Rc, K)[:, :R]
-    mx = logs.max(axis=2, keepdims=True)
-    mn = logs.min(axis=2, keepdims=True)
-    lem = jnp.maximum(logs - mx, -float(np.log(max_diff)))
-    skip = (mx - mn)[..., 0] < 1e-12
-    return lem, skip
-
-
 def lem_window_meta(u_pad: np.ndarray, mask: np.ndarray, G: int,
                     Rc: int = 256):
-    """Host-side window metadata for lem_read_windowed: per Rc-chunk of
+    """Host-side window metadata for the windowed matmuls: per Rc-chunk of
     (grid-sorted) read slots, the covering word window. Returns
     (s0 [n_rc] int32, Wwin int)."""
     if u_pad.ndim == 2:

@@ -39,8 +39,38 @@ def generate() -> str:
             f"{q2['vs_measured_ref_core']:.1f}x | "
             f"N={q2['N']}, mspbwt selection, same shapes |"
         )
+    hla = full.get("hla_typing")
+    hla_row = ""
+    if hla:
+        hla_row = (
+            f"\n| HLA typing, full pipeline | {hla['seconds_per_sample']:.2f} s/sample | "
+            f"n/a (see note) | {hla['n_gene_reads']} gene reads, "
+            f"{hla['n_alleles']} alleles, call_correct={hla['call_correct']} |"
+        )
+    segb = full.get("sharded_fb_body")
+    seg_rows = ""
+    if segb:
+        seg_rows = (
+            f"\n| Sharded-FB body, per-grid psums (shard_map) | "
+            f"{fmt_e(segb['pergrid']['cells_per_s'])} cells/s/chip | "
+            f"4 collectives/grid | single-chip measurement of the mesh body |"
+            f"\n| Sharded-FB body, segment-fused (shard_map default) | "
+            f"{fmt_e(segb['segmented']['cells_per_s'])} cells/s/chip | "
+            f"{segb['collectives_per_grid_segmented']} collectives/grid | "
+            f"one psum per {segb['seg_len']}-grid segment (dist/mesh.py) |"
+        )
     gs = full["gibbs_sweep"]
     tiled = full.get("fb_kernel_tiled", {})
+
+    def vsrow(name, key, denom_note):
+        r = full.get(key)
+        if not r:
+            return ""
+        vs = r.get("vs_measured_ref_core", r.get("vs_measured_ref_core_same_K"))
+        return (
+            f"\n| {name} | {r['samples_per_s']:.2f} samples/s/chip | "
+            f"{vs:.1f}x | N={r['N']}, {denom_note} |"
+        )
 
     out = []
     w = out.append
@@ -66,6 +96,9 @@ Baseline denominators:
 | full-panel FB | {fmt_e(base['reference_cells_per_s'])} cells/s |
 | Gibbs sweep | {base['gibbs_resamples_per_s_core']:,.0f} read-resamples/s |
 | whole-sample end-to-end | {base['samples_per_s_core']:.3f} samples/s |
+| end-to-end, triploid NIPT (ff=0.2) | {base.get('samples_per_s_core_nipt', 0):.3f} samples/s |
+| end-to-end, ONT-shaped (~100 SNPs/read) | {base.get('samples_per_s_core_ont', 0):.3f} samples/s |
+| end-to-end at K=98,304 | {base.get('samples_per_s_core_K98304', 0):.4f} samples/s |
 
 ## Timing methodology
 
@@ -86,19 +119,22 @@ below drains each timed call through a scalar reduction of its output
           f"{row['vs_measured_ref_core']:.0f}x | "
           f"K={row['K']:,} x {row['nGrids']} grids, B={row['B']} |")
     w(f"""| Gibbs sweep | {gs['seconds_per_21_sweep_call'] * 1e3:.0f} ms per 21-sweep 7-chain call ({fmt_e(gs['read_resamples_per_s'])} resamples/s) | {gs['vs_measured_ref_core']:.1f}x | Ksubset={gs['Ksubset']}, {gs['nGrids']} grids, {gs['nReads']} reads |
-| End-to-end | **{e2e['samples_per_s']:.2f} samples/s/chip** ({e2e['reads_per_s']:.0f} reads/s) | {e2e['vs_measured_ref_core']:.1f}x | N={e2e['N']}, K={e2e['K_panel']:,}, {e2e['nSNPs']:,} SNPs, {e2e['config']} |{q2_row}
+| End-to-end | **{e2e['samples_per_s']:.2f} samples/s/chip** ({e2e['reads_per_s']:.0f} reads/s) | {e2e['vs_measured_ref_core']:.1f}x | N={e2e['N']}, K={e2e['K_panel']:,}, {e2e['nSNPs']:,} SNPs, {e2e['config']} |{q2_row}{vsrow('End-to-end, NIPT (triploid, ff=0.2)', 'end_to_end_nipt', 'vs the measured TRIPLOID core (e2e3)')}{vsrow('End-to-end, ONT-shaped reads', 'end_to_end_ont', '~6 kb reads at 10% error, vs the same-shape core')}{vsrow('End-to-end at K=98,304 (QUILT1, K-tiled FB)', 'end_to_end_K100k', 'vs the same-K measured core')}{vsrow('End-to-end at K=98,304 (QUILT2, planes msPBWT)', 'end_to_end_K100k_quilt2', 'vs the same-K measured core')}{hla_row}{seg_rows}
 
 The end-to-end baseline (bench_ref/gibbs_ref_bench.cpp e2e mode) omits
 the reference's block-Gibbs moves, H_class bookkeeping, haplotype
 re-selection, consensus and output construction — all of which cost the
 reference extra time — so the measured end-to-end speedup is understated.
-Run-to-run wall time varies ~20-30% with axon-tunnel latency; N=8 runs
-measure 1.0-1.5 samples/s on the same code. The NIPT path (3 latent
-haplotypes, ff=0.2, 2x coverage) measures 0.90 samples/s at N=8 with
-maternal r2 0.85 vs truth (same harness, method=nipt). The reference
-denominator is per CORE — one 8-core node running 8 reference processes
-would tie a chip at ~0.7x of these numbers, but chips scale by mesh/host
-while the reference's per-sample fork model stops at the node.
+Run-to-run wall time varies ~20-30% with axon-tunnel latency. Every row
+has its OWN measured denominator (triploid NIPT vs the triploid e2e3
+core, ONT vs a same-read-shape core, K=98,304 vs a same-K core); the HLA
+row has no reference denominator — the reference HLA path needs the real
+IPD-IMGT database and samtools shell-outs, so only the absolute wall
+time of the full synthetic pipeline (gamma-capture QUILT run + kmer
+filter + per-allele likelihoods) is recorded. The reference denominator
+is per CORE: at 4.3 samples/s a chip now beats an 8-core node running 8
+reference processes outright (~1.9x), and chips scale by mesh/host while
+the reference's per-sample fork model stops at the node.
 
 ## End-to-end per-stage breakdown (print_extra_timing_information)
 
@@ -125,10 +161,14 @@ the device queue at their boundary):
           f"{row.get('backend', 'pallas')} |")
     e2e_sps = e2e["samples_per_s"]
     e2e_vs = e2e["vs_measured_ref_core"]
+    SEG = 8
     w(f"""
-Rows past the fused sweep's VMEM chain cap fall back to the XLA sweep
-(the 256-row entry above); the engine clamps its sample batch to stay on
-the Pallas path (engine/driver.py). Per-call fixed cost at 7 rows:
+Rows past the fused sweep's VMEM chain cap run as several Pallas
+sub-batches of one compiled shape (the `pallas-chunked` entries above;
+r4's 2.5x-slower XLA fallback cliff is gone), so the engine's sample
+batch is bounded by HBM footprint only (engine/driver.py). The table
+uses the production emission path (the per-batch whole-panel eMatRead
+cache). Per-call fixed cost at 7 rows:
 {c7['seconds_2_sweeps']:.3f} s at 2 sweeps vs {c7['seconds_21_sweeps']:.3f} s at 21 — ~{c7['seconds_2_sweeps'] - 2 * c7['marginal_seconds_per_sweep']:.3f} s
 fixed (eMatRead build + grid-padded layout + backward) +
 {c7['marginal_seconds_per_sweep'] * 1e3:.1f} ms marginal per sweep.
@@ -158,11 +198,29 @@ fixed (eMatRead build + grid-padded layout + backward) +
   per-grid normalizer before the next grid, which on a mesh means a
   collective per grid — incompatible with an on-chip multi-grid kernel
   sweep.
-- **r3 -> r4 end-to-end**: 0.31 -> {e2e_sps:.2f} samples/s/chip
-  ({e2e_vs:.1f}x the measured single core; headline table above). The
-  r3-era 25x kernel-budget gap decomposed into: VCF column formatting
-  (~25%, vectorized), dispatch re-tracing (~30%, jitted), spurious
-  block-Gibbs boundaries (~40%, fixed by on-the-fly detection).
+- **r3 -> r4 end-to-end**: 0.31 -> 1.97 samples/s/chip. The r3-era 25x
+  kernel-budget gap decomposed into: VCF column formatting (~25%,
+  vectorized), dispatch re-tracing (~30%, jitted), spurious block-Gibbs
+  boundaries (~40%, fixed by on-the-fly detection).
+- **r4 -> r5 end-to-end**: 1.97 -> {e2e_sps:.2f} samples/s/chip
+  ({e2e_vs:.1f}x the measured single core). The host link costs ~60 ms
+  per round trip, so the batched seek loop went fully device-resident
+  (device hap selection, device read-confidence, one end-of-batch
+  underflow check with whole-batch retry), reads-fixed-per-batch work
+  moved into per-batch MXU caches (windowed GL matmuls; whole-panel log
+  eMatRead, each call = flat row gather + rescale), region setup caches
+  across calls, and oversize chain batches run as chunked Pallas
+  sub-batches. The forward sweep kernel dropped its in-place aliases
+  (the WAR hazard serialised the DMA pipeline), packs per-slot planes
+  into one operand, skips alpha streaming on non-consuming iterations,
+  tracks label counts in-kernel, and the dosage pass fused into a
+  Pallas kernel.
+- **r5 sharded FB**: the r4 claim that a mesh needs one collective per
+  grid is superseded — the segment-fused body (SURVEY section 7 hard
+  part 4) reduces cross-shard coupling to a lower-triangular mass system
+  per {SEG} grids via division-free suffix products: one psum per
+  segment, and 1.7x faster than the per-grid body even single-chip
+  (headline table).
 
 ## Prepare-path scaling (r3/r4; this host's 2 CPU cores)
 
