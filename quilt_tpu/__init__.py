@@ -9,7 +9,24 @@ def _enable_compilation_cache() -> None:
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir", "/tmp/quilt_tpu_jax_cache")
+        # key the cache by host microarchitecture: XLA:CPU AOT artifacts
+        # compiled on a host with different vector extensions load with a
+        # feature-mismatch warning and can SIGILL/segfault mid-suite
+        import hashlib
+        import platform
+        try:
+            with open("/proc/cpuinfo") as fh:
+                flags = next(
+                    (ln for ln in fh if ln.startswith("flags")), ""
+                )
+        except OSError:
+            flags = ""
+        tag = hashlib.sha1(
+            (platform.machine() + flags).encode()
+        ).hexdigest()[:10]
+        jax.config.update(
+            "jax_compilation_cache_dir", f"/tmp/quilt_tpu_jax_cache_{tag}"
+        )
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
