@@ -21,3 +21,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(7)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_jit_state():
+    """Drop JAX's in-process executable caches after each test module.
+
+    Long single-process suite runs accumulate hundreds of live XLA:CPU
+    executables; past ~100 tests the CPU backend segfaulted inside
+    compile/deserialize (observed at the same suite position across
+    runs, while the same tests pass standalone or in halves). Bounding
+    the live JIT state per module avoids the crash; recompiles are
+    cheap on CPU and served by the persistent on-disk cache.
+    """
+    yield
+    jax.clear_caches()
