@@ -414,7 +414,7 @@ def lem_subset(lem_full, flat_idx, max_diff, R_out):
     mx = sub.max(axis=1, keepdims=True)
     mn = sub.min(axis=1, keepdims=True)
     lem = jnp.maximum(sub - mx, -jnp.log(max_diff))
-    skip = (mx - mn)[:, 0] < 1e-12
+    skip = (mx - mn)[:, 0] <= 1e-9
     return lem, skip
 
 

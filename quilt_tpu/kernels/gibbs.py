@@ -686,7 +686,7 @@ def _gibbs_core(
     log_em_all = jnp.moveaxis(lem_r, 0, 2)                 # [B, K, R] (init)
     u_r = jnp.moveaxis(uniforms, 2, 1)                     # [n_its, R, B]
     skip_r_all = (
-        (eMatRead > 1.0 - 1e-12).all(axis=1) | ~read_mask
+        (eMatRead.max(axis=1) - eMatRead.min(axis=1) <= 1e-9) | ~read_mask
     ).T                                                    # [R, B]
     H_r0 = H0.T                                            # [R, B]
     wif0_r = wif0.T                                        # [R, B]

@@ -807,7 +807,9 @@ def _gibbs_core_pallas(
     # whole-panel matmul cache instead
     if em_all is not None:
         lem_all = jnp.log(em_all)
-        skip_r = (em_all > 1.0 - 1e-12).all(axis=1) | ~valid_r
+        skip_r = (
+            em_all.max(axis=1) - em_all.min(axis=1) <= 1e-9
+        ) | ~valid_r
     else:
         lem_all = lem_in
         skip_r = skip_in | ~valid_r
@@ -935,7 +937,11 @@ def _gibbs_core_pallas(
                     jnp.repeat(jnp.arange(G, dtype=jnp.int32), W)[None, :],
                     (B, G * W),
                 )
-                mask_rb = jnp.transpose(live.reshape(G * W, B))
+                # valid (not live): uninformative reads carry class 0 and
+                # RESAMPLE from the class prior like every other read (the
+                # reference's resample_H_using_H_class covers them; the
+                # XLA path does the same)
+                mask_rb = jnp.transpose(valid.reshape(G * W, B))
 
                 def rebuild(Hn):
                     Hp = Hn.reshape(G, W, B)

@@ -47,9 +47,13 @@ def classify_reads(eMatRead: np.ndarray) -> np.ndarray:
     (reference: gibbs-nipt.R:2016-2064); the reference's categories 2/3 are
     CPU micro-optimizations of the same arithmetic and are not distinguished
     here."""
-    thresh = 1.0 - 1e-12
-    non1 = (eMatRead < thresh).sum(axis=0)
-    return np.where(non1 == 0, READ_CAT_SKIP, READ_CAT_NORMAL).astype(np.int32)
+    # range test, not a 1-1e-12 threshold: near 1.0 that threshold
+    # rounds to 1.0 in float32, so the device paths would never skip;
+    # the subtraction is exact in either precision and all paths agree
+    rng_k = eMatRead.max(axis=0) - eMatRead.min(axis=0)
+    return np.where(
+        rng_k <= 1e-9, READ_CAT_SKIP, READ_CAT_NORMAL
+    ).astype(np.int32)
 
 
 def gibbs_sample_one_chain(

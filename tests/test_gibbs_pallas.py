@@ -240,3 +240,66 @@ def test_pallas_packed_bits_matches_xla():
     dp = gp[0][:, 1, :nSNPs] + 2 * gp[0][:, 2, :nSNPs]
     np.testing.assert_allclose(dp, dx, atol=5e-3)
     np.testing.assert_allclose(gp[4], gx[4], rtol=1e-4, atol=1e-3)
+
+
+def test_lem_read_cache_matches_default():
+    """The batched engine's per-batch whole-panel eMatRead cache
+    (lem_full_from_cache + lem_subset fed via lem_read=) produces the
+    same sweep results as the in-call emission build."""
+    import jax.numpy as jnp
+    from quilt_tpu.kernels.emissions import (
+        ReadWindowCache, expand_panel_bf16, lem_full_from_cache, lem_subset,
+    )
+    from quilt_tpu.utils import pack_bits_32
+
+    rng = np.random.default_rng(31)
+    nl, B = 2, 3
+    K, nSNPs = 24, 256
+    haps, pos = simulate_panel(rng, K=K, nSNPs=nSNPs)
+    grid, L_grid, nGrids = assign_positions_to_grid(pos)
+    truth = simulate_truth_mosaic(rng, truth_haps := haps, n_latent=nl)
+    reads, _ = simulate_sample_reads(
+        rng, truth, pos, grid, coverage=2.0, read_length_bp=600, phred=25,
+    )
+    reads = reads.sorted_by_grid()
+    trans = trans_rates(np.full(nGrids - 1, 0.985))
+    inputs = GibbsInputs.build(reads, trans, nGrids)
+    preads = PaddedReads.build(reads, ref_error=0.001)
+    S = nGrids * 32
+    bits1 = np.zeros((K, S), dtype=np.uint8)
+    bits1[:, :nSNPs] = haps
+    words = pack_bits_32(bits1)
+    bits_p = np.broadcast_to(words[None], (B,) + words.shape).copy()
+    n_its, R = 4, inputs.R
+    uniforms = rng.random((n_its, B, R)).astype(np.float32)
+    H0 = rng.choice(nl, size=(B, R)).astype(np.int32)
+    first = rng.integers(0, reads.nReads, B).astype(np.int32)
+    # per-batch cache exactly as engine/batch.py builds it
+    wc = ReadWindowCache(
+        preads.u_pad[None], preads.lpr[None], preads.lpa[None],
+        preads.mask[None], nGrids, lr=preads.lr[None], la=preads.la[None],
+        Rc=64,
+    )
+    dh, dl = wc.diff
+    E_full = expand_panel_bf16(jnp.asarray(words))
+    lem_full = lem_full_from_cache(
+        E_full, dh, dl, wc.base, wc.s0, wc.Rc, wc.Swin
+    )
+    flat_idx = jnp.broadcast_to(
+        jnp.arange(K, dtype=jnp.int32)[None], (B, K)
+    )
+    lem_pair = lem_subset(lem_full, flat_idx, 1e10, R)
+    kw = dict(
+        bits=bits_p, preads=preads, inputs=inputs, uniforms=uniforms,
+        H0=H0, first_read=first, n_latent=nl, ff=0.0,
+        n_burn_in=n_its - 1, iterative_init=True, K_real=K,
+    )
+    os.environ["QUILT_TPU_GIBBS"] = "pallas"
+    try:
+        ref = run_gibbs_chains(**kw)
+        got = run_gibbs_chains(**kw, lem_read=lem_pair)
+    finally:
+        os.environ.pop("QUILT_TPU_GIBBS", None)
+    nr = reads.nReads
+    assert (ref[3][:, :nr] == got[3][:, :nr]).mean() > 0.995
+    np.testing.assert_allclose(got[0], ref[0], atol=5e-3)
