@@ -219,8 +219,9 @@ fixed (eMatRead build + grid-padded layout + backward) +
   grid is superseded — the segment-fused body (SURVEY section 7 hard
   part 4) reduces cross-shard coupling to a lower-triangular mass system
   per {SEG} grids via division-free suffix products: one psum per
-  segment, and 1.7x faster than the per-grid body even single-chip
-  (headline table).
+  segment at single-chip body throughput parity or better (headline
+  table; equality vs the per-grid body is pinned on 1/2/4-shard CPU
+  meshes by tests/test_dist_sharded.py).
 
 ## Prepare-path scaling (r3/r4; this host's 2 CPU cores)
 
