@@ -168,7 +168,10 @@ sub-batches of one compiled shape (the `pallas-chunked` entries above;
 r4's 2.5x-slower XLA fallback cliff is gone), so the engine's sample
 batch is bounded by HBM footprint only (engine/driver.py). The table
 uses the production emission path (the per-batch whole-panel eMatRead
-cache). Per-call fixed cost at 7 rows:
+cache). Per-call fixed cost at 7 rows (NOTE: every timed call includes
+one ~29 ms steady-state tunnel round trip for its drain — measured by
+fetching a cached 448-byte array in a loop — so the DEVICE-side fixed
+cost is the figure below minus ~0.029 s, i.e. ~0.016 s at 2 sweeps):
 {c7['seconds_2_sweeps']:.3f} s at 2 sweeps vs {c7['seconds_21_sweeps']:.3f} s at 21 — ~{c7['seconds_2_sweeps'] - 2 * c7['marginal_seconds_per_sweep']:.3f} s
 fixed (eMatRead build + grid-padded layout + backward) +
 {c7['marginal_seconds_per_sweep'] * 1e3:.1f} ms marginal per sweep.
