@@ -79,7 +79,15 @@ def validate_impute_config(cfg: ImputeConfig) -> None:
 def validate_region_consistency(
     prep: PreparedReference, cfg: ImputeConfig
 ) -> None:
-    """Prepare/impute region agreement (validators.R:56-80)."""
+    """Prepare/impute region agreement (validators.R:56-80), plus
+    prepare-time feature requirements of the requested impute mode."""
+    if cfg.use_mspbwt and getattr(prep, "ms_indices", None) is None:
+        raise QuiltValidationError(
+            "use_mspbwt=True (the impute2 default) but the prepared "
+            "reference has no mspbwt indices; re-run preparation with "
+            "prepare2 (or prepare --use_mspbwt), or impute with "
+            "--use_mspbwt=False"
+        )
     if cfg.regionStart is None:
         return
     if prep.regionStart is None:

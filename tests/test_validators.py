@@ -45,3 +45,28 @@ def test_region_consistency(rng):
         validate_region_consistency(
             prep, ImputeConfig(regionStart=100, regionEnd=900001, buffer=500)
         )
+
+
+def test_mspbwt_requires_prepared_indices(rng):
+    """impute2 (use_mspbwt default) against a reference prepared without
+    mspbwt indices must raise a clear validation error, not a TypeError
+    deep in the selection path (found by driving the CLI end-to-end)."""
+    import numpy as np
+    import pytest
+    from quilt_tpu.config import ImputeConfig
+    from quilt_tpu.engine.validators import (
+        QuiltValidationError, validate_region_consistency,
+    )
+    from quilt_tpu.io import simulate_panel
+    from quilt_tpu.panel import prepare_panel
+
+    haps, pos = simulate_panel(rng, K=20, nSNPs=96)
+    prep = prepare_panel(
+        chrom="chr20", pos=pos,
+        ref_allele=np.array(["A"] * 96), alt_allele=np.array(["G"] * 96),
+        haps=haps, nMaxDH=16,
+    )
+    assert prep.ms_indices is None
+    with pytest.raises(QuiltValidationError, match="mspbwt"):
+        validate_region_consistency(prep, ImputeConfig(use_mspbwt=True))
+    validate_region_consistency(prep, ImputeConfig())   # plain impute ok
