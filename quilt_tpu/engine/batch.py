@@ -268,13 +268,16 @@ def _impute_samples_batched_once(
 
     # mspbwt mode has no FBInputs; S_pad only feeds the FB path's GL build
     S_pad = ctx.fb_inputs.S if ctx.fb_inputs is not None else nGrids * 32
-    preads_dev = {
-        "u": jnp.asarray(preads.u_pad), "pr": jnp.asarray(preads.lpr),
-        "pa": jnp.asarray(preads.lpa),
-    }
+    # upload the PER-SAMPLE read tensors and replicate to chain rows ON
+    # DEVICE: the chain-replicated [B, R, J] versions are ~C x the bytes
+    # through the ~100 MB/s link (~1.7 s per batch at N=32) for arrays
+    # only the consensus confidence pass consumes
     preads1_dev = {
         "u": jnp.asarray(preads1.u_pad), "pr": jnp.asarray(preads1.lpr),
         "pa": jnp.asarray(preads1.lpa),
+    }
+    preads_dev = {
+        k: jnp.repeat(v, C, axis=0) for k, v in preads1_dev.items()
     }
 
     # per-batch window cache: reads are fixed across the seek loop, so the
